@@ -1,0 +1,163 @@
+"""MapReduce-compatible job execution on Spark RDDs (Layer A).
+
+Reproduces the reference framework's user-facing semantic contract
+(sohammehehale/map_reduce485; citations are file:line into /root/reference/
+map_reduce/mapreduce/):
+
+- Data model: line-oriented UTF-8 text; a record's key is the text before the
+  first tab, the rest is the value (``worker/__main__.py:115``).
+- Map: an arbitrary executable gets input lines on stdin and emits zero or
+  more ``key\\tvalue`` lines on stdout (``worker/__main__.py:104-114``).
+- Shuffle: records hash-partitioned by ``md5(key) % num_reducers``
+  (``worker/__main__.py:117-121``); within each reduce partition all lines
+  are sorted by Unicode codepoint over the whole ``key\\tvalue`` line
+  (``worker/__main__.py:161`` + k-way merge at ``:201``), so equal keys are
+  contiguous and values are secondarily sorted.
+- Reduce: the reducer executable is spawned once per reduce partition and
+  receives the partition's fully merged, sorted stream on stdin
+  (``worker/__main__.py:193-202``).
+- Output: ``num_reducers`` text files ``part-NNNNN`` in the output directory,
+  which is cleared on submission (``worker/__main__.py:204-208``,
+  ``manager/__main__.py:95-101``).
+
+Everything else the reference implements — task scheduling, the map/reduce
+stage barrier, shuffle transport over a shared filesystem, heartbeats, task
+re-execution on worker death (``manager/__main__.py:212-438``) — is Spark's
+DAG scheduler, sort-based shuffle, and task-retry machinery, and needs no
+engine code.  No combiner is used on the executable path, matching the
+reference's no-map-side-aggregation behavior.
+
+Scale note: at 100 TB the executable path is still fully distributed —
+``RDD.pipe`` spawns the executable once per partition on the executor, data
+streams through the process without driver involvement, and
+``repartitionAndSortWithinPartitions`` is Spark's external (spilling) sort,
+unlike the reference's in-memory ``list.sort()`` (``worker/__main__.py:158``).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import shutil
+from collections.abc import Callable, Iterable, Iterator
+from dataclasses import dataclass
+from itertools import groupby
+from pathlib import Path
+
+from pyspark.sql import SparkSession
+
+
+def md5_partition(key: str, num_partitions: int) -> int:
+    """Reference-faithful shuffle placement: ``md5(key) % R``.
+
+    Matches ``worker/__main__.py:117-121`` so that which part-file a key lands
+    in is byte-identical to the reference (Spark's own Murmur3 default would
+    preserve semantics but not placement).
+    """
+    return int(hashlib.md5(key.encode("utf-8")).hexdigest(), 16) % num_partitions
+
+
+def extract_key(line: str) -> str:
+    """Key = text before the first tab; a tab-less line is all key
+    (``worker/__main__.py:115``)."""
+    return line.split("\t", 1)[0]
+
+
+@dataclass
+class JobRequest:
+    """Mirror of the reference job descriptor (``submit.py:70-78``)."""
+
+    input_directory: str
+    output_directory: str
+    mapper_executable: str | Callable[[str], Iterable[str]]
+    reducer_executable: str | Callable[[str, Iterable[str]], Iterable[str]]
+    num_mappers: int = 2
+    num_reducers: int = 2
+
+
+class MapReduceJob:
+    """Run one MapReduce job with reference semantics on Spark.
+
+    ``mapper``/``reducer`` may each be:
+
+    - a shell command string → bit-faithful executable contract via
+      ``RDD.pipe`` (stdin/stdout line streaming, like the subprocess pipes at
+      ``worker/__main__.py:105-110`` and ``:194-202``);
+    - a Python callable → the idiomatic fast path.  Mapper callable:
+      ``line -> iterable of output lines`` (flatMap semantics).  Reducer
+      callable: ``(key, sorted_values_iterator) -> iterable of output lines``
+      with equal keys contiguous, exactly the grouping contract the sorted
+      merge guarantees the reference's reducer.
+    """
+
+    def __init__(self, spark: SparkSession, request: JobRequest):
+        self.spark = spark
+        self.request = request
+
+    def run(self) -> None:
+        req = self.request
+        sc = self.spark.sparkContext
+        out_dir = Path(req.output_directory)
+        # Overwrite semantics: output dir cleared on submission
+        # (manager/__main__.py:95-101).  On a real cluster this would go
+        # through the Hadoop FileSystem API; local-mode uses the local FS.
+        if out_dir.exists():
+            shutil.rmtree(out_dir)
+
+        lines = sc.textFile(req.input_directory, minPartitions=req.num_mappers)
+
+        mapped = self._apply_mapper(lines)
+
+        num_r = req.num_reducers
+        # Fuse shuffle-partition + whole-line sort + k-way merge (reference
+        # ops: worker/__main__.py:115-125, :157-163, :201) into Spark's single
+        # repartitionAndSortWithinPartitions.  Keying by the whole line gives
+        # codepoint order over `key\tvalue`, i.e. (key, value) secondary sort.
+        shuffled = (
+            mapped.map(lambda line: (line, None))
+            .repartitionAndSortWithinPartitions(
+                numPartitions=num_r,
+                partitionFunc=lambda line: md5_partition(extract_key(line), num_r),
+            )
+            .map(lambda kv: kv[0])
+        )
+
+        reduced = self._apply_reducer(shuffled)
+
+        reduced.saveAsTextFile(str(out_dir))
+
+    # -- mapper / reducer application -------------------------------------
+
+    def _apply_mapper(self, lines):
+        mapper = self.request.mapper_executable
+        if callable(mapper):
+            return lines.flatMap(mapper)
+        # Executable contract: spawned once per partition vs once per input
+        # file in the reference (worker/__main__.py:104-110) — equivalent for
+        # the stateless line-streaming contract the framework defines.
+        return lines.pipe(mapper)
+
+    def _apply_reducer(self, sorted_lines):
+        reducer = self.request.reducer_executable
+        if not callable(reducer):
+            # One reducer process per reduce partition, fed the sorted merged
+            # stream (worker/__main__.py:193-202).
+            return sorted_lines.pipe(reducer)
+
+        def reduce_partition(it: Iterator[str]) -> Iterator[str]:
+            for key, group in groupby(it, key=extract_key):
+                values = (
+                    line.split("\t", 1)[1] if "\t" in line else "" for line in group
+                )
+                yield from reducer(key, values)
+
+        return sorted_lines.mapPartitions(reduce_partition, preservesPartitioning=True)
+
+
+def run_job(spark: SparkSession, request: JobRequest) -> None:
+    """FIFO-submission entry point (reference ``submit.py`` analog).
+
+    The reference manager queues jobs FIFO and runs one at a time
+    (``manager/__main__.py:89-104``, ``:212-424``); Spark's default FIFO
+    scheduler gives the same behavior for sequential submissions.
+    """
+    MapReduceJob(spark, request).run()

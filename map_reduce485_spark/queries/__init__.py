@@ -1,0 +1,96 @@
+"""Query registry: every Layer-B operator exposed as a named query.
+
+Each entry pairs a Spark callable ``(spark, sf_dir) -> DataFrame`` with an
+equivalent ANSI-SQL oracle string for DuckDB (or ``None`` for genuinely
+non-SQL-expressible operators, which get a weaker rows-only check).
+
+Hash-stability rules followed throughout (the driver compares row count +
+schema + order-insensitive value hash, columns sorted by name):
+
+- Every computed column is aliased identically on both sides.
+- Money/quantity aggregates go through exact DECIMAL arithmetic and are cast
+  back to DOUBLE at the end, so the result is independent of Spark's
+  partial-aggregation order vs DuckDB's sequential sum (double addition is
+  not associative; decimal addition is).
+- Timestamp outputs are formatted to strings so timezone/display conventions
+  cannot differ.
+- Top-k orderings always include a unique tiebreaker column.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass
+class QuerySpec:
+    name: str
+    fn: QueryFn
+    oracle: str | None
+    doc: str = ""
+    tags: tuple[str, ...] = field(default_factory=tuple)
+    bench: bool = False  # headline query: included in bench.py
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def query(
+    name: str,
+    oracle: str | None,
+    tags: tuple[str, ...] = (),
+    bench: bool = False,
+) -> Callable[[QueryFn], QueryFn]:
+    """Register a query. ``oracle=None`` → rows-only correctness check."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query name {name!r}")
+        REGISTRY[name] = QuerySpec(
+            name=name, fn=fn, oracle=oracle, doc=fn.__doc__ or "", tags=tags, bench=bench
+        )
+        return fn
+
+    return deco
+
+
+def all_queries() -> dict[str, QueryFn]:
+    _load_all()
+    return {name: spec.fn for name, spec in REGISTRY.items()}
+
+
+def all_oracles() -> dict[str, str]:
+    _load_all()
+    return {name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle is not None}
+
+
+def bench_queries() -> dict[str, QuerySpec]:
+    _load_all()
+    return {name: spec for name, spec in REGISTRY.items() if spec.bench}
+
+
+_LOADED = False
+
+
+def _load_all() -> None:
+    """Import every query module exactly once (registration side effects)."""
+    global _LOADED
+    if _LOADED:
+        return
+    from map_reduce485_spark.queries import (  # noqa: F401
+        relational,
+        windows,
+        functions_surface,
+        dedup,
+        similarity,
+        text_analysis,
+        multimodal,
+        events_batch,
+    )
+
+    _LOADED = True

@@ -1,0 +1,390 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Four families, all shuffle-native (no driver-side collection anywhere):
+
+- **Exact** — hash-groupBy on a content digest.
+- **N-gram Jaccard** — exact set similarity over word 3-gram shingles with an
+  inverted-index candidate join.  Correct but candidate generation is
+  O(sum of posting-list²); the scale path is MinHash below.
+- **MinHash + LSH** — shingle → 8-permutation MinHash signature → 2 bands of
+  4 → band-bucket equi-join for candidates → exact-Jaccard verify.  The
+  "permutations" are md5(shingle ∥ '#j') and the signature element is the
+  lexicographic MIN of the hex digests — deterministic, engine-agnostic
+  (hex-string order == 128-bit numeric order), so the whole pipeline is
+  SQL-expressible and oracle-checkable, unlike seeded-random approaches.
+  At 100 TB this is THE dedup strategy: cost is O(docs × shingles) for
+  signatures plus a band-key shuffle; no quadratic blowup.
+- **SimHash** — 16-bit fingerprint from md5-nibble bit votes over the token
+  set; near-dup pairs = Hamming distance ≤ 3.  At scale, candidate pairs
+  come from banding on fingerprint chunks rather than the all-pairs join
+  used at test SF (documented inline).
+
+The reference has no dedup operator (its substrate could express exact dedup
+as identity-map + first-of-group reduce, SURVEY.md §2.b 'Distinct'); these
+are the north-star extensions mandated by BASELINE.json.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from map_reduce485_spark.queries import query
+from map_reduce485_spark.queries._util import T
+
+# ---------------------------------------------------------------------------
+# shared shingle fragments
+# ---------------------------------------------------------------------------
+
+# DuckDB CTE producing (doc_id, shingle): distinct word 3-grams per document.
+_ORACLE_SHINGLES = """
+words AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         UNNEST(list_distinct(list_transform(
+           generate_series(1, len(w) - 2),
+           i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]
+         ))) AS shingle
+  FROM words WHERE len(w) >= 3
+)
+"""
+
+
+def _spark_shingles(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingle) — distinct word 3-grams per document.
+
+    Pure JVM-side array expressions (split/filter/transform/array_distinct/
+    explode) — whole-stage codegen, no Python UDF in the hot path."""
+    return (
+        docs.select(
+            "doc_id", F.expr("filter(split(text, ' '), x -> x <> '')").alias("w")
+        )
+        .filter(F.size("w") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        "transform(sequence(1, size(w) - 2),"
+                        " i -> concat_ws(' ', w[i-1], w[i], w[i+1]))"
+                    )
+                )
+            ).alias("shingle"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS text_hash, COUNT(*) AS n_copies, MIN(doc_id) AS keep_doc_id
+    FROM documents GROUP BY md5(text)
+    """,
+    tags=("dedup",),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group by content digest, keep the lowest doc_id.
+
+    Hashing first means the shuffle carries 32-byte digests, not documents —
+    at 100 TB that is the difference between shuffling 100 TB and ~3 TB."""
+    (docs,) = T(spark, sf_dir, "documents")
+    return (
+        docs.select(F.md5("text").alias("text_hash"), "doc_id")
+        .groupBy("text_hash")
+        .agg(F.count("*").alias("n_copies"), F.min("doc_id").alias("keep_doc_id"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+_NGRAM_THRESHOLD = 0.5
+
+_NGRAM_ORACLE = f"""
+WITH {_ORACLE_SHINGLES},
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS intersection
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT a_id, b_id,
+       CAST(intersection AS DOUBLE) / (sa.n + sb.n - intersection) AS jaccard
+FROM pairs
+JOIN sizes sa ON sa.doc_id = a_id
+JOIN sizes sb ON sb.doc_id = b_id
+WHERE CAST(intersection AS DOUBLE) / (sa.n + sb.n - intersection) >= {_NGRAM_THRESHOLD}
+"""
+
+
+@query("dedup_ngram_jaccard", _NGRAM_ORACLE, tags=("dedup",), bench=True)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by exact Jaccard over word 3-gram shingle sets.
+
+    Candidates come from an inverted-index self-join on shingles (only pairs
+    sharing ≥1 shingle are scored).  Jaccard = |∩| / (|A|+|B|-|∩|) — an
+    integer/integer division, so the value hashes identically everywhere.
+    """
+    (docs,) = T(spark, sf_dir, "documents")
+    sh = _spark_shingles(docs).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .agg(F.count("*").alias("intersection"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        pairs.join(sa, F.col("a_id") == F.col("sa.doc_id"))
+        .join(sb, F.col("b_id") == F.col("sb.doc_id"))
+        .select(
+            "a_id",
+            "b_id",
+            (
+                F.col("intersection").cast("double")
+                / (F.col("sa.n") + F.col("sb.n") - F.col("intersection"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= _NGRAM_THRESHOLD)
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+_N_PERM = 8  # 8 hash permutations → 2 bands of 4 rows
+_BANDS = ((0, 1, 2, 3), (4, 5, 6, 7))
+
+_MINHASH_SIG_COLS_SQL = ",\n         ".join(
+    f"MIN(md5(shingle || '#{j}')) AS h{j}" for j in range(_N_PERM)
+)
+_MINHASH_BANDS_SQL = " UNION ALL ".join(
+    f"SELECT doc_id, {bi} AS band_id, md5({' || '.join(f'h{j}' for j in band)}) AS band"
+    " FROM sig"
+    for bi, band in enumerate(_BANDS)
+)
+
+_MINHASH_ORACLE = f"""
+WITH {_ORACLE_SHINGLES},
+sig AS (
+  SELECT doc_id,
+         {_MINHASH_SIG_COLS_SQL}
+  FROM sh GROUP BY doc_id
+),
+bands AS ({_MINHASH_BANDS_SQL}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_id = b.band_id AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+verified AS (
+  SELECT c.a_id, c.b_id, COUNT(*) AS intersection
+  FROM cand c
+  JOIN sh x ON x.doc_id = c.a_id
+  JOIN sh y ON y.doc_id = c.b_id AND y.shingle = x.shingle
+  GROUP BY c.a_id, c.b_id
+)
+SELECT a_id, b_id,
+       CAST(intersection AS DOUBLE) / (sa.n + sb.n - intersection) AS jaccard
+FROM verified
+JOIN sizes sa ON sa.doc_id = a_id
+JOIN sizes sb ON sb.doc_id = b_id
+WHERE CAST(intersection AS DOUBLE) / (sa.n + sb.n - intersection) >= {_NGRAM_THRESHOLD}
+"""
+
+
+@query("dedup_minhash_lsh", _MINHASH_ORACLE, tags=("dedup",), bench=True)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-dup detection, fully deterministic.
+
+    Signature: h_j(doc) = MIN over shingles of md5(shingle ∥ '#j'), j<8 —
+    lexicographic min over hex digests ≡ numeric min over the 128-bit hash,
+    so this IS MinHash with 8 independent permutations.  LSH: 2 bands × 4
+    rows; docs sharing any band digest become candidates (collision
+    probability s⁴·2 for Jaccard s — ~0.94 recall at s=0.8, by design).
+    Candidates are then verified with exact Jaccard.
+
+    Scale: signatures are one groupBy over shingles; banding is a constant
+    fan-out of 2; the candidate join shuffles on 16-byte band digests.  No
+    all-pairs stage anywhere — this is the 100 TB dedup path.
+    """
+    (docs,) = T(spark, sf_dir, "documents")
+    sh = _spark_shingles(docs).cache()
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.col("shingle"), F.lit(f"#{j}")))).alias(f"h{j}")
+            for j in range(_N_PERM)
+        ]
+    )
+    bands = None
+    for bi, band in enumerate(_BANDS):
+        b = sig.select(
+            "doc_id",
+            F.lit(bi).alias("band_id"),
+            F.md5(F.concat(*[F.col(f"h{j}") for j in band])).alias("band"),
+        )
+        bands = b if bands is None else bands.unionAll(b)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    x = sh.alias("x")
+    y = sh.alias("y")
+    verified = (
+        cand.join(x, F.col("x.doc_id") == F.col("a_id"))
+        .join(
+            y,
+            (F.col("y.doc_id") == F.col("b_id")) & (F.col("y.shingle") == F.col("x.shingle")),
+        )
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("intersection"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        verified.join(sa, F.col("a_id") == F.col("sa.doc_id"))
+        .join(sb, F.col("b_id") == F.col("sb.doc_id"))
+        .select(
+            "a_id",
+            "b_id",
+            (
+                F.col("intersection").cast("double")
+                / (F.col("sa.n") + F.col("sb.n") - F.col("intersection"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= _NGRAM_THRESHOLD)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+_SIMHASH_BITS = 16
+
+
+def _simhash_bit_sql(b: int, instr_fn: str) -> str:
+    """Bit b of md5(word) as 0/1, from hex nibble b//4, bit (3 - b%4).
+
+    ``instr_fn`` is 'instr' (Spark) or 'strpos' (DuckDB) — same semantics."""
+    hex_pos = 1 + b // 4
+    shift = 3 - b % 4
+    return (
+        f"(({instr_fn}('0123456789abcdef', substr(md5(word), {hex_pos}, 1)) - 1)"
+        f" >> {shift}) & 1"
+    )
+
+
+def _simhash_fp_sql(instr_fn: str) -> str:
+    """SUM-of-votes → fingerprint expression over a (doc_id, word) stream."""
+    votes = ",\n       ".join(
+        f"SUM(2 * ({_simhash_bit_sql(b, instr_fn)}) - 1) AS s{b}"
+        for b in range(_SIMHASH_BITS)
+    )
+    fp = " + ".join(f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(_SIMHASH_BITS))
+    return votes, fp
+
+
+_DUCK_VOTES, _DUCK_FP = _simhash_fp_sql("strpos")
+
+_SIMHASH_ORACLE = f"""
+WITH tokens AS (
+  SELECT DISTINCT doc_id, UNNEST(string_split(text, ' ')) AS word FROM documents
+),
+votes AS (
+  SELECT doc_id,
+       {_DUCK_VOTES}
+  FROM tokens WHERE word <> '' GROUP BY doc_id
+)
+SELECT doc_id, CAST({_DUCK_FP} AS BIGINT) AS simhash FROM votes
+"""
+
+
+@query("simhash_fingerprints", _SIMHASH_ORACLE, tags=("dedup",))
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 16-bit SimHash fingerprint.
+
+    Each distinct token votes ±1 on every bit position (bit values taken
+    from its md5 digest nibbles); the fingerprint keeps the majority sign.
+    Integer votes → exact, engine-agnostic.  One narrow groupBy per doc —
+    embarrassingly scalable."""
+    (docs,) = T(spark, sf_dir, "documents")
+    spark_votes, spark_fp = _simhash_fp_sql("instr")
+    tokens = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .distinct()
+    )
+    votes = tokens.groupBy("doc_id").agg(
+        *[
+            F.expr(f"SUM(2 * ({_simhash_bit_sql(b, 'instr')}) - 1)").alias(f"s{b}")
+            for b in range(_SIMHASH_BITS)
+        ]
+    )
+    return votes.select("doc_id", F.expr(spark_fp).cast("bigint").alias("simhash"))
+
+
+_SIMHASH_PAIRS_ORACLE = f"""
+WITH tokens AS (
+  SELECT DISTINCT doc_id, UNNEST(string_split(text, ' ')) AS word FROM documents
+),
+votes AS (
+  SELECT doc_id,
+       {_DUCK_VOTES}
+  FROM tokens WHERE word <> '' GROUP BY doc_id
+),
+fp AS (SELECT doc_id, CAST({_DUCK_FP} AS BIGINT) AS simhash FROM votes)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
+@query("dedup_simhash_pairs", _SIMHASH_PAIRS_ORACLE, tags=("dedup",))
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ 3.
+
+    Test-SF implementation compares all pairs; at 100 TB candidates come
+    from banding the fingerprint into 4-bit chunks (pigeonhole: Hamming ≤ 3
+    over 4 chunks ⇒ ≥1 chunk identical) and equi-joining per chunk — same
+    LSH-bucketing shape as MinHash above, never quadratic."""
+    fp = simhash_fingerprints(spark, sf_dir)
+    a = fp.alias("a")
+    b = fp.alias("b")
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
+    )

@@ -1,0 +1,153 @@
+"""Event-time windowed analytics over the `events` table (batch mode).
+
+`F.window` / `F.session_window` work identically in batch and Structured
+Streaming — these queries are the batch twins of the streaming jobs in
+`map_reduce485_spark.streaming`, and double as their oracles (same operator,
+DuckDB-checked here, reused with `readStream` + watermark there).
+
+The reference is batch-only with no event-time notion (SURVEY.md §1.3);
+streaming is north-star surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from map_reduce485_spark.queries import query
+from map_reduce485_spark.queries._util import T, fmt_ts
+
+
+@query(
+    "events_tumbling_window",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY date_trunc('hour', ts)
+    """,
+    tags=("events", "window"),
+    bench=True,
+)
+def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows: count, distinct users, exact sum."""
+    (events,) = T(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(fmt_ts(F.col("w.start"), "window_start"), "n_events", "n_users", "sum_value")
+    )
+
+
+@query(
+    "events_sliding_window",
+    """
+    SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, COUNT(*) AS n_events
+    FROM (
+      SELECT UNNEST([date_trunc('hour', ts), date_trunc('hour', ts) - INTERVAL 1 HOUR])
+               AS window_start,
+             event_type, ts
+      FROM events
+    )
+    WHERE ts >= window_start AND ts < window_start + INTERVAL 2 HOUR
+    GROUP BY window_start, event_type
+    """,
+    tags=("events", "window"),
+)
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (2 h length, 1 h slide) per event type.  Each event
+    lands in exactly 2 windows; Spark's F.window does the fan-out natively
+    (the oracle unnests the two candidate window starts explicitly)."""
+    (events,) = T(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            fmt_ts(F.col("w.start"), "window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+@query(
+    "events_sessionize",
+    """
+    WITH ordered AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_new_session
+      FROM events
+    ),
+    numbered AS (
+      SELECT user_id, ts,
+             SUM(is_new_session) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS session_id
+      FROM ordered
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_last,
+           COUNT(*) AS n_events
+    FROM numbered GROUP BY user_id, session_id
+    """,
+    tags=("events", "window"),
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-minute inactivity gap) per user via
+    `F.session_window` — Spark's native stateful sessionization, identical
+    in batch and streaming.  The oracle derives the same sessions with the
+    classic gaps-and-islands SQL (lag + running flag-sum)."""
+    (events,) = T(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("_first"),
+            F.max("ts").alias("_last"),
+        )
+        .select(
+            "user_id",
+            fmt_ts(F.col("_first"), "session_start"),
+            fmt_ts(F.col("_last"), "session_last"),
+            "n_events",
+        )
+    )
+
+
+@query(
+    "events_daily_type_stats",
+    """
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+           CAST(MAX(value) AS DOUBLE) AS max_value
+    FROM events GROUP BY date_trunc('day', ts), event_type
+    """,
+    tags=("events",),
+)
+def events_daily_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily per-type rollup — the standard event-stream reporting shape."""
+    (events,) = T(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+            F.max("value").alias("max_value"),
+        )
+    )

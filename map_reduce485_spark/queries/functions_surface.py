@@ -1,0 +1,219 @@
+"""Scalar function surface + the classic MapReduce suite, DataFrame-native.
+
+The reference keeps every scalar function inside user executables
+(SURVEY.md §2 'Explicitly absent'); here string/date/JSON/conditional
+functions are first-class JVM-side expressions (whole-stage codegen — no
+Python in the hot path).
+
+Includes the canonical MapReduce workloads the reference is tested with
+(word count — the submit.py:40-49 default job — plus grep and inverted
+index, SURVEY.md §5) re-expressed as one-line DataFrame queries over the
+`documents` table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from map_reduce485_spark.queries import query
+from map_reduce485_spark.queries._util import T
+
+
+@query(
+    "string_funcs",
+    """
+    SELECT c_custkey,
+           UPPER(c_name) AS name_upper,
+           LOWER(c_mktsegment) AS segment_lower,
+           LENGTH(c_name) AS name_len,
+           SUBSTR(c_name, 1, 8) AS name_prefix,
+           CONCAT(c_name, ':', c_mktsegment) AS name_seg,
+           REPLACE(c_name, 'Customer', 'Cust') AS name_short,
+           TRIM(c_name) AS name_trim,
+           REVERSE(c_mktsegment) AS seg_rev
+    FROM customer WHERE c_custkey <= 200
+    """,
+    tags=("functions", "string"),
+)
+def string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function surface: upper/lower/length/substr/concat/replace/trim/reverse."""
+    (cust,) = T(spark, sf_dir, "customer")
+    return cust.filter(F.col("c_custkey") <= 200).select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.lower("c_mktsegment").alias("segment_lower"),
+        F.length("c_name").alias("name_len"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.concat(F.col("c_name"), F.lit(":"), F.col("c_mktsegment")).alias("name_seg"),
+        F.replace(F.col("c_name"), F.lit("Customer"), F.lit("Cust")).alias("name_short"),
+        F.trim("c_name").alias("name_trim"),
+        F.reverse("c_mktsegment").alias("seg_rev"),
+    )
+
+
+@query(
+    "date_funcs",
+    """
+    SELECT o_orderkey,
+           EXTRACT(year FROM o_orderdate) AS order_year,
+           EXTRACT(month FROM o_orderdate) AS order_month,
+           EXTRACT(day FROM o_orderdate) AS order_day,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+           date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS days_since_epoch_start,
+           strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS due_date
+    FROM orders WHERE o_orderkey <= 500
+    """,
+    tags=("functions", "date"),
+)
+def date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time surface: extract, truncate, diff, interval arithmetic."""
+    (orders,) = T(spark, sf_dir, "orders")
+    return orders.filter(F.col("o_orderkey") <= 500).select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("order_year"),
+        F.month("o_orderdate").cast("long").alias("order_month"),
+        F.dayofmonth("o_orderdate").cast("long").alias("order_day"),
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias("month_start"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp"))
+        .cast("long")
+        .alias("days_since_epoch_start"),
+        F.date_format(F.col("o_orderdate") + F.expr("INTERVAL 30 DAY"), "yyyy-MM-dd").alias(
+            "due_date"
+        ),
+    )
+
+
+@query(
+    "json_funcs",
+    """
+    SELECT k_value, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM (
+      SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value, value
+      FROM events
+    )
+    GROUP BY k_value
+    """,
+    tags=("functions", "json"),
+)
+def json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction from the semi-structured `props` column, then agg.
+
+    Scale note: get_json_object is a codegen'd JVM expression — at 100 TB
+    prefer `from_json` with an explicit schema once the shape is known, so
+    the parse happens once per row, not per path."""
+    (events,) = T(spark, sf_dir, "events")
+    return (
+        events.select(
+            F.get_json_object("props", "$.k").cast("bigint").alias("k_value"), "value"
+        )
+        .groupBy("k_value")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+    )
+
+
+@query(
+    "case_bucketing",
+    """
+    SELECT CASE WHEN value < 5 THEN 'low'
+                WHEN value < 15 THEN 'mid'
+                ELSE 'high' END AS bucket,
+           event_type, COUNT(*) AS n
+    FROM events GROUP BY bucket, event_type
+    """,
+    tags=("functions", "conditional"),
+)
+def case_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN bucketing + two-key aggregation."""
+    (events,) = T(spark, sf_dir, "events")
+    return (
+        events.select(
+            F.when(F.col("value") < 5, "low")
+            .when(F.col("value") < 15, "mid")
+            .otherwise("high")
+            .alias("bucket"),
+            "event_type",
+        )
+        .groupBy("bucket", "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# The classic MapReduce suite (reference-canonical workloads)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "wordcount",
+    """
+    SELECT word, COUNT(*) AS count
+    FROM (SELECT UNNEST(string_split(text, ' ')) AS word FROM documents)
+    WHERE word <> ''
+    GROUP BY word
+    """,
+    tags=("mapreduce-suite",),
+    bench=True,
+)
+def wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word count — the reference's canonical job (its default mapper/reducer
+    pair, reference submit.py:40-49) as a one-line DataFrame expression:
+    split → explode (flatMap analog) → hash agg with map-side combine (the
+    combiner the reference never had, SURVEY.md §4.2)."""
+    (docs,) = T(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("count"))
+    )
+
+
+@query(
+    "grep_filter",
+    """
+    SELECT doc_id, lang, n_chars FROM documents WHERE text LIKE '%merge batch%'
+    """,
+    tags=("mapreduce-suite",),
+)
+def grep_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed grep (reference analog: filter mapper + identity reduce)."""
+    (docs,) = T(spark, sf_dir, "documents")
+    return docs.filter(F.col("text").like("%merge batch%")).select("doc_id", "lang", "n_chars")
+
+
+@query(
+    "inverted_index",
+    """
+    SELECT word, COUNT(*) AS n_docs, string_agg(doc_id, ',' ORDER BY doc_id) AS doc_ids
+    FROM (
+      SELECT DISTINCT doc_id, UNNEST(string_split(text, ' ')) AS word FROM documents
+    )
+    WHERE word <> ''
+    GROUP BY word HAVING COUNT(*) >= (SELECT COUNT(*) * 0.5 FROM documents)
+    """,
+    tags=("mapreduce-suite",),
+)
+def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index: word → sorted posting list (classic MapReduce workload;
+    reference analog: word-key mapper + list-building reducer).  Posting
+    lists are sorted + comma-joined for a deterministic representation."""
+    (docs,) = T(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .distinct()
+        .groupBy("word")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.array_join(
+                F.transform(F.sort_array(F.collect_list("doc_id")), lambda c: c.cast("string")),
+                ",",
+            ).alias("doc_ids"),
+        )
+        .filter(F.col("n_docs") >= docs.count() * 0.5)
+    )

@@ -1,0 +1,217 @@
+"""Text-analysis operators over the `documents` table.
+
+Language-ID (marker-token heuristic), quality scoring, token counting
+(whitespace + BPE-ish regex), and document fingerprinting (k-gram hash
+minimum) — the per-document feature extractors a training-data pipeline
+runs before filtering.  All pure JVM-side expressions: narrow per-row maps
+with at most one groupBy, so they scale linearly with the corpus.
+
+The reference has no scalar function surface at all (everything lives in
+user executables, SURVEY.md §2 'Explicitly absent'); these are the
+north-star text operators from BASELINE.json.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from map_reduce485_spark.queries import query
+from map_reduce485_spark.queries._util import T
+
+_BPE_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+@query(
+    "token_count",
+    f"""
+    SELECT doc_id,
+           len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_ws_tokens,
+           len(regexp_extract_all(text, '{_BPE_PATTERN}')) AS n_bpe_tokens,
+           length(text) AS n_chars_calc
+    FROM documents
+    """,
+    tags=("text",),
+)
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace tokens and a BPE-ish regex
+    lexer (letter runs / digit runs / single punctuation)."""
+    (docs,) = T(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.expr("filter(split(text, ' '), x -> x <> '')")).alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(_BPE_PATTERN), 0)).alias("n_bpe_tokens"),
+        F.length("text").alias("n_chars_calc"),
+    )
+
+
+def _marker_count(marker: str) -> str:
+    """SQL for # of non-overlapping occurrences of a marker in ' '-padded text
+    (identical replace-based counting on both engines)."""
+    pad = f"(' ' || text || ' ')"
+    return f"(length({pad}) - length(replace({pad}, '{marker}', ''))) / {len(marker)}"
+
+
+_LANG_SCORES = {
+    "en": ["' the '", "' and '", "' of '"],
+    "es": ["' el '", "' la '", "' los '"],
+    "de": ["' der '", "' und '", "' die '"],
+    "fr": ["' le '", "' et '", "' les '"],
+}
+
+_CJK_RANGE = "[一-鿿]"
+
+
+def _lang_id_exprs(dialect: str) -> dict[str, str]:
+    scores = {
+        lang: " + ".join(_marker_count(m.strip("'")) for m in markers)
+        for lang, markers in _LANG_SCORES.items()
+    }
+    # Spark regexp_replace is global; DuckDB needs the explicit 'g' flag.
+    g_flag = ", 'g'" if dialect == "duckdb" else ""
+    scores["zh"] = f"length(regexp_replace(text, '[^{_CJK_RANGE[1:-1]}]', ''{g_flag}))"
+    return scores
+
+
+def _pred_lang_sql(dialect: str = "spark") -> str:
+    s = _lang_id_exprs(dialect)
+    # deterministic precedence: zh if any CJK, else argmax with fixed tie order
+    return f"""CASE
+      WHEN ({s['zh']}) >= 1 THEN 'zh'
+      WHEN ({s['en']}) >= ({s['es']}) AND ({s['en']}) >= ({s['de']}) AND ({s['en']}) >= ({s['fr']}) THEN 'en'
+      WHEN ({s['es']}) >= ({s['de']}) AND ({s['es']}) >= ({s['fr']}) THEN 'es'
+      WHEN ({s['de']}) >= ({s['fr']}) THEN 'de'
+      ELSE 'fr' END"""
+
+
+@query(
+    "lang_id",
+    f"""
+    SELECT doc_id, lang,
+           {_pred_lang_sql('duckdb')} AS pred_lang,
+           CAST(({_pred_lang_sql('duckdb')}) = lang AS INT) AS is_correct
+    FROM documents
+    """,
+    tags=("text",),
+)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language-ID heuristic (n-gram/stopword evidence + CJK
+    script detection), with per-doc correctness against the labeled `lang`.
+
+    The same CASE expression runs on both engines — integer marker counts,
+    so the prediction is exactly reproducible."""
+    (docs,) = T(spark, sf_dir, "documents")
+    pred = _pred_lang_sql()
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.expr(pred).alias("pred_lang"),
+        (F.expr(pred) == F.col("lang")).cast("int").alias("is_correct"),
+    )
+
+
+_STOPWORDS = ["' the '", "' a '", "' of '", "' and '", "' to '"]
+
+
+@query(
+    "quality_score",
+    f"""
+    SELECT doc_id, n_chars, n_tokens, avg_token_len, stopword_ratio,
+           ROUND(0.4 * LEAST(n_tokens / 50.0, 1.0)
+               + 0.3 * LEAST(avg_token_len / 8.0, 1.0)
+               + 0.3 * LEAST(stopword_ratio * 5.0, 1.0), 6) AS quality
+    FROM (
+      SELECT doc_id, length(text) AS n_chars,
+             len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens,
+             CAST(length(replace(text, ' ', '')) AS DOUBLE)
+               / len(list_filter(string_split(text, ' '), x -> x <> '')) AS avg_token_len,
+             CAST({' + '.join(_marker_count(m.strip("'")) for m in _STOPWORDS)} AS DOUBLE)
+               / len(list_filter(string_split(text, ' '), x -> x <> '')) AS stopword_ratio
+      FROM documents
+    )
+    """,
+    tags=("text",),
+)
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality scoring: length, mean token length, stopword density
+    → weighted score in [0,1].  All inputs are integer counts, so the
+    arithmetic is bit-identical across engines."""
+    (docs,) = T(spark, sf_dir, "documents")
+    n_tokens = F.size(F.expr("filter(split(text, ' '), x -> x <> '')"))
+    stop_cnt = F.expr(" + ".join(_marker_count(m.strip("'")) for m in _STOPWORDS))
+    base = docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        (F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double") / n_tokens).alias(
+            "avg_token_len"
+        ),
+        (stop_cnt.cast("double") / n_tokens).alias("stopword_ratio"),
+    )
+    return base.select(
+        "doc_id",
+        "n_chars",
+        "n_tokens",
+        "avg_token_len",
+        "stopword_ratio",
+        F.round(
+            0.4 * F.least(F.col("n_tokens") / 50.0, F.lit(1.0))
+            + 0.3 * F.least(F.col("avg_token_len") / 8.0, F.lit(1.0))
+            + 0.3 * F.least(F.col("stopword_ratio") * 5.0, F.lit(1.0)),
+            6,
+        ).alias("quality"),
+    )
+
+
+@query(
+    "doc_fingerprint",
+    """
+    SELECT doc_id, MIN(md5(substr(text, i, 8))) AS fingerprint, COUNT(*) AS n_windows
+    FROM (
+      SELECT doc_id, text, UNNEST(generate_series(1, length(text) - 7)) AS i
+      FROM documents WHERE length(text) >= 8
+    )
+    GROUP BY doc_id
+    """,
+    tags=("text",),
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling k-gram fingerprint: MIN over md5 of every 8-char window —
+    the 1-permutation MinHash used for cheap content fingerprinting.
+    (At 100 TB: winnowing — min per window stride — caps the explode factor;
+    the aggregation shape is identical.)"""
+    (docs,) = T(spark, sf_dir, "documents")
+    return (
+        docs.filter(F.length("text") >= 8)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.length("text") - 7)).alias("i"),
+            "text",
+        )
+        .select("doc_id", F.expr("md5(substr(text, i, 8))").alias("h"))
+        .groupBy("doc_id")
+        .agg(F.min("h").alias("fingerprint"), F.count("*").alias("n_windows"))
+    )
+
+
+@query(
+    "topk_docs_per_lang",
+    """
+    SELECT lang, doc_id, n_chars, rn
+    FROM (
+      SELECT lang, doc_id, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rn
+      FROM documents
+    ) WHERE rn <= 5
+    """,
+    tags=("text", "window"),
+)
+def topk_docs_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest 5 documents per language (top-k-per-group over text metadata)."""
+    (docs,) = T(spark, sf_dir, "documents")
+    w = W.partitionBy("lang").orderBy(F.col("n_chars").desc(), "doc_id")
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("lang", "doc_id", "n_chars", "rn")
+    )

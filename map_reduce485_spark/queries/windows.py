@@ -1,0 +1,214 @@
+"""Window functions and multi-dimensional aggregates.
+
+These are capabilities *absent* from the reference as named operators
+(SURVEY.md §2 'Explicitly absent') but expressible on its substrate via
+secondary sort (composite `key1\\tkey2` keys, SURVEY.md §2.b); here they are
+first-class: `Window` ranking/analytic/frames, ROLLUP/CUBE/GROUPING SETS,
+pivot.
+
+Scale note: window partitions shuffle on partitionBy keys — a per-customer
+or per-part partition is millions of small groups at 100 TB, which is the
+good case (no single partition exceeds executor memory).  Queries with a
+global ORDER BY restrict to top-k with unique tiebreaks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from map_reduce485_spark.queries import query
+from map_reduce485_spark.queries._util import T, fmt_ts
+
+
+@query(
+    "window_topk_per_group",
+    """
+    SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DOUBLE) AS totalprice, rn
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (
+               PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+             ) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+    tags=("window",),
+)
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer: the distributed top-k-per-group idiom
+    (row_number + filter).  Unique tiebreaker (o_orderkey) → deterministic."""
+    (orders,) = T(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", F.col("o_totalprice").alias("totalprice"), "rn")
+    )
+
+
+@query(
+    "window_running_sum",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS running_spend,
+           COUNT(*) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS order_seq
+    FROM orders
+    """,
+    tags=("window",),
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative spend per customer (analytic frame).  DECIMAL accumulator →
+    order-insensitive exactness; ROWS frame with a unique tiebreak →
+    deterministic prefix sums."""
+    (orders,) = T(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double").alias("running_spend"),
+        F.count("*").over(w).alias("order_seq"),
+    )
+
+
+@query(
+    "window_lag_delta",
+    """
+    SELECT l_partkey, l_orderkey, l_linenumber,
+           CAST(l_extendedprice AS DOUBLE) AS price,
+           CAST(l_extendedprice - LAG(l_extendedprice) OVER (
+             PARTITION BY l_partkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+           ) AS DOUBLE) AS price_delta
+    FROM lineitem WHERE l_partkey < 100
+    """,
+    tags=("window",),
+)
+def window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAG/offset analytics: ship-to-ship price change per part."""
+    (li,) = T(spark, sf_dir, "lineitem")
+    w = W.partitionBy("l_partkey").orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+    return li.filter(F.col("l_partkey") < 100).select(
+        "l_partkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_extendedprice").alias("price"),
+        (F.col("l_extendedprice") - F.lag("l_extendedprice").over(w)).alias("price_delta"),
+    )
+
+
+@query(
+    "rollup_agg",
+    """
+    SELECT CASE WHEN GROUPING(l_returnflag) = 1 THEN 'ALL' ELSE l_returnflag END AS returnflag,
+           CASE WHEN GROUPING(l_linestatus) = 1 THEN 'ALL' ELSE l_linestatus END AS linestatus,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    tags=("window", "multidim"),
+)
+def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals; GROUPING() disambiguates the ALL rows."""
+    (li,) = T(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("decimal(20,2)")).cast("double").alias("sum_qty"),
+        F.grouping("l_returnflag").alias("_g1"),
+        F.grouping("l_linestatus").alias("_g2"),
+    ).select(
+        F.when(F.col("_g1") == 1, "ALL").otherwise(F.col("l_returnflag")).alias("returnflag"),
+        F.when(F.col("_g2") == 1, "ALL").otherwise(F.col("l_linestatus")).alias("linestatus"),
+        "n_rows",
+        "sum_qty",
+    )
+
+
+@query(
+    "cube_agg",
+    """
+    SELECT CASE WHEN GROUPING(event_type) = 1 THEN 'ALL' ELSE event_type END AS etype,
+           CASE WHEN GROUPING(yr) = 1 THEN -1 ELSE yr END AS year,
+           COUNT(*) AS n_events
+    FROM (SELECT event_type, EXTRACT(year FROM ts) AS yr FROM events)
+    GROUP BY CUBE (event_type, yr)
+    """,
+    tags=("window", "multidim"),
+)
+def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (event_type, year)."""
+    (events,) = T(spark, sf_dir, "events")
+    base = events.select("event_type", F.year("ts").alias("yr"))
+    return (
+        base.cube("event_type", "yr")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.grouping("event_type").alias("_g1"),
+            F.grouping("yr").alias("_g2"),
+        )
+        .select(
+            F.when(F.col("_g1") == 1, "ALL").otherwise(F.col("event_type")).alias("etype"),
+            F.when(F.col("_g2") == 1, F.lit(-1)).otherwise(F.col("yr")).cast("long").alias("year"),
+            "n_events",
+        )
+    )
+
+
+@query(
+    "grouping_sets_agg",
+    """
+    SELECT CASE WHEN GROUPING(l_returnflag) = 1 THEN 'ALL' ELSE l_returnflag END AS returnflag,
+           CASE WHEN GROUPING(l_linestatus) = 1 THEN 'ALL' ELSE l_linestatus END AS linestatus,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+    """,
+    tags=("window", "multidim"),
+)
+def grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS via the SQL surface."""
+    from map_reduce485_spark.catalog import table_path
+
+    spark.read.parquet(table_path(sf_dir, "lineitem")).createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT CASE WHEN GROUPING(l_returnflag) = 1 THEN 'ALL' ELSE l_returnflag END AS returnflag,
+               CASE WHEN GROUPING(l_linestatus) = 1 THEN 'ALL' ELSE l_linestatus END AS linestatus,
+               COUNT(*) AS n_rows
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        """
+    )
+
+
+@query(
+    "pivot_agg",
+    """
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(20,2)) END) AS DOUBLE) AS qty_open,
+           CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(20,2)) END) AS DOUBLE) AS qty_filled
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("window", "multidim"),
+)
+def pivot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot linestatus into columns (explicit value list → single-pass agg,
+    no second job to discover pivot values)."""
+    (li,) = T(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum(F.col("l_quantity").cast("decimal(20,2)")).cast("double"))
+        .withColumnRenamed("O", "qty_open")
+        .withColumnRenamed("F", "qty_filled")
+    )
