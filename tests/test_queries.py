@@ -1,0 +1,147 @@
+"""Layer B tests: registry integrity, oracle parity on a representative
+subset (the full gate is tools/verify_local.py), and semantic invariants
+for the LLM-pipeline operators."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from map_reduce485_spark.queries import REGISTRY, _load_all, all_oracles, all_queries
+from tests.conftest import SF_CORRECT, SF_SMOKE
+
+_load_all()
+
+
+def test_registry_integrity():
+    qs, osql = all_queries(), all_oracles()
+    assert len(qs) >= 50
+    assert set(osql) <= set(qs)
+    # every non-oracle query is a deliberate rows-only op
+    rows_only = set(qs) - set(osql)
+    assert rows_only == {"ann_lsh_buckets"}
+
+
+# -- oracle parity on a representative per-family subset (fast, sf0.001-ish) --
+
+_REPRESENTATIVE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "window_running_sum",
+    "rollup_agg",
+    "wordcount",
+    "dedup_minhash_lsh",
+    "simhash_fingerprints",
+    "cosine_topk_bruteforce",
+    "lang_id",
+    "multimodal_decode_stub",
+    "events_sessionize",
+]
+
+
+def _canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+
+    def norm(v):
+        if isinstance(v, bool):
+            return int(v)
+        if isinstance(v, float):
+            return "NaN" if math.isnan(v) else round(v, 6)
+        if isinstance(v, int):
+            return v
+        return str(v) if v is not None else None
+
+    out = [tuple(norm(r[i]) for i in order) for r in rows]
+    out.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
+    return out
+
+
+@pytest.mark.parametrize("name", _REPRESENTATIVE)
+def test_oracle_parity(spark, duck, name):
+    spec = REGISTRY[name]
+    sdf = spec.fn(spark, SF_CORRECT)
+    srows = [tuple(r) for r in sdf.collect()]
+    res = duck.execute(spec.oracle)
+    ocols = [d[0] for d in res.description]
+    orows = res.fetchall()
+    assert sorted(sdf.columns) == sorted(ocols)
+    assert _canon(srows, sdf.columns) == _canon(orows, ocols)
+
+
+# -- semantic invariants -----------------------------------------------------
+
+
+def test_dedup_jaccard_invariants(spark):
+    from map_reduce485_spark.queries.dedup import dedup_minhash_lsh, dedup_ngram_jaccard
+
+    exact = {
+        (r.a_id, r.b_id): r.jaccard for r in dedup_ngram_jaccard(spark, SF_SMOKE).collect()
+    }
+    lsh = {
+        (r.a_id, r.b_id): r.jaccard for r in dedup_minhash_lsh(spark, SF_SMOKE).collect()
+    }
+    for (a, b), j in exact.items():
+        assert a < b and 0.0 <= j <= 1.0
+    # LSH finds a subset of the exact pairs (candidate filtering), with the
+    # identical verified jaccard values
+    assert set(lsh) <= set(exact)
+    for pair, j in lsh.items():
+        assert j == exact[pair]
+    # recall sanity on the synthetic near-dups: ≥80% of true pairs survive LSH
+    assert len(lsh) >= 0.8 * len(exact)
+
+
+def test_simhash_near_duplicates_are_close(spark):
+    from map_reduce485_spark.queries.dedup import (
+        dedup_ngram_jaccard,
+        simhash_fingerprints,
+    )
+
+    fp = {r.doc_id: r.simhash for r in simhash_fingerprints(spark, SF_SMOKE).collect()}
+    assert all(0 <= v < 2**16 for v in fp.values())
+    near = [(r.a_id, r.b_id) for r in dedup_ngram_jaccard(spark, SF_SMOKE).collect()]
+    # high-jaccard pairs should have small average hamming distance
+    dists = [bin(fp[a] ^ fp[b]).count("1") for a, b in near]
+    assert dists and sum(dists) / len(dists) <= 4.0
+
+
+def test_cosine_topk_consistency(spark):
+    """Top-k output is internally consistent: 10 neighbors per query, ranks
+    dense, similarity non-increasing with rank, self excluded.  (The testdata
+    embeddings are NOT cosine-clustered by label — measured ~0 mean cosine
+    within and across labels — so no label-recall assertion is possible.)"""
+    from collections import defaultdict
+
+    from map_reduce485_spark.queries.similarity import cosine_topk_bruteforce
+
+    by_q = defaultdict(list)
+    for r in cosine_topk_bruteforce(spark, SF_SMOKE).collect():
+        assert -1.0 <= r.sim <= 1.0
+        assert r.neighbor_id != r.query_id
+        by_q[r.query_id].append((r.rank, r.sim))
+    assert len(by_q) == 5
+    for q, rows in by_q.items():
+        rows.sort()
+        assert [rk for rk, _ in rows] == list(range(1, 11))
+        sims = [s for _, s in rows]
+        assert sims == sorted(sims, reverse=True)
+
+
+def test_ann_buckets_group_similar_vectors(spark):
+    from map_reduce485_spark.queries.similarity import ann_lsh_buckets
+
+    rows = ann_lsh_buckets(spark, SF_SMOKE).collect()
+    assert all(0 <= r.bucket < 256 for r in rows)
+    # determinism: second run identical
+    rows2 = ann_lsh_buckets(spark, SF_SMOKE).collect()
+    assert [(r.vec_id, r.bucket) for r in rows] == [(r.vec_id, r.bucket) for r in rows2]
+
+
+def test_entry_contract(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert set(e.oracle_sql()) <= set(e.queries())
