@@ -1,0 +1,19 @@
+"""Structured Streaming surface (north-star; reference is batch-only)."""
+
+from map_reduce485_spark.streaming.jobs import (
+    EVENTS_SCHEMA,
+    read_events_stream,
+    stream_dedup_exact,
+    stream_sessionize,
+    stream_tumbling_counts,
+    stream_user_running_totals,
+)
+
+__all__ = [
+    "EVENTS_SCHEMA",
+    "read_events_stream",
+    "stream_tumbling_counts",
+    "stream_sessionize",
+    "stream_dedup_exact",
+    "stream_user_running_totals",
+]

@@ -1,0 +1,137 @@
+"""Structured Streaming jobs over the events stream.
+
+The batch twins of these operators live in
+`map_reduce485_spark.queries.events_batch` and are DuckDB-oracle-checked;
+`F.window` / `F.session_window` / `dropDuplicates` are engine-identical in
+both modes, so the batch oracle transfers to the streaming plan.  Tests
+replay the events parquet through a file-source stream with
+`trigger(availableNow=True)` and assert streaming output == batch output.
+
+Scale design: watermarks bound state (late data beyond 1 hour is dropped —
+the knob a 100 TB/day pipeline needs to keep window state finite);
+aggregation state is partitioned by (window, keys) across executors;
+`availableNow` triggers give incremental backfill over historical data with
+the same code path as live ingestion.
+
+The reference has no streaming mode at all (SURVEY.md §1.3: batch only,
+no watermark, no event-time) — this module is north-star surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, source_dir: str) -> DataFrame:
+    """File-source stream of events (parquet files appearing in a directory —
+    the standard landing-zone ingestion pattern; swap for Kafka in prod
+    with the same downstream code)."""
+    return spark.readStream.schema(EVENTS_SCHEMA).parquet(source_dir)
+
+
+def stream_tumbling_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Tumbling 1-hour windowed aggregation with a late-data watermark.
+
+    State per (window): count, exact decimal sum.  The watermark lets Spark
+    drop window state once event time passes window_end + 1 h — bounded
+    memory at any throughput."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def stream_sessionize(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Per-user session windows (30-min inactivity gap) — Spark's native
+    stateful session operator; sessions merge as events arrive and close
+    when the watermark passes last_event + gap."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.min("ts").alias("_first"), F.max("ts").alias("_last"))
+        .select(
+            "user_id",
+            F.date_format(F.col("_first"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format(F.col("_last"), "yyyy-MM-dd HH:mm:ss").alias("session_last"),
+            "n_events",
+        )
+    )
+
+
+def stream_dedup_exact(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup on event_id within the watermark horizon —
+    the streaming twin of `dedup_exact`: state is a set of seen keys,
+    GC'd by watermark (the only way dedup state stays bounded at 100 TB)."""
+    return events.withWatermark("ts", watermark).dropDuplicates(["event_id", "ts"])
+
+
+def stream_user_running_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via `applyInPandasWithState`: per-user
+    lifetime event count + exact value total, updated every micro-batch.
+
+    This is the escape hatch for stateful logic Spark's built-in windowed
+    aggs can't express (cross-batch counters, custom session logic, model
+    state).  State lives partitioned by key in the state store; the Python
+    function sees Arrow batches per key — never per-row Python.  The
+    reference's closest analog is the reducer's per-key streaming fold
+    (worker/__main__.py:194-202), which only works within one batch job."""
+    import pandas as pd  # noqa: F401  (needed on executors)
+
+    def update(key, pdf_iter, state):
+        import pandas as pd
+
+        total_n, total_v = state.get if state.exists else (0, 0.0)
+        for pdf in pdf_iter:
+            total_n += len(pdf)
+            # per-row cents then integer sum — exact regardless of batch order
+            total_v += int((pdf["value"] * 100).round().astype("int64").sum())
+        state.update((total_n, total_v))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "total_events": [total_n], "total_value_cents": [total_v]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id bigint, total_events bigint, total_value_cents bigint",
+        stateStructType="total_n bigint, total_v bigint",
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+
+
+def run_to_memory_sink(stream_df: DataFrame, name: str, mode: str = "complete"):
+    """Execute a streaming plan to completion over all currently-available
+    input (availableNow trigger) into an in-memory table; returns the query
+    handle after it drains.  Test/dev harness — prod uses parquet/Kafka
+    sinks with checkpointing."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

@@ -1,0 +1,101 @@
+"""Structured Streaming: replay the events table through a file-source
+stream and assert streaming output == the oracle-checked batch twin."""
+
+from __future__ import annotations
+
+import pytest
+
+from map_reduce485_spark.catalog import load_table
+from map_reduce485_spark.streaming import (
+    read_events_stream,
+    stream_dedup_exact,
+    stream_sessionize,
+    stream_tumbling_counts,
+    stream_user_running_totals,
+)
+from map_reduce485_spark.streaming.jobs import run_to_memory_sink
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def events_landing(tmp_path_factory):
+    """Materialize events into a landing-zone dir (micros timestamps) the
+    file stream can ingest — several files so the source has real listing
+    work to do."""
+    from map_reduce485_spark import get_spark
+
+    spark = get_spark("tests", cpus=8, shuffle_partitions=8)
+    d = tmp_path_factory.mktemp("events_landing")
+    load_table(spark, SF_SMOKE, "events").repartition(4).write.mode("overwrite").parquet(str(d))
+    return str(d)
+
+
+def test_stream_tumbling_equals_batch(spark, events_landing):
+    stream = stream_tumbling_counts(read_events_stream(spark, events_landing))
+    run_to_memory_sink(stream, "tumbling_t", mode="complete")
+    got = {
+        r.window_start: (r.n_events, r.sum_value)
+        for r in spark.table("tumbling_t").collect()
+    }
+    exp = {
+        r.window_start: (r.n_events, r.sum_value)
+        for r in stream_tumbling_counts(load_table(spark, SF_SMOKE, "events")).collect()
+    }
+    assert got == exp and len(got) > 0
+
+
+def test_stream_sessionize_equals_batch(spark, events_landing):
+    stream = stream_sessionize(read_events_stream(spark, events_landing))
+    run_to_memory_sink(stream, "sessions_t", mode="complete")
+    got = {
+        (r.user_id, r.session_start): (r.n_events, r.session_last)
+        for r in spark.table("sessions_t").collect()
+    }
+    exp = {
+        (r.user_id, r.session_start): (r.n_events, r.session_last)
+        for r in stream_sessionize(load_table(spark, SF_SMOKE, "events")).collect()
+    }
+    assert got == exp and len(got) > 0
+
+
+def test_stream_dedup(spark, events_landing, tmp_path):
+    """Duplicate every event into the landing zone twice → streaming dedup
+    emits each exactly once."""
+    dup_dir = tmp_path / "dup"
+    base = spark.read.parquet(events_landing)
+    base.union(base).repartition(3).write.mode("overwrite").parquet(str(dup_dir))
+    stream = stream_dedup_exact(read_events_stream(spark, str(dup_dir)))
+    run_to_memory_sink(stream, "dedup_t", mode="append")
+    assert spark.table("dedup_t").count() == base.count()
+
+
+def test_stream_stateful_running_totals(spark, events_landing):
+    """applyInPandasWithState custom operator: totals after draining the
+    stream equal the batch per-user aggregates."""
+    from pyspark.sql import functions as F
+
+    stream = stream_user_running_totals(read_events_stream(spark, events_landing))
+    run_to_memory_sink(stream, "totals_t", mode="update")
+    # update-mode memory sink may hold multiple rows per user (one per
+    # batch); the final state is the max total_events per user
+    got = {
+        r.user_id: (r.total_events, r.total_value_cents)
+        for r in spark.table("totals_t")
+        .groupBy("user_id")
+        .agg(
+            F.max("total_events").alias("total_events"),
+            F.max("total_value_cents").alias("total_value_cents"),
+        )
+        .collect()
+    }
+    exp = {
+        r.user_id: (r.n, r.cents)
+        for r in spark.read.parquet(events_landing)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+        )
+        .collect()
+    }
+    assert got == exp and len(got) > 0
