@@ -1,0 +1,84 @@
+"""Plan-property pins: the scale-critical plan shapes must not regress.
+
+Each assertion encodes a property that matters at 100 TB: predicate
+pushdown (scan skips row groups), column pruning (scan bytes ∝ referenced
+columns), broadcast joins for bounded dims (no fact-table shuffle), and
+whole-stage codegen on the hot path."""
+
+from __future__ import annotations
+
+from map_reduce485_spark.plans import (
+    codegen_operator_count,
+    has_broadcast_join,
+    pushed_filters,
+    read_schema_columns,
+)
+from map_reduce485_spark.queries import REGISTRY, _load_all
+from tests.conftest import SF_SMOKE
+
+_load_all()
+
+
+def _q(spark, name):
+    return REGISTRY[name].fn(spark, SF_SMOKE)
+
+
+def test_q1_pushdown_and_pruning(spark):
+    df = _q(spark, "q1_pricing_summary")
+    pf = " ".join(pushed_filters(df))
+    assert "l_shipdate" in pf  # date predicate reaches the parquet scan
+    (cols,) = read_schema_columns(df)
+    assert "l_orderkey" not in cols  # untouched columns pruned
+    assert cols <= {
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        "l_tax",
+        "l_returnflag",
+        "l_linestatus",
+        "l_shipdate",
+    }
+
+
+def test_q6_all_predicates_pushed(spark):
+    df = _q(spark, "q6_forecast_revenue")
+    pf = " ".join(pushed_filters(df))
+    for c in ("l_shipdate", "l_discount", "l_quantity"):
+        assert c in pf
+    (cols,) = read_schema_columns(df)
+    assert cols == {"l_shipdate", "l_discount", "l_quantity", "l_extendedprice"}
+
+
+def test_q3_selective_dim_is_broadcast(spark):
+    df = _q(spark, "q3_shipping_priority")
+    assert has_broadcast_join(df)
+    pf = " ".join(pushed_filters(df))
+    assert "c_mktsegment" in pf and "o_orderdate" in pf and "l_shipdate" in pf
+
+
+def test_q5_fixed_dims_broadcast(spark):
+    assert has_broadcast_join(_q(spark, "q5_local_supplier_volume"))
+
+
+def test_broadcast_dim_join_no_fact_shuffle_before_agg(spark):
+    assert has_broadcast_join(_q(spark, "broadcast_dim_join"))
+
+
+def test_wordcount_reads_only_text(spark):
+    (cols,) = read_schema_columns(_q(spark, "wordcount"))
+    assert cols == {"text"}
+
+
+def test_q1_codegen_hot_path(spark):
+    df = _q(spark, "q1_pricing_summary")
+    df.collect()  # AQE: codegen annotations only on the final plan
+    assert codegen_operator_count(df) >= 5
+
+
+def test_sort_limit_is_topk_not_global_sort(spark):
+    """ORDER BY + LIMIT must plan as TakeOrderedAndProject (per-partition
+    top-k), never a full global sort of the fact table."""
+    from map_reduce485_spark.plans import explain_str
+
+    df = _q(spark, "sort_limit")
+    assert "TakeOrderedAndProject" in explain_str(df)

@@ -1,0 +1,65 @@
+"""Source/sink round-trips and partitioned-writer pruning behavior."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from map_reduce485_spark.catalog import load_table
+from map_reduce485_spark.sources import (
+    read_csv,
+    read_json,
+    read_text_dir,
+    write_partitioned_parquet,
+    write_text_parts,
+)
+from tests.conftest import SF_SMOKE
+
+
+def test_text_roundtrip(spark, tmp_path):
+    ind = tmp_path / "in"
+    ind.mkdir()
+    (ind / "a.txt").write_text("one\ntwo\n")
+    (ind / "b.txt").write_text("three\n")
+    df = read_text_dir(spark, str(ind))
+    assert {r.value for r in df.collect()} == {"one", "two", "three"}
+    out = tmp_path / "out"
+    write_text_parts(df, str(out))
+    back = read_text_dir(spark, str(out))
+    assert {r.value for r in back.collect()} == {"one", "two", "three"}
+
+
+def test_csv_json_explicit_schema(spark, tmp_path):
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+    csv = tmp_path / "data.csv"
+    csv.write_text("id,name,score\n1,alice,0.5\n2,bob,1.5\n")
+    df = read_csv(spark, str(csv), schema)
+    assert df.schema == schema
+    assert df.count() == 2 and df.filter(F.col("score") > 1).count() == 1
+
+    js = tmp_path / "data.jsonl"
+    js.write_text('{"id": 3, "name": "eve", "score": 2.0}\n{"id": 4, "name": "mal"}\n')
+    dj = read_json(spark, str(js), schema)
+    rows = {r.id: (r.name, r.score) for r in dj.collect()}
+    assert rows == {3: ("eve", 2.0), 4: ("mal", None)}
+
+
+def test_partitioned_parquet_prunes_directories(spark, tmp_path):
+    docs = load_table(spark, SF_SMOKE, "documents")
+    out = tmp_path / "docs_by_lang"
+    write_partitioned_parquet(docs, str(out), partition_by=["lang"], sort_within=["doc_id"])
+    # directory-per-lang layout
+    langs = {p.name.split("=")[1] for p in out.iterdir() if p.name.startswith("lang=")}
+    assert "en" in langs and len(langs) >= 4
+    # a lang predicate scans only the matching directory (partition pruning)
+    back = spark.read.parquet(str(out)).filter(F.col("lang") == "en")
+    from map_reduce485_spark.plans import explain_str
+
+    assert back.count() == docs.filter(F.col("lang") == "en").count()
+    assert "lang=en" in explain_str(back) or "PartitionFilters" in explain_str(back)
