@@ -91,6 +91,7 @@ def _load_all() -> None:
         text_analysis,
         multimodal,
         events_batch,
+        advanced,
     )
 
     _LOADED = True

@@ -1,0 +1,322 @@
+"""Advanced operators beyond the reference's substrate: as-of / range /
+salted joins, exact percentiles, subqueries, math & array function
+surfaces, deterministic sampling.
+
+These are the "Explicitly absent" capabilities from SURVEY.md §2 plus the
+custom-operator examples the north star calls out (as-of join, range join),
+each built as a composition of existing DataFrame ops (no UDFs)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from map_reduce485_spark.queries import query
+from map_reduce485_spark.queries._util import T, dsum, fmt_ts, oracle_dsum
+
+# ---------------------------------------------------------------------------
+# as-of join
+# ---------------------------------------------------------------------------
+
+_ASOF_ORACLE = """
+SELECT p.event_id, p.user_id,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+       strftime(
+         (SELECT MAX(v.ts) FROM events v
+          WHERE v.user_id = p.user_id AND v.event_type = 'view' AND v.ts <= p.ts),
+         '%Y-%m-%d %H:%M:%S') AS last_view_ts,
+       epoch_us(p.ts) - (SELECT MAX(epoch_us(v.ts)) FROM events v
+          WHERE v.user_id = p.user_id AND v.event_type = 'view' AND v.ts <= p.ts)
+         AS gap_us
+FROM events p WHERE p.event_type = 'purchase'
+"""
+
+
+@query("asof_join_purchase_view", _ASOF_ORACLE, tags=("advanced", "join"))
+def asof_join_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join: for every purchase, the most recent view by the same user
+    at or before it.
+
+    Implementation is the scalable sort-based form — union both sides, one
+    shuffle on user_id, and a running `last(view_ts)` window — not a
+    pairwise inequality join (which is quadratic per key).  Views sort
+    before purchases at equal timestamps so ties resolve 'at or before'.
+    The oracle states the same semantics as a correlated MAX subquery."""
+    (events,) = T(spark, sf_dir, "events")
+    ev = events.filter(F.col("event_type").isin("view", "purchase"))
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", (F.col("event_type") != "view").cast("int"), "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    with_last_view = ev.withColumn(
+        "_last_view_ts",
+        F.last(F.when(F.col("event_type") == "view", F.col("ts")), ignorenulls=True).over(w),
+    )
+    return with_last_view.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        fmt_ts("ts", "purchase_ts"),
+        fmt_ts("_last_view_ts", "last_view_ts"),
+        (F.unix_micros("ts") - F.unix_micros("_last_view_ts")).alias("gap_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# range join
+# ---------------------------------------------------------------------------
+
+_BAND_WIDTH = 5000
+_N_BANDS = 20
+
+_RANGE_ORACLE = f"""
+SELECT band_id, COUNT(*) AS n_items,
+       {oracle_dsum('l_extendedprice', 'band_revenue')}
+FROM lineitem
+JOIN (SELECT UNNEST(generate_series(0, {_N_BANDS - 1})) AS band_id) bands
+  ON l_extendedprice >= band_id * {_BAND_WIDTH}
+ AND l_extendedprice <  (band_id + 1) * {_BAND_WIDTH}
+GROUP BY band_id
+"""
+
+
+@query("range_join_price_bands", _RANGE_ORACLE, tags=("advanced", "join"))
+def range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join: facts against a banded dimension on
+    lo <= x < hi.  The band table is tiny → Spark plans a broadcast
+    nested-loop join, which is the right physical strategy for small range
+    dimensions at any scale (for large ones: equi-join on a computed bin
+    column, which this band layout makes possible by construction)."""
+    (li,) = T(spark, sf_dir, "lineitem")
+    bands = spark.range(_N_BANDS).select(F.col("id").cast("int").alias("band_id"))
+    return (
+        li.join(
+            F.broadcast(bands),
+            (F.col("l_extendedprice") >= F.col("band_id") * _BAND_WIDTH)
+            & (F.col("l_extendedprice") < (F.col("band_id") + 1) * _BAND_WIDTH),
+        )
+        .groupBy("band_id")
+        .agg(F.count("*").alias("n_items"), dsum("l_extendedprice", "band_revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# salted join (skew)
+# ---------------------------------------------------------------------------
+
+_SALTED_ORACLE = f"""
+SELECT o_orderpriority,
+       {oracle_dsum('l_extendedprice * (1 - l_discount)', 'revenue', 6)},
+       COUNT(*) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+@query("salted_join_revenue", _SALTED_ORACLE, tags=("advanced", "join"))
+def salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-fact join executed through the salted-join operator
+    (operators.skew): each l_orderkey spreads over 8 salts, orders
+    replicated per salt — the explicit hot-key remedy when AQE's skew
+    splitting isn't enough.  Result is provably the plain join (the oracle
+    IS the plain join)."""
+    from map_reduce485_spark.operators.skew import salted_join
+
+    li, orders = T(spark, sf_dir, "lineitem", "orders")
+    joined = salted_join(
+        li.select("l_orderkey", "l_extendedprice", "l_discount", "l_linenumber"),
+        orders.select("o_orderkey", "o_orderpriority"),
+        "l_orderkey",
+        "o_orderkey",
+        n_salts=8,
+        salt_from=F.col("l_linenumber"),
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        dsum("l_extendedprice * (1 - l_discount)", "revenue", 6),
+        F.count("*").alias("n_items"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact percentiles
+# ---------------------------------------------------------------------------
+
+_PCT_ORACLE = """
+SELECT event_type,
+       ROUND(quantile_cont(value, 0.5), 6) AS p50,
+       ROUND(quantile_cont(value, 0.9), 6) AS p90,
+       COUNT(*) AS n
+FROM events GROUP BY event_type
+"""
+
+
+@query("percentiles_per_type", _PCT_ORACLE, tags=("advanced", "agg"))
+def percentiles_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (median, p90) per event type.
+
+    Exact `percentile` needs the group's values collected per key — fine
+    for bounded group counts; at 100 TB with huge groups switch to
+    `approx_percentile` (t-digest, mergeable sketch) — same API shape."""
+    (events,) = T(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+        F.count("*").alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# subqueries
+# ---------------------------------------------------------------------------
+
+_SUBQ_ORACLE = """
+SELECT l_orderkey, l_linenumber, CAST(l_quantity AS DOUBLE) AS quantity
+FROM lineitem
+WHERE l_quantity > (
+        SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(24,2))) AS DOUBLE) / COUNT(*) * 1.9
+        FROM lineitem)
+  AND l_suppkey IN (SELECT s_suppkey FROM supplier WHERE s_acctbal > 0)
+"""
+
+
+@query("scalar_and_in_subquery", _SUBQ_ORACLE, tags=("advanced", "subquery"))
+def scalar_and_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery (exact-decimal global average) + IN subquery
+    (Catalyst rewrites IN to a semi join).  SQL surface."""
+    from map_reduce485_spark.catalog import table_path
+
+    spark.read.parquet(table_path(sf_dir, "lineitem")).createOrReplaceTempView("lineitem")
+    spark.read.parquet(table_path(sf_dir, "supplier")).createOrReplaceTempView("supplier")
+    return spark.sql(
+        """
+        SELECT l_orderkey, l_linenumber, CAST(l_quantity AS DOUBLE) AS quantity
+        FROM lineitem
+        WHERE l_quantity > (
+                SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(24,2))) AS DOUBLE) / COUNT(*) * 1.9
+                FROM lineitem)
+          AND l_suppkey IN (SELECT s_suppkey FROM supplier WHERE s_acctbal > 0)
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# function surfaces
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "math_funcs",
+    """
+    SELECT l_orderkey, l_linenumber,
+           ABS(l_extendedprice - 50000) AS abs_dev,
+           CEIL(l_quantity / 7) AS qty_ceil,
+           FLOOR(l_quantity / 7) AS qty_floor,
+           ROUND(SQRT(l_extendedprice), 6) AS price_sqrt,
+           CAST(l_orderkey % 97 AS BIGINT) AS key_mod,
+           SIGN(l_discount - 0.05) AS disc_sign,
+           GREATEST(l_quantity, 25.0) AS qty_hi,
+           LEAST(l_quantity, 25.0) AS qty_lo
+    FROM lineitem WHERE l_orderkey <= 200
+    """,
+    tags=("advanced", "functions"),
+)
+def math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math function surface (exact + correctly-rounded ops only, so the
+    oracle comparison is bit-stable: abs/ceil/floor/sqrt/mod/sign/
+    greatest/least)."""
+    (li,) = T(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_orderkey") <= 200).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_extendedprice") - 50000).alias("abs_dev"),
+        F.ceil(F.col("l_quantity") / 7).alias("qty_ceil"),
+        F.floor(F.col("l_quantity") / 7).alias("qty_floor"),
+        F.round(F.sqrt("l_extendedprice"), 6).alias("price_sqrt"),
+        (F.col("l_orderkey") % 97).cast("bigint").alias("key_mod"),
+        F.signum(F.col("l_discount") - 0.05).alias("disc_sign"),
+        F.greatest(F.col("l_quantity"), F.lit(25.0)).alias("qty_hi"),
+        F.least(F.col("l_quantity"), F.lit(25.0)).alias("qty_lo"),
+    )
+
+
+@query(
+    "array_funcs",
+    """
+    SELECT doc_id,
+           len(w) AS n_words,
+           list_contains(w, 'data') AS has_data,
+           w[1] AS first_word,
+           w[-1] AS last_word,
+           list_min(w) AS min_word,
+           list_max(w) AS max_word,
+           array_to_string(list_sort(list_distinct(w))[1:3], '|') AS top3_sorted
+    FROM (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+      FROM documents
+    )
+    """,
+    tags=("advanced", "functions"),
+)
+def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array/higher-order function surface over tokenized documents."""
+    (docs,) = T(spark, sf_dir, "documents")
+    w = F.expr("filter(split(text, ' '), x -> x <> '')")
+    return docs.select(
+        "doc_id",
+        F.size(w).alias("n_words"),
+        F.array_contains(w, "data").alias("has_data"),
+        F.element_at(w, 1).alias("first_word"),
+        F.element_at(w, -1).alias("last_word"),
+        F.array_min(w).alias("min_word"),
+        F.array_max(w).alias("max_word"),
+        F.array_join(F.slice(F.array_sort(F.array_distinct(w)), 1, 3), "|").alias(
+            "top3_sorted"
+        ),
+    )
+
+
+@query(
+    "null_handling",
+    """
+    SELECT event_id,
+           COALESCE(NULLIF(event_type, 'error'), 'ERR') AS type_clean,
+           CASE WHEN value IS NULL THEN -1 ELSE value END AS value_filled,
+           IFNULL(NULLIF(user_id, 0), -1) AS user_clean
+    FROM events WHERE event_id < 1000
+    """,
+    tags=("advanced", "functions"),
+)
+def null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-handling surface: coalesce / nullif / ifnull / CASE."""
+    (events,) = T(spark, sf_dir, "events")
+    return events.filter(F.col("event_id") < 1000).select(
+        "event_id",
+        F.coalesce(F.nullif("event_type", F.lit("error")), F.lit("ERR")).alias("type_clean"),
+        F.when(F.col("value").isNull(), -1).otherwise(F.col("value")).alias("value_filled"),
+        F.ifnull(F.nullif("user_id", F.lit(0)), F.lit(-1)).alias("user_clean"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# deterministic sampling
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sample_hash_10pct",
+    """
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= '19'
+    """,
+    tags=("advanced", "sampling"),
+)
+def sample_hash_10pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% sample by content hash — the auditable,
+    re-runnable sampling a training pipeline needs (Bernoulli `rand()`
+    samples are neither reproducible across runs nor engines).  First md5
+    byte <= 0x19 ⇒ 26/256 ≈ 10.2% expected."""
+    (docs,) = T(spark, sf_dir, "documents")
+    return docs.filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) <= "19"
+    ).select("doc_id", "lang", "n_chars")

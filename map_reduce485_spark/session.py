@@ -45,6 +45,8 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # bucketed tables (co-located joins) land here, not in the repo cwd
+        .config("spark.sql.warehouse.dir", "/tmp/mr485_spark_warehouse")
     )
     if extra_conf:
         for k, v in extra_conf.items():

@@ -1,0 +1,49 @@
+"""Bucketed co-located join: correctness + the no-shuffle plan property."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from map_reduce485_spark.catalog import load_table
+from map_reduce485_spark.operators.bucketing import bucketed_join, write_bucketed
+from map_reduce485_spark.plans import explain_str
+from tests.conftest import SF_SMOKE
+
+
+def test_bucketed_join_is_shuffle_free_and_correct(spark):
+    orders = load_table(spark, SF_SMOKE, "orders")
+    li = load_table(spark, SF_SMOKE, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    write_bucketed(orders, "b_orders", "o_orderkey", 8)
+    write_bucketed(li, "b_lineitem", "l_orderkey", 8)
+
+    joined = bucketed_join(
+        spark, "b_lineitem", "b_orders", "l_orderkey", "o_orderkey", force_merge=True
+    )
+
+    # plan property: sort-merge join directly over bucketed scans — no
+    # Exchange (shuffle) anywhere between scan and join
+    plan = explain_str(joined)
+    join_section = plan.split("Scan")[0]
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    assert "Exchange" not in join_section, plan[:800]
+    assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan
+
+    # correctness: identical aggregate as the plain (shuffling) join
+    got = (
+        joined.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"))
+        .orderBy("o_orderpriority")
+        .collect()
+    )
+    exp = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"))
+        .orderBy("o_orderpriority")
+        .collect()
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in exp]
