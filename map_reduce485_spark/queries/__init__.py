@@ -92,6 +92,8 @@ def _load_all() -> None:
         multimodal,
         events_batch,
         advanced,
+        udf_surface,
+        tpch_extra,
     )
 
     _LOADED = True

@@ -407,14 +407,20 @@ def semi_join_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFra
     "anti_join_customers_without_orders",
     """
     SELECT c_custkey, c_name FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders
+      WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'
+    )
     """,
     tags=("relational", "join"),
 )
 def anti_join_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LEFT ANTI join = NOT EXISTS."""
+    """LEFT ANTI join = NOT EXISTS (customers inactive in 2001 — the date
+    scope keeps the result non-trivial on data where every customer has
+    *some* order)."""
     cust, orders = T(spark, sf_dir, "customer", "orders")
-    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+    recent = orders.filter(F.col("o_orderdate") >= "2001-01-01")
+    return cust.join(recent, cust.c_custkey == recent.o_custkey, "left_anti").select(
         "c_custkey", "c_name"
     )
 
