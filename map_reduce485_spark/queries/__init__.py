@@ -94,6 +94,7 @@ def _load_all() -> None:
         advanced,
         udf_surface,
         tpch_extra,
+        tpch_full,
     )
 
     _LOADED = True
