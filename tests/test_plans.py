@@ -82,3 +82,37 @@ def test_sort_limit_is_topk_not_global_sort(spark):
 
     df = _q(spark, "sort_limit")
     assert "TakeOrderedAndProject" in explain_str(df)
+
+
+def test_q8_dims_broadcast_and_pushdown(spark):
+    """Q8's six-way join: every bounded dim broadcasts; the selective
+    predicates (part type, order date range, region) reach the scans."""
+    df = _q(spark, "q8_market_share")
+    assert has_broadcast_join(df)
+    pf = " ".join(pushed_filters(df))
+    for c in ("p_type", "o_orderdate", "r_name"):
+        assert c in pf, f"{c} not pushed"
+
+
+def test_q2_part_filter_pushed(spark):
+    df = _q(spark, "q2_min_cost_supplier")
+    assert has_broadcast_join(df)
+    pf = " ".join(pushed_filters(df))
+    assert "p_size" in pf and "p_type" in pf
+
+
+def test_q20_prefix_like_pushed(spark):
+    """LIKE 'red%' must push down as StringStartsWith, not filter post-scan."""
+    pf = " ".join(pushed_filters(_q(spark, "q20_potential_promotion")))
+    assert "StartsWith" in pf or "p_name" in pf
+
+
+def test_tpch_no_cartesian_products(spark):
+    """No TPC-H plan may degrade to a CartesianProduct — at 100 TB that is
+    the difference between a join and a cluster outage.  (1-row scalar
+    subqueries plan as BroadcastNestedLoopJoin, which is fine.)"""
+    from map_reduce485_spark.plans import explain_str
+
+    for name, spec in REGISTRY.items():
+        if "tpch" in spec.tags:
+            assert "CartesianProduct" not in explain_str(spec.fn(spark, SF_SMOKE)), name
