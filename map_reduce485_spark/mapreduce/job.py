@@ -161,3 +161,80 @@ def run_job(spark: SparkSession, request: JobRequest) -> None:
     scheduler gives the same behavior for sequential submissions.
     """
     MapReduceJob(spark, request).run()
+
+
+class JobQueue:
+    """FIFO multi-job manager (reference op #11, ``manager/__main__.py:89-104``).
+
+    ``submit`` assigns a monotonically increasing ``job_id`` (reference
+    ``:93-94``) and enqueues; a single background thread executes jobs in
+    submission order, one at a time (the reference's ``run_job`` thread,
+    ``:212-424``).  ``status`` exposes the lifecycle the reference only keeps
+    in manager state: ``pending → running → succeeded | failed``.  This also
+    fixes the reference's one-job-per-manager quirk (``manager_ready`` never
+    reset, ``:217``): the queue drains indefinitely.
+    """
+
+    def __init__(self, spark: SparkSession):
+        import queue
+        import threading
+
+        self.spark = spark
+        self._next_id = 0
+        self._status: dict[int, str] = {}
+        self._errors: dict[int, str] = {}
+        self._lock = threading.Lock()
+        self._queue: "queue.Queue[tuple[int, JobRequest] | None]" = queue.Queue()
+        self._worker = threading.Thread(target=self._drain, daemon=True)
+        self._worker.start()
+
+    def submit(self, request: JobRequest) -> int:
+        with self._lock:
+            job_id = self._next_id
+            self._next_id += 1
+            self._status[job_id] = "pending"
+        self._queue.put((job_id, request))
+        return job_id
+
+    def status(self, job_id: int) -> str:
+        with self._lock:
+            return self._status[job_id]
+
+    def error(self, job_id: int) -> str | None:
+        with self._lock:
+            return self._errors.get(job_id)
+
+    def wait(self, job_id: int, timeout: float = 300.0) -> str:
+        """Block until the job leaves the queue/running states."""
+        import time
+
+        deadline = time.monotonic() + timeout
+        while time.monotonic() < deadline:
+            st = self.status(job_id)
+            if st in ("succeeded", "failed"):
+                return st
+            time.sleep(0.05)
+        raise TimeoutError(f"job {job_id} still {self.status(job_id)!r}")
+
+    def shutdown(self, timeout: float = 60.0) -> None:
+        """Drain remaining jobs, then stop the executor thread (reference
+        ``shutdown`` fan-out, ``manager/__main__.py:68-87``)."""
+        self._queue.put(None)
+        self._worker.join(timeout)
+
+    def _drain(self) -> None:
+        while True:
+            item = self._queue.get()
+            if item is None:
+                return
+            job_id, request = item
+            with self._lock:
+                self._status[job_id] = "running"
+            try:
+                MapReduceJob(self.spark, request).run()
+                with self._lock:
+                    self._status[job_id] = "succeeded"
+            except Exception as exc:  # job failure must not kill the queue
+                with self._lock:
+                    self._status[job_id] = "failed"
+                    self._errors[job_id] = repr(exc)

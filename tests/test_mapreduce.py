@@ -205,3 +205,28 @@ def test_overwrite_semantics(spark, text_input, tmp_path):
     MapReduceJob(spark, JobRequest(str(text_input), str(out), wc_map, wc_reduce, 1, 1)).run()
     assert not (out / "stale.txt").exists()
     assert any(p.name.startswith("part-") for p in out.iterdir())
+
+
+def test_job_queue_fifo_status(spark, text_input, tmp_path):
+    """Multi-job FIFO queue with monotonic ids + status lifecycle (reference
+    op #11, manager/__main__.py:89-104; fixes the one-job quirk at :217)."""
+    from map_reduce485_spark.mapreduce import JobQueue, JobRequest
+
+    wc_map, wc_reduce = make_wc()
+    q = JobQueue(spark)
+    out1, out2 = tmp_path / "o1", tmp_path / "o2"
+    j1 = q.submit(JobRequest(str(text_input), str(out1), wc_map, wc_reduce, 1, 1))
+    j2 = q.submit(JobRequest(str(text_input), str(out2), wc_map, wc_reduce, 1, 2))
+    assert (j1, j2) == (0, 1)
+    assert q.wait(j1) == "succeeded"
+    assert q.wait(j2) == "succeeded"
+    assert any(p.name.startswith("part-") for p in out1.iterdir())
+    assert sum(p.name.startswith("part-") for p in out2.iterdir()) == 2
+
+    # a failing job reports failed (+ error) and does not wedge the queue
+    j3 = q.submit(JobRequest("/nonexistent-input-dir", str(tmp_path / "o3"), wc_map, wc_reduce, 1, 1))
+    assert q.wait(j3) == "failed"
+    assert q.error(j3)
+    j4 = q.submit(JobRequest(str(text_input), str(tmp_path / "o4"), wc_map, wc_reduce, 1, 1))
+    assert q.wait(j4) == "succeeded"
+    q.shutdown()
