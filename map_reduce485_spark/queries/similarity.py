@@ -189,3 +189,114 @@ def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("l2_norm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the other classic scale path besides LSH
+# ---------------------------------------------------------------------------
+
+_IVF_K = 16  # coarse centroids
+_IVF_NPROBE = 4  # cells searched per query
+
+_IVF_ORACLE = f"""
+WITH cent AS (
+  SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS cvec
+  FROM embeddings ORDER BY vec_id LIMIT {_IVF_K}
+),
+assign AS (
+  SELECT vec_id, cent_id, emb FROM (
+    SELECT e.vec_id, c.cent_id, CAST(e.embedding AS DOUBLE[]) AS emb,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cvec) DESC,
+                      c.cent_id
+           ) AS rn
+    FROM embeddings e CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT query_id, cent_id FROM (
+    SELECT q.vec_id AS query_id, c.cent_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), c.cvec) DESC,
+                      c.cent_id
+           ) AS rn
+    FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < 5
+  ) WHERE rn <= {_IVF_NPROBE}
+),
+cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id, a.emb
+  FROM probes p JOIN assign a ON a.cent_id = p.cent_id
+  WHERE a.vec_id <> p.query_id
+)
+SELECT query_id, neighbor_id, rank, ROUND(sim, 6) AS sim FROM (
+  SELECT c.query_id, c.neighbor_id,
+         list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), c.emb) AS sim,
+         ROW_NUMBER() OVER (
+           PARTITION BY c.query_id
+           ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), c.emb) DESC,
+                    c.neighbor_id
+         ) AS rank
+  FROM cand c JOIN embeddings q ON q.vec_id = c.query_id
+) WHERE rank <= {_IVF_NPROBE * 10 // 4}
+"""
+
+
+@query("ann_ivf_topk", _IVF_ORACLE, tags=("similarity",))
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: coarse-quantize the corpus into
+    cells, search only the query's nearest cells.
+
+    Plumbing is the production IVF shape: the centroid set is tiny →
+    broadcast everywhere; assignment is a broadcast join + per-vector argmax
+    (one shuffle keyed on vec_id); search reranks only the ~nprobe/K fraction
+    of the corpus in the probed cells.  Centroids here are the K lowest
+    vec_ids — deterministic so the whole pipeline is oracle-checkable; a real
+    deployment would swap in k-means centroids (same dataflow, different
+    centroid table).  Recall vs the brute-force baseline is bounded by cell
+    locality, the standard IVF trade.
+    """
+    from pyspark.sql import Window as W
+
+    (emb,) = T(spark, sf_dir, "embeddings")
+    cent = (
+        emb.orderBy("vec_id")
+        .limit(_IVF_K)
+        .select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cvec"))
+    )
+    sim_to_cent = cosine_col("embedding", "cvec")
+
+    w_vec = W.partitionBy("vec_id").orderBy(F.col("_sim").desc(), "cent_id")
+    assign = (
+        emb.join(F.broadcast(cent))
+        .select("vec_id", "cent_id", "embedding", sim_to_cent.alias("_sim"))
+        .withColumn("rn", F.row_number().over(w_vec))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cent_id", F.col("embedding").alias("n_emb"))
+    )
+    probes = (
+        emb.filter(F.col("vec_id") < 5)
+        .join(F.broadcast(cent))
+        .select(F.col("vec_id").alias("query_id"), "cent_id", sim_to_cent.alias("_sim"))
+        .withColumn("rn", F.row_number().over(W.partitionBy("query_id").orderBy(F.col("_sim").desc(), "cent_id")))
+        .filter(F.col("rn") <= _IVF_NPROBE)
+        .select("query_id", "cent_id")
+    )
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    cand = (
+        F.broadcast(probes)
+        .join(assign, "cent_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .join(F.broadcast(q), F.col("q_id") == F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                cosine_col("q_emb", "n_emb").alias("sim"))
+    )
+    w_rank = W.partitionBy("query_id").orderBy(F.col("sim").desc(), "neighbor_id")
+    return (
+        cand.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= _IVF_NPROBE * 10 // 4)
+        .select("query_id", "neighbor_id", "rank", F.round("sim", 6).alias("sim"))
+    )
