@@ -66,3 +66,100 @@ def frame_sample_stub(payload: bytes, every_n: int = 30) -> list[bytes]:
 def audio_features_stub(payload: bytes, sample_rate: int = 16_000) -> dict:
     """Audio feature extraction (STUB — no audio codec in this environment)."""
     raise NotImplementedError("audio codec not available in this environment")
+
+
+# -- deterministic-fake pipelines (real mapInPandas plumbing, stub math) ----
+
+_RESIZE_BYTES = 64  # fake "8x8 grayscale" target
+
+
+def fake_resize_image(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Resize stand-in: 'resample' = truncate the payload to the target
+    byte budget (8×8×1).  A real resizer decodes, interpolates, re-encodes —
+    per-row work with identical batch shape; only this function body changes.
+
+    Input batches: (doc_id, payload).  Output: (doc_id, width, height,
+    n_bytes_out, resized_sha256)."""
+    import hashlib
+
+    for pdf in batches:
+        resized = pdf["payload"].str.slice(0, _RESIZE_BYTES)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "width": 8,
+                "height": 8,
+                "n_bytes_out": resized.str.len().astype("int64"),
+                "resized_sha256": resized.map(lambda b: hashlib.sha256(b).hexdigest()),
+            }
+        )
+
+
+_FRAME_BYTES = 16  # bytes per fake "frame"
+_FRAME_STRIDE = 64  # sample every 4th frame
+
+
+def fake_frame_sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Frame-sampling stand-in: a 'frame' is a 16-byte slice; sample one
+    every 64 bytes.  One input row fans out to 0..n output rows (the 1→N
+    contract a real video sampler has).
+
+    Input batches: (doc_id, payload).  Output: (doc_id, frame_no,
+    frame_hex)."""
+    for pdf in batches:
+        frames = pdf["payload"].map(
+            lambda b: [
+                (i, b[i * _FRAME_STRIDE : i * _FRAME_STRIDE + _FRAME_BYTES].hex().upper())
+                for i in range((len(b) - _FRAME_BYTES) // _FRAME_STRIDE + 1)
+            ]
+            if len(b) >= _FRAME_BYTES
+            else []
+        )
+        out = (
+            pd.DataFrame({"doc_id": pdf["doc_id"], "f": frames})
+            .explode("f")
+            .dropna(subset=["f"])
+        )
+        yield pd.DataFrame(
+            {
+                "doc_id": out["doc_id"].astype("int64"),
+                "frame_no": out["f"].map(lambda t: t[0]).astype("int64"),
+                "frame_hex": out["f"].map(lambda t: t[1]),
+            }
+        )
+
+
+_SAMPLE_RATE = 16_000
+
+
+def fake_audio_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Audio feature-extraction stand-in: treat each payload byte as one
+    unsigned 8-bit sample; emit sample count, duration at 16 kHz, and RMS.
+    The mean-of-squares uses an exact integer sum (numpy int64), and no
+    decimal rounding is applied anywhere: both engines derive the doubles
+    from identical integers with identical IEEE ops, so the raw values
+    already match bit-for-bit (rounding would *break* parity — Python
+    rounds half-to-even, SQL engines half-away).
+
+    Input batches: (doc_id, payload).  Output: (doc_id, n_samples,
+    duration_s, rms)."""
+    import math
+
+    import numpy as np
+
+    def feats(b: bytes) -> tuple[int, float, float]:
+        a = np.frombuffer(b, dtype=np.uint8).astype(np.int64)
+        n = int(a.size)
+        sum_sq = int((a * a).sum())
+        return n, n / _SAMPLE_RATE, math.sqrt(sum_sq / n)
+
+    for pdf in batches:
+        f = pdf["payload"].map(feats)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_samples": f.map(lambda t: t[0]).astype("int64"),
+                "duration_s": f.map(lambda t: t[1]),
+                "rms": f.map(lambda t: t[2]),
+            }
+        )

@@ -72,3 +72,88 @@ def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
         fake_decode_image_meta,
         schema="doc_id bigint, width bigint, height bigint, n_pixels bigint, mode string",
     )
+
+
+@query(
+    "multimodal_resize_stub",
+    """
+    SELECT doc_id, 8 AS width, 8 AS height,
+           LEAST(octet_length(encode(text)), 64) AS n_bytes_out,
+           sha256(substring(text, 1, 64)) AS resized_sha256
+    FROM documents WHERE length(text) > 0
+    """,
+    tags=("multimodal",),
+)
+def multimodal_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-resize pipeline over `mapInPandas`: binary in → resized binary
+    metadata + content digest out.  The 'resampling' is the deterministic
+    truncation fake (`operators.multimodal.fake_resize_image`); the oracle
+    replays it (ASCII payloads ⇒ char-slice == byte-slice), verifying the
+    full Arrow-batched plumbing."""
+    from map_reduce485_spark.operators.multimodal import fake_resize_image
+
+    (docs,) = T(spark, sf_dir, "documents")
+    payloads = docs.filter(F.length("text") > 0).select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    return payloads.mapInPandas(
+        fake_resize_image,
+        schema="doc_id bigint, width int, height int, n_bytes_out bigint, resized_sha256 string",
+    )
+
+
+@query(
+    "multimodal_frame_sample",
+    """
+    WITH d AS (SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents)
+    SELECT doc_id, i AS frame_no,
+           hex(encode(substr(text, CAST(i * 64 + 1 AS BIGINT), 16))) AS frame_hex
+    FROM d, UNNEST(generate_series(0, (n - 16) // 64)) AS u(i)
+    WHERE n >= 16
+    """,
+    tags=("multimodal",),
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling pipeline over `mapInPandas` with 1→N fan-out:
+    each payload yields one row per sampled 'frame' (16-byte slice every 64
+    bytes — the stub for decode-and-keep-every-Nth-frame).  Exercises the
+    row-multiplying UDF contract a real sampler needs."""
+    from map_reduce485_spark.operators.multimodal import fake_frame_sample
+
+    (docs,) = T(spark, sf_dir, "documents")
+    payloads = docs.select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
+    return payloads.mapInPandas(
+        fake_frame_sample, schema="doc_id bigint, frame_no bigint, frame_hex string"
+    )
+
+
+@query(
+    "multimodal_audio_features",
+    """
+    WITH chars AS (
+      SELECT doc_id, unicode(substr(text, CAST(i AS BIGINT), 1)) AS b
+      FROM documents, UNNEST(generate_series(1, length(text))) AS u(i)
+      WHERE length(text) > 0
+    )
+    SELECT doc_id, COUNT(*) AS n_samples,
+           COUNT(*) / 16000.0 AS duration_s,
+           sqrt(SUM(b * b) / COUNT(*)) AS rms
+    FROM chars GROUP BY doc_id
+    """,
+    tags=("multimodal",),
+)
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature-extraction pipeline over `mapInPandas`: payload bytes as
+    u8 samples → (count, duration@16kHz, RMS).  RMS uses an exact integer
+    sum of squares, so Spark-side numpy and the oracle's SQL aggregation
+    agree bit-for-bit."""
+    from map_reduce485_spark.operators.multimodal import fake_audio_features
+
+    (docs,) = T(spark, sf_dir, "documents")
+    payloads = docs.filter(F.length("text") > 0).select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    return payloads.mapInPandas(
+        fake_audio_features,
+        schema="doc_id bigint, n_samples bigint, duration_s double, rms double",
+    )
