@@ -217,3 +217,48 @@ def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") >= docs.count() * 0.5)
     )
+
+
+@query(
+    "map_funcs",
+    """
+    SELECT l_orderkey, l_linenumber,
+           2 AS map_size,
+           l_quantity AS qty_val,
+           'price_k,qty' AS keys_csv,
+           l_discount AS disc_val,
+           l_quantity * 2 AS qty_doubled
+    FROM lineitem WHERE l_orderkey < 1000
+    """,
+    tags=("functions",),
+)
+def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface: construct, inspect, merge, and transform map columns
+    (create_map / map_keys / element_at / map_concat / transform_values) —
+    all JVM-side expressions.  The oracle replays the resulting *values*
+    directly; what's under test is that Spark's map ops produce them.
+
+    The reference has no nested types at all (strings only, SURVEY.md §1.2).
+    """
+    (li,) = T(spark, sf_dir, "lineitem")
+    m = F.create_map(
+        F.lit("qty"), F.col("l_quantity"),
+        F.lit("price_k"), F.col("l_extendedprice") / 1000,
+    )
+    merged = F.map_concat(m, F.create_map(F.lit("disc"), F.col("l_discount")))
+    doubled = F.expr(
+        "transform_values(map('qty', l_quantity, 'price_k', l_extendedprice / 1000),"
+        " (k, v) -> v * 2)"
+    )
+    return (
+        li.filter(F.col("l_orderkey") < 1000)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.size(m).alias("map_size"),
+            F.element_at(m, F.lit("qty")).alias("qty_val"),
+            F.concat_ws(",", F.array_sort(F.map_keys(m))).alias("keys_csv"),
+            F.element_at(merged, F.lit("disc")).alias("disc_val"),
+            F.element_at(doubled, F.lit("qty")).alias("qty_doubled"),
+        )
+    )
