@@ -1,0 +1,99 @@
+"""Property-based Layer A tests (hypothesis): reference-contract invariants
+that golden tests can't sweep — arbitrary Unicode payloads, arbitrary
+key distributions.
+
+Pins the SURVEY.md §7.3 'sort-order fidelity' hard part: the reference
+sorts whole ``key\\tvalue`` lines by Unicode codepoint
+(``worker/__main__.py:161``) and places lines by ``md5(key) % R``
+(``worker/__main__.py:117-121``); both must hold for non-ASCII data.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+from pathlib import Path
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from map_reduce485_spark.mapreduce import JobRequest, MapReduceJob, md5_partition
+from map_reduce485_spark.mapreduce.job import extract_key
+
+# words over a deliberately nasty alphabet: ASCII, Latin-1 accents, CJK,
+# an astral-plane emoji (surrogate handling), and a combining mark
+_WORD_ALPHABET = "abzAZ09éÜßñ中文日本語한🎉́"
+_words = st.text(alphabet=_WORD_ALPHABET, min_size=1, max_size=6)
+_lines = st.lists(
+    st.lists(_words, min_size=0, max_size=8).map(" ".join),
+    min_size=1,
+    max_size=40,
+)
+
+_SETTINGS = settings(
+    max_examples=5,  # each example runs a full Spark job — keep the fleet small
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+
+def _run_wc(spark, tmp_path: Path, lines: list[str], num_reducers: int) -> Path:
+    ind = tmp_path / "in"
+    ind.mkdir()
+    # split lines across two input files like a real multi-file dataset
+    mid = len(lines) // 2
+    (ind / "a.txt").write_text("".join(l + "\n" for l in lines[:mid]))
+    (ind / "b.txt").write_text("".join(l + "\n" for l in lines[mid:]))
+
+    def wc_map(line: str):
+        for w in line.split():
+            yield f"{w}\t1"
+
+    def wc_reduce(key: str, values):
+        yield f"{key}\t{sum(int(v) for v in values)}"
+
+    out = tmp_path / "out"
+    MapReduceJob(spark, JobRequest(str(ind), str(out), wc_map, wc_reduce, 2, num_reducers)).run()
+    return out
+
+
+def _parts(out: Path) -> list[list[str]]:
+    return [
+        p.read_text().splitlines()
+        for p in sorted(out.iterdir())
+        if p.name.startswith("part-")
+    ]
+
+
+@given(lines=_lines, num_reducers=st.integers(min_value=1, max_value=4))
+@_SETTINGS
+def test_wordcount_matches_counter_any_unicode(spark, tmp_path_factory, lines, num_reducers):
+    """Engine word count ≡ collections.Counter for arbitrary Unicode input,
+    any reducer count."""
+    tmp = tmp_path_factory.mktemp("prop_wc")
+    out = _run_wc(spark, tmp, lines, num_reducers)
+    got: Counter = Counter()
+    n_parts = 0
+    for part in _parts(out):
+        n_parts += 1
+        for line in part:
+            k, v = line.split("\t", 1)
+            got[k] += int(v)
+    expected = Counter(w for l in lines for w in l.split())
+    assert got == expected
+    assert n_parts == num_reducers  # one part file per reduce partition
+
+
+@given(lines=_lines)
+@_SETTINGS
+def test_sort_and_placement_fidelity(spark, tmp_path_factory, lines):
+    """Reference shuffle contract on arbitrary Unicode data:
+    each part file is whole-line codepoint-sorted (worker/__main__.py:161)
+    and every line lands in part ``md5(key) % R`` (:117-121)."""
+    tmp = tmp_path_factory.mktemp("prop_sort")
+    out = _run_wc(spark, tmp, lines, 3)
+    for part_idx, part in enumerate(_parts(out)):
+        assert part == sorted(part), "part file not codepoint-sorted"
+        for line in part:
+            assert md5_partition(extract_key(line), 3) == part_idx, (
+                f"line {line!r} misplaced"
+            )
