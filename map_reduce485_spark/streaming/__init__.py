@@ -5,6 +5,7 @@ from map_reduce485_spark.streaming.jobs import (
     read_events_stream,
     stream_dedup_exact,
     stream_sessionize,
+    stream_sliding_counts,
     stream_tumbling_counts,
     stream_user_running_totals,
 )
@@ -14,6 +15,7 @@ __all__ = [
     "read_events_stream",
     "stream_tumbling_counts",
     "stream_sessionize",
+    "stream_sliding_counts",
     "stream_dedup_exact",
     "stream_user_running_totals",
 ]

@@ -63,6 +63,23 @@ def stream_tumbling_counts(events: DataFrame, watermark: str = "1 hour") -> Data
     )
 
 
+def stream_sliding_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Sliding windows (2 h length, 1 h slide) per event type — the
+    streaming twin of `events_sliding_window`.  Each event updates exactly
+    2 overlapping windows; state per (window, event_type) is GC'd once the
+    watermark passes window_end."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
 def stream_sessionize(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     """Per-user session windows (30-min inactivity gap) — Spark's native
     stateful session operator; sessions merge as events arrive and close

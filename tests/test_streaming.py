@@ -99,3 +99,19 @@ def test_stream_stateful_running_totals(spark, events_landing):
         .collect()
     }
     assert got == exp and len(got) > 0
+
+
+def test_stream_sliding_equals_batch(spark, events_landing):
+    from map_reduce485_spark.streaming import stream_sliding_counts
+
+    stream = stream_sliding_counts(read_events_stream(spark, events_landing))
+    run_to_memory_sink(stream, "sliding_t", mode="complete")
+    got = {
+        (r.window_start, r.event_type): r.n_events
+        for r in spark.table("sliding_t").collect()
+    }
+    exp = {
+        (r.window_start, r.event_type): r.n_events
+        for r in stream_sliding_counts(load_table(spark, SF_SMOKE, "events")).collect()
+    }
+    assert got == exp and len(got) > 0
