@@ -320,3 +320,24 @@ def sample_hash_10pct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.filter(
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) <= "19"
     ).select("doc_id", "lang", "n_chars")
+
+
+@query("sketch_approx_aggs", None, tags=("sketch",))
+def sketch_approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based approximate aggregates per event type: HyperLogLog++
+    distinct users (`approx_count_distinct`, rsd=1%) and t-digest-style
+    value percentiles (`percentile_approx`).
+
+    At 100 TB these replace their exact twins wherever tolerance allows:
+    HLL state is ~KB per group vs a distinct-shuffle of every user id, and
+    the sketches merge associatively in partial aggregation, so the shuffle
+    carries fixed-size state regardless of row count.  No oracle: DuckDB's
+    approx sketches are algorithm-different by design — the driver records
+    rows-only; `tests/test_queries.py` pins accuracy against the exact
+    values (±2% / containment) instead."""
+    (events,) = T(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+        F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("value_pcts"),
+        F.count("*").alias("n_events"),
+    )

@@ -20,7 +20,7 @@ def test_registry_integrity():
     assert set(osql) <= set(qs)
     # every non-oracle query is a deliberate rows-only op
     rows_only = set(qs) - set(osql)
-    assert rows_only == {"ann_lsh_buckets"}
+    assert rows_only == {"ann_lsh_buckets", "sketch_approx_aggs"}
 
 
 # -- oracle parity on a representative per-family subset (fast, sf0.001-ish) --
@@ -145,3 +145,31 @@ def test_entry_contract(spark):
     rows = df.collect()
     assert len(rows) > 0
     assert set(e.oracle_sql()) <= set(e.queries())
+
+
+def test_sketch_approx_aggs_accuracy(spark):
+    """Sketches must track exact values: HLL++ (rsd=1%) within 2% of exact
+    distinct counts; approx percentiles within the group's value range and
+    monotone p50 <= p95 <= p99."""
+    import pyspark.sql.functions as F
+
+    from map_reduce485_spark.catalog import load_table
+
+    approx = {r.event_type: r for r in REGISTRY["sketch_approx_aggs"].fn(spark, SF_CORRECT).collect()}
+    events = load_table(spark, SF_CORRECT, "events")
+    exact = {
+        r.event_type: r
+        for r in events.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("users"),
+            F.min("value").alias("vmin"),
+            F.max("value").alias("vmax"),
+        )
+        .collect()
+    }
+    assert set(approx) == set(exact) and approx
+    for et, a in approx.items():
+        e = exact[et]
+        assert abs(a.approx_users - e.users) <= max(2, 0.02 * e.users), et
+        p50, p95, p99 = a.value_pcts
+        assert e.vmin <= p50 <= p95 <= p99 <= e.vmax, et
