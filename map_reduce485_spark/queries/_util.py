@@ -18,14 +18,31 @@ def T(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
 
 
 def dsum(expr: str, alias: str, scale: int = 2, precision: int = 24) -> Column:
-    """Exact decimal SUM of a double expression, surfaced as DOUBLE.
+    """Exact, order-independent SUM of a double expression, surfaced as DOUBLE.
 
     Double addition is not associative, so a plain SUM(double) depends on
     Spark's partial-agg order and would not hash-match a sequential DuckDB
-    sum.  Casting each row to DECIMAL first makes the sum exact and
-    order-independent; the final cast back to DOUBLE is identical IEEE
-    rounding on both engines.
+    sum.  Two exact strategies, picked by output scale:
+
+    - ``scale <= 2`` (money/quantity): round each row to integer units
+      (cents) and SUM as BIGINT — the agg buffer is a mutable long, so the
+      whole pipeline stays in whole-stage-codegen HashAggregate (~2x faster
+      than decimal sums, measured at 10x sf0.1).  Exact while the unit sum
+      fits 2^63: ~9.2e16 cents ≈ $9.2e14 — beyond a 100 TB TPC-H total.
+    - ``scale > 2`` (revenue ratios at scale 6): per-row DECIMAL cast and
+      DECIMAL sum.  Micro-units would overflow a long at ~9.2e12, which a
+      100 TB revenue sum exceeds, so these stay decimal (Spark hash-aggs
+      wide decimals fine; buffers just aren't codegen-mutable longs).
+
+    Both are exact and engine-agnostic; the final division/cast to DOUBLE
+    is identical IEEE rounding on both engines.
     """
+    if scale <= 2:
+        unit = 10**scale
+        return (
+            (F.sum(F.round(F.expr(expr) * unit).cast("long")) / float(unit))
+            .alias(alias)
+        )
     return (
         F.sum(F.expr(expr).cast(f"decimal({precision},{scale})"))
         .cast("double")
@@ -34,7 +51,12 @@ def dsum(expr: str, alias: str, scale: int = 2, precision: int = 24) -> Column:
 
 
 def oracle_dsum(expr: str, alias: str, scale: int = 2, precision: int = 24) -> str:
-    """DuckDB-side twin of :func:`dsum`."""
+    """DuckDB-side twin of :func:`dsum` (same strategy split by scale)."""
+    if scale <= 2:
+        unit = 10**scale
+        return (
+            f"SUM(CAST(ROUND(({expr}) * {unit}) AS BIGINT)) / {float(unit)} AS {alias}"
+        )
     return (
         f"CAST(SUM(CAST({expr} AS DECIMAL({precision},{scale}))) AS DOUBLE) AS {alias}"
     )
