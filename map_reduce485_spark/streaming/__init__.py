@@ -8,6 +8,7 @@ from map_reduce485_spark.streaming.jobs import (
     stream_sliding_counts,
     stream_tumbling_counts,
     stream_user_running_totals,
+    stream_view_purchase_join,
 )
 
 __all__ = [
@@ -18,4 +19,5 @@ __all__ = [
     "stream_sliding_counts",
     "stream_dedup_exact",
     "stream_user_running_totals",
+    "stream_view_purchase_join",
 ]

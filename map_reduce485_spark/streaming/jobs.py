@@ -138,6 +138,52 @@ def stream_user_running_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def stream_view_purchase_join(
+    views: DataFrame, purchases: DataFrame, horizon: str = "1 hour"
+) -> DataFrame:
+    """Stream-stream interval join: each view joined to the same user's
+    purchases within the next hour.
+
+    The canonical attribution join.  Both sides carry watermarks and the
+    join condition bounds purchase_ts to [view_ts, view_ts + horizon], so
+    Spark can GC buffered rows once the watermark passes their join-window
+    — state stays bounded at any throughput (unbounded-condition
+    stream-stream joins are rejected by the engine for exactly this
+    reason).  Batch twin: the same join expression on static DataFrames.
+    """
+    v = (
+        views.withWatermark("ts", "2 hours")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+    )
+    p = (
+        purchases.withWatermark("ts", "2 hours")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+    )
+    joined = v.join(
+        p,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (F.col("purchase_ts") <= F.col("view_ts") + F.expr(f"INTERVAL {horizon}")),
+    )
+    return joined.select(
+        F.col("v_user").alias("user_id"),
+        "view_id",
+        "purchase_id",
+        F.date_format("view_ts", "yyyy-MM-dd HH:mm:ss").alias("view_ts"),
+        F.date_format("purchase_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        "purchase_value",
+    )
+
+
 def run_to_memory_sink(stream_df: DataFrame, name: str, mode: str = "complete"):
     """Execute a streaming plan to completion over all currently-available
     input (availableNow trigger) into an in-memory table; returns the query

@@ -115,3 +115,27 @@ def test_stream_sliding_equals_batch(spark, events_landing):
         for r in stream_sliding_counts(load_table(spark, SF_SMOKE, "events")).collect()
     }
     assert got == exp and len(got) > 0
+
+
+def test_stream_stream_interval_join_equals_batch(spark, events_landing):
+    """Stream-stream attribution join (watermarked interval condition) must
+    equal the same join run as a batch query."""
+    import pyspark.sql.functions as F
+
+    from map_reduce485_spark.streaming import stream_view_purchase_join
+
+    src = read_events_stream(spark, events_landing)
+    stream = stream_view_purchase_join(
+        src.filter(F.col("event_type") == "view"),
+        src.filter(F.col("event_type") == "purchase"),
+    )
+    run_to_memory_sink(stream, "vp_join_t", mode="append")
+    got = {(r.view_id, r.purchase_id) for r in spark.table("vp_join_t").collect()}
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    batch = stream_view_purchase_join(
+        ev.filter(F.col("event_type") == "view"),
+        ev.filter(F.col("event_type") == "purchase"),
+    )
+    exp = {(r.view_id, r.purchase_id) for r in batch.collect()}
+    assert got == exp and len(got) > 0
