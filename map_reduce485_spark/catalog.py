@@ -66,3 +66,12 @@ def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     for name, df in dfs.items():
         df.createOrReplaceTempView(name)
     return dfs
+
+
+def sql(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
+    """Run an ANSI-SQL query against the catalog tables (the engine's SQL
+    entry point: every table registered as a view, then Catalyst plans the
+    statement exactly like the DataFrame API — same optimizer, same scans).
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(query)

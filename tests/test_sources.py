@@ -63,3 +63,21 @@ def test_partitioned_parquet_prunes_directories(spark, tmp_path):
 
     assert back.count() == docs.filter(F.col("lang") == "en").count()
     assert "lang=en" in explain_str(back) or "PartitionFilters" in explain_str(back)
+
+
+def test_sql_entry_point(spark):
+    """catalog.sql: plain SQL over registered views == DataFrame plan."""
+    from map_reduce485_spark.catalog import sql
+    from tests.conftest import SF_SMOKE
+
+    df = sql(
+        spark,
+        SF_SMOKE,
+        """
+        SELECT r_name, COUNT(*) AS n_nations
+        FROM region JOIN nation ON n_regionkey = r_regionkey
+        GROUP BY r_name
+        """,
+    )
+    rows = {r.r_name: r.n_nations for r in df.collect()}
+    assert sum(rows.values()) == 25 and len(rows) == 5
