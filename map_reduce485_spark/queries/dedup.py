@@ -399,3 +399,53 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("hamming") <= 3)
     )
+
+
+@query("dedup_simhash_banded", _SIMHASH_PAIRS_ORACLE, tags=("dedup",))
+def dedup_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs via chunk banding — same result set as
+    `dedup_simhash_pairs`, scalable plan.
+
+    Pigeonhole: Hamming distance ≤ 3 over a 16-bit fingerprint split into 4
+    nibbles ⇒ at least one nibble is identical, so the all-pairs join is
+    replaced *exactly* (not approximately — hence the identical oracle) by
+    4 equi-joins on (chunk_id, nibble) + distinct + Hamming verify.  Cost is
+    driven by bucket sizes (64 buckets here; 2^16 chunks of a 64-bit
+    fingerprint in production), never by corpus².  This is the plan that
+    survives 100 TB; `dedup_simhash_pairs` is its brute-force twin for
+    test-SF cross-checking."""
+    fp = simhash_fingerprints(spark, sf_dir).cache()
+    chunks = None
+    for c in range(4):
+        ch = fp.select(
+            "doc_id",
+            "simhash",
+            F.lit(c).alias("chunk_id"),
+            F.shiftright("simhash", 4 * c).bitwiseAND(F.lit(15)).alias("chunk"),
+        )
+        chunks = ch if chunks is None else chunks.unionAll(ch)
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk_id") == F.col("b.chunk_id"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("a.simhash").alias("a_sh"),
+            F.col("b.doc_id").alias("b_id"),
+            F.col("b.simhash").alias("b_sh"),
+        )
+        .distinct()
+    )
+    return (
+        cand.select(
+            "a_id",
+            "b_id",
+            F.bit_count(F.col("a_sh").bitwiseXOR(F.col("b_sh"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
+    )
