@@ -38,6 +38,10 @@ def table_path(sf_dir: str, name: str) -> str:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    # timestamp formatting must agree with the (timezone-naive) DuckDB oracle
+    # regardless of what session the harness hands us — runtime SQL conf, so
+    # it applies even to a pre-existing plain session
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         return _load_events(spark, sf_dir)
     return spark.read.parquet(table_path(sf_dir, name))
