@@ -449,3 +449,98 @@ def dedup_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("hamming") <= 3)
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup clustering: pairs → connected components → keep/drop decisions
+# ---------------------------------------------------------------------------
+
+_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE {_ORACLE_SHINGLES},
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+rawpairs AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS intersection
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+pairs AS (
+  SELECT a_id, b_id FROM rawpairs
+  JOIN sizes sa ON sa.doc_id = a_id
+  JOIN sizes sb ON sb.doc_id = b_id
+  WHERE CAST(intersection AS DOUBLE) / (sa.n + sb.n - intersection)
+        >= {_NGRAM_THRESHOLD}
+),
+edges AS (
+  SELECT a_id AS src, b_id AS dst FROM pairs
+  UNION ALL SELECT b_id, a_id FROM pairs
+),
+reach(id, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT reach.id, edges.dst FROM reach JOIN edges ON edges.src = reach.r
+)
+SELECT id AS doc_id, MIN(r) AS cluster_id,
+       CAST(id = MIN(r) AS INTEGER) AS is_kept
+FROM reach GROUP BY id
+"""
+
+
+@query("dedup_clusters", _CLUSTERS_ORACLE, tags=("dedup",))
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → connected components → keep-one-per-cluster.
+
+    The last stage of a production dedup pipeline: pairwise similarity only
+    says "a ~ b"; the corpus decision needs transitive clusters (a~b, b~c ⇒
+    one cluster) with one survivor each (the minimum doc_id here).
+
+    Spark side is iterative min-label propagation — each round every node
+    adopts the smallest label among itself and its neighbors, converging in
+    O(component diameter) rounds; each round is one join + one groupBy, all
+    shuffle-native (this is the simple form of the large-star/small-star
+    connected-components algorithm used at web scale).  The oracle computes
+    the same components with a recursive CTE.  Only docs that appear in at
+    least one near-dup pair are emitted (singletons trivially keep
+    themselves).
+    """
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("a_id", "b_id")
+    edges = pairs.unionAll(
+        pairs.select(F.col("b_id").alias("a_id"), F.col("a_id").alias("b_id"))
+    ).cache()
+    labels = (
+        edges.select(F.col("a_id").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("label"))
+    )
+    # diameter of near-dup clusters is tiny (dup groups are near-cliques);
+    # bound the loop and stop early once a fixpoint is reached
+    for _ in range(10):
+        neighbor_min = (
+            edges.join(labels, F.col("b_id") == F.col("id"))
+            .groupBy(F.col("a_id").alias("nid"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, F.col("id") == F.col("nid"), "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+                ).alias("label"),
+            )
+        )
+        new_labels = new_labels.cache()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.id") == F.col("o.id"))
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("id").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        (F.col("id") == F.col("label")).cast("int").alias("is_kept"),
+    )
