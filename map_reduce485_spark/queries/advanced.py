@@ -341,3 +341,43 @@ def sketch_approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("value_pcts"),
         F.count("*").alias("n_events"),
     )
+
+
+_FUZZY_ORACLE = """
+SELECT a.p_partkey AS a_key, b.p_partkey AS b_key,
+       a.p_name AS a_name, b.p_name AS b_name,
+       levenshtein(a.p_name, b.p_name) AS edit_dist
+FROM part a JOIN part b
+  ON a.p_partkey < b.p_partkey
+ AND substr(a.p_name, 1, 1) = substr(b.p_name, 1, 1)
+ AND abs(length(a.p_name) - length(b.p_name)) <= 2
+WHERE levenshtein(a.p_name, b.p_name) <= 2
+"""
+
+
+@query("fuzzy_join_part_names", _FUZZY_ORACLE, tags=("join", "text"))
+def fuzzy_join_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy (edit-distance) self-join — the entity-resolution primitive.
+
+    Candidates are pruned *before* the expensive distance: pairs must share
+    a first character and have lengths within 2 (a length difference > k
+    already implies edit distance > k, so the filter is lossless for k=2).
+    At 100 TB the same pattern runs as an equi-join on the (first-char,
+    length-bucket) blocking key; here Catalyst evaluates the cheap
+    conjuncts first and only survivors pay the levenshtein."""
+    (part,) = T(spark, sf_dir, "part")
+    a = part.select(F.col("p_partkey").alias("a_key"), F.col("p_name").alias("a_name"))
+    b = part.select(F.col("p_partkey").alias("b_key"), F.col("p_name").alias("b_name"))
+    return (
+        a.join(
+            b,
+            (F.col("a_key") < F.col("b_key"))
+            & (F.substring("a_name", 1, 1) == F.substring("b_name", 1, 1))
+            & (
+                F.abs(F.length("a_name") - F.length("b_name")) <= 2
+            ),
+        )
+        .withColumn("edit_dist", F.levenshtein("a_name", "b_name"))
+        .filter(F.col("edit_dist") <= 2)
+        .select("a_key", "b_key", "a_name", "b_name", "edit_dist")
+    )

@@ -212,3 +212,37 @@ def pivot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("O", "qty_open")
         .withColumnRenamed("F", "qty_filled")
     )
+
+
+_RANK_SUITE_ORACLE = """
+SELECT c_custkey, c_nationkey,
+       RANK()         OVER w AS rnk,
+       DENSE_RANK()   OVER w AS drnk,
+       PERCENT_RANK() OVER w AS prnk,
+       CUME_DIST()    OVER w AS cdist,
+       NTILE(4)       OVER w AS quartile
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+"""
+
+
+@query("window_rank_suite", _RANK_SUITE_ORACLE, tags=("window",))
+def window_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ranking-function surface in one pass: rank / dense_rank /
+    percent_rank / cume_dist / ntile over customers by balance within
+    nation.  One shuffle on the partition key serves all five functions
+    (they share the window definition); the unique c_custkey tiebreaker
+    makes every output deterministic, including ntile bucket boundaries."""
+    from pyspark.sql import Window as W
+
+    (cust,) = T(spark, sf_dir, "customer")
+    w = W.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc(), "c_custkey")
+    return cust.select(
+        "c_custkey",
+        "c_nationkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.percent_rank().over(w).alias("prnk"),
+        F.cume_dist().over(w).alias("cdist"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
