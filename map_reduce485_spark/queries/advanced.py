@@ -381,3 +381,39 @@ def fuzzy_join_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("edit_dist") <= 2)
         .select("a_key", "b_key", "a_name", "b_name", "edit_dist")
     )
+
+
+_STRATIFIED_ORACLE = """
+SELECT doc_id, lang, source
+FROM (
+  SELECT doc_id, lang, source,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rn,
+         COUNT(*) OVER (PARTITION BY lang) AS n
+  FROM documents
+)
+WHERE rn <= CAST(ceil(n * 0.1) AS BIGINT)
+"""
+
+
+@query("stratified_sample_10pct", _STRATIFIED_ORACLE, tags=("sampling",))
+def stratified_sample_10pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: exactly ceil(10%) of every lang
+    stratum, chosen by md5-of-key order (a seedless, engine-agnostic
+    shuffle).  The per-stratum guarantee is what `df.sample` can't give —
+    rare strata survive.  One window shuffle on the stratum key."""
+    from pyspark.sql import Window as W
+
+    (docs,) = T(spark, sf_dir, "documents")
+    w = W.partitionBy("lang").orderBy(F.md5(F.col("doc_id").cast("string")))
+    wn = W.partitionBy("lang")
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            "source",
+            F.row_number().over(w).alias("rn"),
+            F.count("*").over(wn).alias("n"),
+        )
+        .filter(F.col("rn") <= F.ceil(F.col("n") * 0.1).cast("long"))
+        .select("doc_id", "lang", "source")
+    )

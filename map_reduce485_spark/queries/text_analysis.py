@@ -215,3 +215,90 @@ def topk_docs_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .select("lang", "doc_id", "n_chars", "rn")
     )
+
+
+@query(
+    "text_clean",
+    """
+    SELECT doc_id,
+           trim(regexp_replace(
+             regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+             ' +', ' ', 'g')) AS clean_text,
+           length(trim(regexp_replace(
+             regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+             ' +', ' ', 'g'))) AS clean_len
+    FROM documents
+    """,
+    tags=("text",),
+)
+def text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text normalization for training data: lowercase, strip
+    non-alphanumerics, collapse whitespace.  Pure JVM regex (Spark
+    regexp_replace is global by default; the oracle passes DuckDB's 'g'
+    flag for the same semantics)."""
+    (docs,) = T(spark, sf_dir, "documents")
+    clean = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
+            " +",
+            " ",
+        )
+    )
+    return docs.select(
+        "doc_id", clean.alias("clean_text"), F.length(clean).alias("clean_len")
+    )
+
+
+@query(
+    "vocab_top_bigrams",
+    """
+    WITH words AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+      FROM documents
+    ),
+    bigrams AS (
+      SELECT UNNEST(list_transform(
+               generate_series(1, len(w) - 1), i -> w[i] || ' ' || w[i + 1]
+             )) AS bigram
+      FROM words WHERE len(w) >= 2
+    ),
+    counted AS (
+      SELECT bigram, COUNT(*) AS freq FROM bigrams GROUP BY bigram
+    )
+    SELECT bigram, freq, rn FROM (
+      SELECT bigram, freq,
+             ROW_NUMBER() OVER (ORDER BY freq DESC, bigram) AS rn
+      FROM counted
+    ) WHERE rn <= 100
+    """,
+    tags=("text",),
+)
+def vocab_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary building: top-100 word bigrams by frequency.
+
+    The tokenizer-training primitive (BPE and friends start from exactly
+    this count table).  Explode is corpus-linear; the count groupBy is the
+    only shuffle; top-k is TakeOrderedAndProject with a lexicographic
+    tiebreaker so the cut is deterministic."""
+    from pyspark.sql import Window as W
+
+    (docs,) = T(spark, sf_dir, "documents")
+    counted = (
+        docs.select(F.expr("filter(split(text, ' '), x -> x <> '')").alias("w"))
+        .filter(F.size("w") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(w) - 1), i -> concat_ws(' ', w[i-1], w[i]))"
+                )
+            ).alias("bigram")
+        )
+        .groupBy("bigram")
+        .agg(F.count("*").alias("freq"))
+    )
+    # top-k FIRST via orderBy+limit (TakeOrderedAndProject: per-partition
+    # heap + driver merge — never a global sort or single-partition window);
+    # the rank window then runs over only the 100 survivors
+    top = counted.orderBy(F.col("freq").desc(), "bigram").limit(100)
+    w = W.orderBy(F.col("freq").desc(), "bigram")
+    return top.withColumn("rn", F.row_number().over(w)).select("bigram", "freq", "rn")

@@ -246,3 +246,45 @@ def window_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.cume_dist().over(w).alias("cdist"),
         F.ntile(4).over(w).alias("quartile"),
     )
+
+
+_FRAMES_ORACLE = """
+SELECT l_orderkey, l_linenumber,
+       FIRST_VALUE(l_extendedprice) OVER w AS first_price,
+       LAST_VALUE(l_extendedprice)  OVER w AS last_price_so_far,
+       NTH_VALUE(l_extendedprice, 2) OVER w AS second_price,
+       SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+         OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
+               ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) / 100.0
+         AS rolling_2row_price
+FROM lineitem
+WHERE l_orderkey < 2000
+WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+@query("window_frames", _FRAMES_ORACLE, tags=("window",))
+def window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit ROWS-frame surface: first_value / last_value / nth_value and
+    a bounded rolling sum (1 PRECEDING..CURRENT).  The rolling money sum
+    uses integer cents so partial frames hash-match exactly."""
+    from pyspark.sql import Window as W
+
+    (li,) = T(spark, sf_dir, "lineitem")
+    w = (
+        W.partitionBy("l_orderkey")
+        .orderBy("l_linenumber")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w2 = W.partitionBy("l_orderkey").orderBy("l_linenumber").rowsBetween(-1, 0)
+    return li.filter(F.col("l_orderkey") < 2000).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.first("l_extendedprice").over(w).alias("first_price"),
+        F.last("l_extendedprice").over(w).alias("last_price_so_far"),
+        F.nth_value("l_extendedprice", 2).over(w).alias("second_price"),
+        (
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).over(w2) / 100.0
+        ).alias("rolling_2row_price"),
+    )
