@@ -288,3 +288,33 @@ def window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).over(w2) / 100.0
         ).alias("rolling_2row_price"),
     )
+
+
+_UNPIVOT_ORACLE = """
+SELECT o_orderkey, metric, val FROM (
+  SELECT o_orderkey, 'total_price' AS metric, o_totalprice AS val FROM orders
+  UNION ALL
+  SELECT o_orderkey, 'order_year', CAST(EXTRACT(year FROM o_orderdate) AS DOUBLE) FROM orders
+)
+WHERE o_orderkey < 1000
+"""
+
+
+@query("unpivot_metrics", _UNPIVOT_ORACLE, tags=("multidim",))
+def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide → long): each order row becomes one row per metric via
+    `stack` — the inverse of pivot_agg, evaluated inline in the projection
+    (constant 2x fan-out, no shuffle, no union of scans: one pass over the
+    table where the oracle's UNION ALL reads it twice)."""
+    (orders,) = T(spark, sf_dir, "orders")
+    return (
+        orders.filter(F.col("o_orderkey") < 1000)
+        .select(
+            "o_orderkey",
+            F.expr(
+                "stack(2, 'total_price', o_totalprice,"
+                " 'order_year', CAST(year(o_orderdate) AS DOUBLE))"
+                " AS (metric, val)"
+            ),
+        )
+    )

@@ -81,3 +81,23 @@ def test_sql_entry_point(spark):
     )
     rows = {r.r_name: r.n_nations for r in df.collect()}
     assert sum(rows.values()) == 25 and len(rows) == 5
+
+
+def test_schema_evolution_merge(spark, tmp_path):
+    """Parquet schema evolution: files written before a column existed read
+    back with the merged schema (nulls for the missing column), and
+    unionByName aligns frames across schema versions."""
+    from pyspark.sql import functions as F
+
+    v1 = spark.range(3).select(F.col("id"), F.lit("a").alias("c1"))
+    v2 = spark.range(3, 6).select(F.col("id"), F.lit("b").alias("c1"), F.lit(1).alias("c2"))
+    v1.write.parquet(str(tmp_path / "t" / "v1"))
+    v2.write.parquet(str(tmp_path / "t" / "v2"))
+
+    merged = spark.read.option("mergeSchema", "true").parquet(str(tmp_path / "t" / "*"))
+    assert set(merged.columns) == {"id", "c1", "c2"}
+    assert merged.count() == 6
+    assert merged.filter(F.col("c2").isNull()).count() == 3
+
+    aligned = v1.unionByName(v2, allowMissingColumns=True)
+    assert set(aligned.columns) == {"id", "c1", "c2"} and aligned.count() == 6
