@@ -116,3 +116,23 @@ def test_tpch_no_cartesian_products(spark):
     for name, spec in REGISTRY.items():
         if "tpch" in spec.tags:
             assert "CartesianProduct" not in explain_str(spec.fn(spark, SF_SMOKE)), name
+
+
+def test_fuzzy_join_blocks_on_equi_key(spark):
+    """The edit-distance join must hash-join on the extracted first-char
+    blocking key — a regression to nested-loop over all pairs is O(n²) at
+    scale."""
+    from map_reduce485_spark.plans import explain_str
+
+    plan = explain_str(REGISTRY["fuzzy_join_part_names"].fn(spark, SF_SMOKE), "simple")
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "substring" in plan  # blocking key reached the join
+
+
+def test_vocab_topk_no_global_window(spark):
+    """Top-100 bigrams must plan as TakeOrderedAndProject, not a
+    single-partition global window."""
+    from map_reduce485_spark.plans import explain_str
+
+    plan = explain_str(REGISTRY["vocab_top_bigrams"].fn(spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan
