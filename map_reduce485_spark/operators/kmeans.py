@@ -1,0 +1,106 @@
+"""Deterministic Lloyd k-means over an embedding column — the coarse
+quantizer behind IVF ANN (`queries/similarity.ann_ivf_topk` uses a
+fixed-centroid stand-in; this operator is the production upgrade).
+
+Dataflow is the standard Spark ML iteration shape: the BIG side (corpus)
+never leaves the cluster; the SMALL side (K×dim centroids) round-trips
+through the driver once per iteration as literal arrays.  Each iteration is
+one broadcast-expression assignment pass + one groupBy-average — two jobs,
+no quadratic stage, corpus-linear at any scale.
+
+Determinism (no seeded RNG anywhere):
+- init: centroids = the K vectors with the lowest ids (same convention as
+  `ann_ivf_topk`);
+- assignment: argmin of squared L2 distance, ties broken by lowest centroid
+  index (`array_position` returns the first match);
+- update: per-dimension mean via exact DECIMAL sums, so centroid values do
+  not depend on Spark's partial-aggregation order and reruns are
+  bit-identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dist_expr(cent_col: str, vec_col: str = "embedding") -> str:
+    """Squared L2 distance between a literal centroid array and the vector."""
+    return (
+        f"aggregate(zip_with({vec_col}, {cent_col},"
+        " (x, c) -> (CAST(x AS DOUBLE) - c) * (CAST(x AS DOUBLE) - c)),"
+        " 0D, (acc, v) -> acc + v)"
+    )
+
+
+def assign_clusters(emb: DataFrame, centroids: list[list[float]]) -> DataFrame:
+    """(id_cols…, cluster) — nearest-centroid id per vector, fully JVM-side.
+
+    Centroids ship as a literal array-of-arrays (K×dim doubles — a few KB),
+    the Spark analog of a broadcast variable for expression use."""
+    cents = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
+    df = emb.withColumn("_cents", cents)
+    dists = F.expr(
+        f"transform(_cents, c -> {_dist_expr('c')})"
+    )
+    return (
+        df.withColumn("_d", dists)
+        .withColumn("cluster", F.expr("array_position(_d, array_min(_d))").cast("int") - 1)
+        .drop("_cents", "_d")
+    )
+
+
+def _recompute_centroids(assigned: DataFrame, dim: int, k: int) -> list[list[float]]:
+    """Per-cluster per-dimension mean with exact decimal sums; empty
+    clusters keep a zero vector (deterministic, and cannot capture points)."""
+    rows = (
+        assigned.select("cluster", F.posexplode("embedding").alias("dim", "val"))
+        .groupBy("cluster", "dim")
+        .agg(
+            (
+                F.sum(F.col("val").cast("decimal(30,10)")).cast("double") / F.count("*")
+            ).alias("mean")
+        )
+        .collect()
+    )
+    cents = [[0.0] * dim for _ in range(k)]
+    for r in rows:
+        cents[r.cluster][r.dim] = r.mean
+    return cents
+
+
+def kmeans_fit(
+    emb: DataFrame,
+    k: int = 16,
+    iterations: int = 3,
+    id_col: str = "vec_id",
+) -> list[list[float]]:
+    """Run ``iterations`` Lloyd steps; returns the final centroids."""
+    first = (
+        emb.orderBy(id_col).limit(k).select("embedding").collect()
+    )
+    dim = len(first[0].embedding)
+    centroids = [[float(x) for x in r.embedding] for r in first]
+    for _ in range(iterations):
+        assigned = assign_clusters(emb, centroids)
+        centroids = _recompute_centroids(assigned, dim, k)
+    return centroids
+
+
+def inertia(assigned_with_dist: DataFrame) -> float:
+    """Sum of squared distances to the assigned centroid (fit quality)."""
+    return assigned_with_dist.agg(
+        F.sum(F.col("_mindist").cast("decimal(30,10)")).cast("double").alias("v")
+    ).collect()[0].v
+
+
+def assign_with_distance(emb: DataFrame, centroids: list[list[float]]) -> DataFrame:
+    cents = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
+    df = emb.withColumn("_cents", cents)
+    dists = F.expr(f"transform(_cents, c -> {_dist_expr('c')})")
+    return (
+        df.withColumn("_d", dists)
+        .withColumn("cluster", F.expr("array_position(_d, array_min(_d))").cast("int") - 1)
+        .withColumn("_mindist", F.expr("array_min(_d)"))
+        .drop("_cents", "_d")
+    )

@@ -300,3 +300,71 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _IVF_NPROBE * 10 // 4)
         .select("query_id", "neighbor_id", "rank", F.round("sim", 6).alias("sim"))
     )
+
+
+@query("ann_ivf_kmeans_topk", None, tags=("similarity",))
+def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with trained (k-means) centroids — the production form of
+    `ann_ivf_topk`.
+
+    Three deterministic Lloyd iterations (`operators/kmeans.py`: exact
+    decimal means, lowest-id init, first-match tie-breaks) produce the
+    coarse quantizer; assignment, probing, and rerank are the same dataflow
+    as `ann_ivf_topk`.  Rows-only check by design: the centroid means are
+    order-exact but replaying 3 Lloyd iterations in one ANSI-SQL statement
+    is not reasonably expressible; determinism is instead pinned by
+    `tests/test_queries.py::test_kmeans_deterministic_and_converges`."""
+    from pyspark.sql import Window as W
+
+    from map_reduce485_spark.operators.kmeans import assign_clusters, kmeans_fit
+
+    (emb,) = T(spark, sf_dir, "embeddings")
+    centroids = kmeans_fit(emb, k=16, iterations=3)
+    assigned = assign_clusters(emb, centroids).select(
+        "vec_id", "embedding", "cluster"
+    )
+
+    # probe the 4 nearest cells per query vector (same probe math as assign)
+    q = assign_clusters(emb.filter(F.col("vec_id") < 5), centroids)  # noqa: F841 (cluster unused for probes)
+    cents = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
+    qd = (
+        emb.filter(F.col("vec_id") < 5)
+        .withColumn("_cents", cents)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.posexplode(
+                F.expr(
+                    "transform(_cents, c -> aggregate(zip_with(embedding, c,"
+                    " (x, cc) -> (CAST(x AS DOUBLE) - cc) * (CAST(x AS DOUBLE) - cc)),"
+                    " 0D, (acc, v) -> acc + v))"
+                )
+            ).alias("cell", "dist"),
+        )
+    )
+    probes = (
+        qd.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("query_id").orderBy(F.col("dist"), F.col("cell"))
+            ),
+        )
+        .filter(F.col("rn") <= 4)
+        .select("query_id", "q_emb", F.col("cell").alias("cluster"))
+    )
+    cand = (
+        F.broadcast(probes)
+        .join(assigned, "cluster")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine_col("q_emb", "embedding").alias("sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), "neighbor_id")
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "neighbor_id", "rank", F.round("sim", 6).alias("sim"))
+    )

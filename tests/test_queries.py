@@ -20,7 +20,7 @@ def test_registry_integrity():
     assert set(osql) <= set(qs)
     # every non-oracle query is a deliberate rows-only op
     rows_only = set(qs) - set(osql)
-    assert rows_only == {"ann_lsh_buckets", "sketch_approx_aggs"}
+    assert rows_only == {"ann_lsh_buckets", "sketch_approx_aggs", "ann_ivf_kmeans_topk"}
 
 
 # -- oracle parity on a representative per-family subset (fast, sf0.001-ish) --
@@ -173,3 +173,32 @@ def test_sketch_approx_aggs_accuracy(spark):
         assert abs(a.approx_users - e.users) <= max(2, 0.02 * e.users), et
         p50, p95, p99 = a.value_pcts
         assert e.vmin <= p50 <= p95 <= p99 <= e.vmax, et
+
+
+def test_kmeans_deterministic_and_converges(spark):
+    """Lloyd iterations must be deterministic (exact decimal means) and
+    non-increasing in inertia; the IVF query over them returns a sane
+    top-k shape."""
+    from map_reduce485_spark.catalog import load_table
+    from map_reduce485_spark.operators.kmeans import (
+        assign_with_distance,
+        inertia,
+        kmeans_fit,
+    )
+
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    c0 = [[float(x) for x in r.embedding] for r in emb.orderBy("vec_id").limit(8).select("embedding").collect()]
+    i0 = inertia(assign_with_distance(emb, c0))
+    c3 = kmeans_fit(emb, k=8, iterations=3)
+    i3 = inertia(assign_with_distance(emb, c3))
+    assert i3 <= i0  # Lloyd never increases inertia
+    assert kmeans_fit(emb, k=8, iterations=3) == c3  # bit-identical rerun
+
+    res = REGISTRY["ann_ivf_kmeans_topk"].fn(spark, SF_CORRECT).collect()
+    by_q = {}
+    for r in res:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == {0, 1, 2, 3, 4}
+    for rows in by_q.values():
+        ranks = sorted(r.rank for r in rows)
+        assert ranks == list(range(1, len(ranks) + 1)) and len(ranks) <= 10
