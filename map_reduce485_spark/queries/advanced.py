@@ -417,3 +417,111 @@ def stratified_sample_10pct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= F.ceil(F.col("n") * 0.1).cast("long"))
         .select("doc_id", "lang", "source")
     )
+
+
+
+# ---------------------------------------------------------------------------
+# ETL/CDC primitives
+# ---------------------------------------------------------------------------
+
+_CDC_LATEST_ORACLE = """
+SELECT user_id, event_id AS last_event_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts,
+       event_type AS last_type, value AS last_value
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+@query("cdc_latest_state", _CDC_LATEST_ORACLE, tags=("etl",))
+def cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-log compaction: latest record per key — the materialization
+    step of every CDC pipeline (and the batch twin of streaming
+    `dropDuplicates`-by-latest).  One window shuffle on the key; ties on ts
+    broken by event_id so the survivor is deterministic."""
+    from pyspark.sql import Window as W
+
+    from map_reduce485_spark.queries._util import fmt_ts
+
+    (events,) = T(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            fmt_ts("ts", "last_ts"),
+            F.col("event_type").alias("last_type"),
+            F.col("value").alias("last_value"),
+        )
+    )
+
+
+_CDC_MERGE_ORACLE = """
+WITH changes AS (
+  SELECT c_custkey AS key,
+         CASE WHEN c_custkey % 11 = 0 THEN 'D'
+              WHEN c_custkey % 7 = 0 THEN 'U' END AS op,
+         c_acctbal + 1000.0 AS new_acctbal
+  FROM customer WHERE c_custkey % 7 = 0 OR c_custkey % 11 = 0
+),
+inserts AS (
+  SELECT s_suppkey + 1000000 AS key, 'I' AS op, s_acctbal AS new_acctbal
+  FROM supplier
+)
+SELECT key AS c_custkey,
+       COALESCE(new_acctbal, c_acctbal) AS c_acctbal,
+       op AS applied_op
+FROM (
+  SELECT COALESCE(ch.key, c_custkey) AS key, ch.op, ch.new_acctbal, c.c_acctbal
+  FROM customer c
+  FULL OUTER JOIN (SELECT * FROM changes UNION ALL SELECT * FROM inserts) ch
+    ON ch.key = c.c_custkey
+)
+WHERE op IS DISTINCT FROM 'D'
+"""
+
+
+@query("cdc_upsert_merge", _CDC_MERGE_ORACLE, tags=("etl",))
+def cdc_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE semantics on plain tables: apply a deterministic change batch
+    (updates: custkey%7, deletes: custkey%11, inserts: supplier-derived new
+    keys) to the customer snapshot via one full-outer join —
+    insert/update/delete in a single shuffle, the lakehouse MERGE dataflow
+    without a table format.  At 100 TB the join shuffles on the merge key
+    and AQE handles change-batch vs snapshot size asymmetry (a small batch
+    broadcasts)."""
+    cust, supp = T(spark, sf_dir, "customer", "supplier")
+    updates = (
+        cust.filter((F.col("c_custkey") % 7 == 0) | (F.col("c_custkey") % 11 == 0))
+        .select(
+            F.col("c_custkey").alias("key"),
+            F.when(F.col("c_custkey") % 11 == 0, "D")
+            .when(F.col("c_custkey") % 7 == 0, "U")
+            .alias("op"),
+            (F.col("c_acctbal") + 1000.0).alias("new_acctbal"),
+        )
+    )
+    inserts = supp.select(
+        (F.col("s_suppkey") + 1000000).alias("key"),
+        F.lit("I").alias("op"),
+        F.col("s_acctbal").alias("new_acctbal"),
+    )
+    changes = updates.unionAll(inserts)
+    merged = cust.join(changes, F.col("c_custkey") == F.col("key"), "full_outer")
+    return (
+        merged.select(
+            F.coalesce(F.col("key"), F.col("c_custkey")).alias("c_custkey_m"),
+            F.coalesce(F.col("new_acctbal"), F.col("c_acctbal")).alias("c_acctbal_m"),
+            F.col("op"),
+        )
+        .filter(~F.col("op").eqNullSafe("D"))
+        .select(
+            F.col("c_custkey_m").alias("c_custkey"),
+            F.col("c_acctbal_m").alias("c_acctbal"),
+            F.col("op").alias("applied_op"),
+        )
+    )

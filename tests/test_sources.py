@@ -101,3 +101,30 @@ def test_schema_evolution_merge(spark, tmp_path):
 
     aligned = v1.unionByName(v2, allowMissingColumns=True)
     assert set(aligned.columns) == {"id", "c1", "c2"} and aligned.count() == 6
+
+
+def test_dynamic_partition_overwrite(spark, tmp_path):
+    """Incremental ETL re-runs must replace only the partitions present in
+    the new batch (dynamic mode), not truncate the whole table — the
+    idempotent-backfill primitive."""
+    from pyspark.sql import functions as F
+
+    target = str(tmp_path / "events_by_day")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        full = spark.range(100).select(
+            F.col("id"), (F.col("id") % 4).alias("day")
+        )
+        full.write.partitionBy("day").mode("overwrite").parquet(target)
+        assert spark.read.parquet(target).count() == 100
+
+        # re-run only day=1 with corrected data (half the rows)
+        patch = full.filter((F.col("day") == 1) & (F.col("id") < 50))
+        patch.write.partitionBy("day").mode("overwrite").parquet(target)
+
+        got = spark.read.parquet(target)
+        assert got.filter(F.col("day") == 1).count() == patch.count()
+        # other partitions untouched
+        assert got.filter(F.col("day") != 1).count() == 75
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
