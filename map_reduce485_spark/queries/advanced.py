@@ -525,3 +525,126 @@ def cdc_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("op").alias("applied_op"),
         )
     )
+
+
+_DQ_ORACLE = """
+SELECT 'customer_null_acctbal' AS check_name,
+       (SELECT COUNT(*) FROM customer WHERE c_acctbal IS NULL) AS n_bad
+UNION ALL
+SELECT 'orders_orphan_custkey',
+       (SELECT COUNT(*) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+UNION ALL
+SELECT 'lineitem_nonpositive_qty',
+       (SELECT COUNT(*) FROM lineitem WHERE l_quantity <= 0)
+UNION ALL
+SELECT 'lineitem_discount_range',
+       (SELECT COUNT(*) FROM lineitem WHERE l_discount < 0 OR l_discount > 1)
+UNION ALL
+SELECT 'orders_future_dates',
+       (SELECT COUNT(*) FROM orders WHERE o_orderdate > TIMESTAMP '2002-01-01 00:00:00')
+"""
+
+
+@query("data_quality_report", _DQ_ORACLE, tags=("etl",))
+def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality suite in one job: null checks, referential
+    integrity (orphan FKs via anti join), range constraints, freshness.
+    Each check is an independent scan+agg; Spark runs them as one unioned
+    plan.  The dbt-test / Great-Expectations primitive, engine-native."""
+    cust, orders, li = T(spark, sf_dir, "customer", "orders", "lineitem")
+
+    def one(name: str, df) -> DataFrame:
+        return df.agg(F.count("*").alias("n_bad")).select(
+            F.lit(name).alias("check_name"), "n_bad"
+        )
+
+    checks = [
+        one("customer_null_acctbal", cust.filter(F.col("c_acctbal").isNull())),
+        one(
+            "orders_orphan_custkey",
+            orders.join(cust, F.col("o_custkey") == F.col("c_custkey"), "left_anti"),
+        ),
+        one("lineitem_nonpositive_qty", li.filter(F.col("l_quantity") <= 0)),
+        one(
+            "lineitem_discount_range",
+            li.filter((F.col("l_discount") < 0) | (F.col("l_discount") > 1)),
+        ),
+        one("orders_future_dates", orders.filter(F.col("o_orderdate") > "2002-01-01")),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionAll(c)
+    return out
+
+
+_HIST_ORACLE = """
+SELECT bucket, CAST(bucket * 50000.0 AS DOUBLE) AS lo,
+       CAST((bucket + 1) * 50000.0 AS DOUBLE) AS hi, COUNT(*) AS n
+FROM (
+  SELECT LEAST(CAST(FLOOR(o_totalprice / 50000) AS BIGINT), 9) AS bucket
+  FROM orders
+)
+GROUP BY bucket
+"""
+
+
+@query("value_histogram", _HIST_ORACLE, tags=("etl",))
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order values (last bucket open-ended) —
+    integer bucket arithmetic, one partial+final agg; the profiling
+    primitive behind every data-distribution dashboard."""
+    (orders,) = T(spark, sf_dir, "orders")
+    bucket = F.least(F.floor(F.col("o_totalprice") / 50000).cast("long"), F.lit(9))
+    return (
+        orders.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "bucket",
+            (F.col("bucket") * 50000.0).alias("lo"),
+            ((F.col("bucket") + 1) * 50000.0).alias("hi"),
+            "n",
+        )
+    )
+
+
+_PCT_ORACLE = """
+WITH rev AS (
+  SELECT n_name,
+         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0 AS revenue
+  FROM orders
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation ON n_nationkey = c_nationkey
+  GROUP BY n_name
+)
+SELECT n_name, revenue,
+       revenue / SUM(revenue) OVER () AS revenue_share
+FROM rev
+"""
+
+
+@query("pct_of_total", _PCT_ORACLE, tags=("etl", "window"),)
+def pct_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total (ratio_to_report): revenue share per nation.  The
+    global window runs AFTER reduction to 25 rows — the empty-frame window
+    that would single-partition a fact table is fine over an aggregate
+    (pattern: reduce first, window the reduction)."""
+    from pyspark.sql import Window as W
+
+    orders, cust, nation = T(spark, sf_dir, "orders", "customer", "nation")
+    rev = (
+        orders.join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            (F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / 100.0).alias(
+                "revenue"
+            )
+        )
+    )
+    return rev.select(
+        "n_name",
+        "revenue",
+        (F.col("revenue") / F.sum("revenue").over(W.partitionBy())).alias("revenue_share"),
+    )
