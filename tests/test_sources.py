@@ -128,3 +128,13 @@ def test_dynamic_partition_overwrite(spark, tmp_path):
         assert got.filter(F.col("day") != 1).count() == 75
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    """ORC read/write works out of the box (second columnar format)."""
+    from pyspark.sql import functions as F
+
+    p = str(tmp_path / "orc_t")
+    spark.range(10).select(F.col("id"), (F.col("id") * 2).alias("v")).write.orc(p)
+    back = spark.read.orc(p)
+    assert back.count() == 10 and set(back.columns) == {"id", "v"}
