@@ -318,3 +318,42 @@ def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_TIME_RANGE_ORACLE = """
+SELECT user_id, event_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+       COUNT(*) OVER w AS n_7d,
+       SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w AS cents_7d
+FROM events
+WHERE user_id < 50
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
+             RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
+"""
+
+
+@query("window_time_range_7d", _TIME_RANGE_ORACLE, tags=("window", "events"))
+def window_time_range_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE frame: per-user rolling 7-day event count and value
+    sum — the moving-metrics primitive.  RANGE frames bound by *values*
+    (epoch seconds here), not row counts, so simultaneous events share a
+    frame; money accumulates as integer cents so partial frames hash
+    exactly.  One shuffle on user_id; frame evaluation is a per-partition
+    sliding aggregate."""
+    from pyspark.sql import Window as W
+
+    from map_reduce485_spark.queries._util import fmt_ts
+
+    (events,) = T(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-604800, 0)
+    )
+    return events.filter(F.col("user_id") < 50).select(
+        "user_id",
+        "event_id",
+        fmt_ts("ts", "ts"),
+        F.count("*").over(w).alias("n_7d"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).over(w).alias("cents_7d"),
+    )
