@@ -1,0 +1,61 @@
+"""Whole-registry physical-plan audit: flags CartesianProduct (always a
+bug) and BroadcastNestedLoopJoin (legitimate only for documented broadcast
+patterns) across every query's plan.
+
+    python tools/plan_audit.py
+
+Known-intentional BNLJ queries (all-pairs test-SF baselines with banded/
+bucketed scale twins, tiny broadcast fan-outs, 1-row scalar thresholds):
+dedup_simhash_pairs, cosine_topk_bruteforce, dedup_embedding_cosine,
+ann_ivf_topk, range_join_price_bands, q11_important_stock.
+Exits non-zero on any CartesianProduct or any NEW BNLJ.
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from map_reduce485_spark import get_spark
+from map_reduce485_spark.plans import explain_str
+from map_reduce485_spark.queries import REGISTRY, _load_all
+
+KNOWN_BNLJ = {
+    "dedup_simhash_pairs",
+    "cosine_topk_bruteforce",
+    "dedup_embedding_cosine",
+    "ann_ivf_topk",
+    "ann_ivf_kmeans_topk",
+    "range_join_price_bands",
+    "q11_important_stock",
+}
+
+
+def main() -> int:
+    _load_all()
+    spark = get_spark("plan_audit")
+    sf = "/root/testdata/sf0.001"
+    bad = []
+    for name, spec in REGISTRY.items():
+        try:
+            txt = explain_str(spec.fn(spark, sf), "simple")
+        except Exception as exc:
+            bad.append(f"{name}: plan error {exc!r:.80}")
+            continue
+        if "CartesianProduct" in txt:
+            bad.append(f"{name}: CartesianProduct")
+        elif "BroadcastNestedLoopJoin" in txt and name not in KNOWN_BNLJ:
+            bad.append(f"{name}: unexpected BroadcastNestedLoopJoin")
+    if bad:
+        print("PLAN AUDIT FAILURES:")
+        for b in bad:
+            print(" ", b)
+        return 1
+    print(f"plan audit OK: {len(REGISTRY)} queries, no cartesians, no unexpected BNLJ")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
