@@ -230,3 +230,23 @@ def test_job_queue_fifo_status(spark, text_input, tmp_path):
     j4 = q.submit(JobRequest(str(text_input), str(tmp_path / "o4"), wc_map, wc_reduce, 1, 1))
     assert q.wait(j4) == "succeeded"
     q.shutdown()
+
+
+def test_wordcount_gzip_input(spark, tmp_path):
+    """Compressed text input works through the same job (the reference
+    streams raw bytes only; gzip decode is a Spark-native upgrade)."""
+    import gzip
+
+    ind = tmp_path / "gzin"
+    ind.mkdir()
+    with gzip.open(ind / "a.txt.gz", "wt") as f:
+        f.write("alpha beta\nalpha\n")
+    wc_map, wc_reduce = make_wc()
+    out = tmp_path / "gzout"
+    MapReduceJob(spark, JobRequest(str(ind), str(out), wc_map, wc_reduce, 1, 1)).run()
+    counts = {}
+    for _, lines in read_parts(out):
+        for line in lines:
+            k, v = line.split("\t", 1)
+            counts[k] = counts.get(k, 0) + int(v)
+    assert counts == {"alpha": 2, "beta": 1}
