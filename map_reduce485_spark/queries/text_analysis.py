@@ -302,3 +302,49 @@ def vocab_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = counted.orderBy(F.col("freq").desc(), "bigram").limit(100)
     w = W.orderBy(F.col("freq").desc(), "bigram")
     return top.withColumn("rn", F.row_number().over(w)).select("bigram", "freq", "rn")
+
+
+@query(
+    "pii_scrub",
+    r"""
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\b\d{13,16}\b', '<CARD>', 'g'),
+             '\b\d{3}[- .]\d{3}[- .]\d{4}\b', '<PHONE>', 'g') AS scrubbed,
+           length(text) - length(regexp_replace(
+             regexp_replace(
+               regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\b\d{13,16}\b', '<CARD>', 'g'),
+             '\b\d{3}[- .]\d{3}[- .]\d{4}\b', '<PHONE>', 'g')) AS delta_chars
+    FROM documents
+    """,
+    tags=("text",),
+)
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: mask emails, card-like digit runs, and phone-shaped
+    numbers — the compliance pass every training-data pipeline runs before
+    anything else.  Chained JVM regexp_replace (codegen, corpus-linear);
+    `delta_chars` quantifies how much was redacted per document."""
+    (docs,) = T(spark, sf_dir, "documents")
+    scrub = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.col("text"),
+                r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+                "<EMAIL>",
+            ),
+            r"\b\d{13,16}\b",
+            "<CARD>",
+        ),
+        r"\b\d{3}[- .]\d{3}[- .]\d{4}\b",
+        "<PHONE>",
+    )
+    return docs.select(
+        "doc_id",
+        scrub.alias("scrubbed"),
+        (F.length("text") - F.length(scrub)).alias("delta_chars"),
+    )
