@@ -324,8 +324,7 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "embedding", "cluster"
     )
 
-    # probe the 4 nearest cells per query vector (same probe math as assign)
-    q = assign_clusters(emb.filter(F.col("vec_id") < 5), centroids)  # noqa: F841 (cluster unused for probes)
+    # probe the 4 nearest cells per query vector (same distance math as assign)
     cents = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
     qd = (
         emb.filter(F.col("vec_id") < 5)
