@@ -348,3 +348,75 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         scrub.alias("scrubbed"),
         (F.length("text") - F.length(scrub)).alias("delta_chars"),
     )
+
+
+_PIPELINE_ORACLE = r"""
+WITH scrubbed AS (
+  SELECT doc_id, lang,
+         trim(regexp_replace(regexp_replace(lower(
+           regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                          '<EMAIL>', 'g')),
+           '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS clean_text
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, lang, clean_text,
+         len(list_filter(string_split(clean_text, ' '), x -> x <> '')) AS n_tokens
+  FROM scrubbed
+),
+kept AS (
+  SELECT * FROM scored WHERE n_tokens >= 20
+),
+deduped AS (
+  SELECT md5(clean_text) AS content_hash,
+         MIN(doc_id) AS keep_doc_id,
+         COUNT(*) AS n_copies
+  FROM kept GROUP BY md5(clean_text)
+)
+SELECT d.content_hash, d.keep_doc_id, d.n_copies, k.lang, k.n_tokens
+FROM deduped d JOIN kept k ON k.doc_id = d.keep_doc_id
+"""
+
+
+@query("training_data_pipeline", _PIPELINE_ORACLE, tags=("text", "etl"))
+def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The capstone composition: PII scrub → normalize → length gate →
+    exact dedup (keep lowest id) → surviving-doc metadata, as ONE declarative
+    plan.  Catalyst fuses the scrub/normalize/score maps into a single
+    codegen stage; the only shuffles are the dedup groupBy (on 32-byte
+    hashes, not documents) and the survivor join.  This is the shape of the
+    real 100 TB job: per-doc stages are corpus-linear and fused, reductions
+    shuffle digests."""
+    (docs,) = T(spark, sf_dir, "documents")
+    clean = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.lower(
+                    F.regexp_replace(
+                        F.col("text"),
+                        r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+                        "<EMAIL>",
+                    )
+                ),
+                "[^a-z0-9 ]",
+                " ",
+            ),
+            " +",
+            " ",
+        )
+    )
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        clean.alias("clean_text"),
+    ).withColumn(
+        "n_tokens", F.size(F.expr("filter(split(clean_text, ' '), x -> x <> '')"))
+    )
+    kept = scored.filter(F.col("n_tokens") >= 20)
+    deduped = (
+        kept.groupBy(F.md5("clean_text").alias("content_hash"))
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies"))
+    )
+    return deduped.join(
+        kept, F.col("doc_id") == F.col("keep_doc_id")
+    ).select("content_hash", "keep_doc_id", "n_copies", "lang", "n_tokens")
