@@ -6,7 +6,14 @@ registry of every implemented operator (Spark callable + DuckDB oracle SQL).
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
+
+# importable from any cwd (the engine package lives next to this file)
+_HERE = os.path.dirname(os.path.abspath(__file__))
+if _HERE not in sys.path:
+    sys.path.insert(0, _HERE)
 
 from pyspark.sql import DataFrame, SparkSession
 
