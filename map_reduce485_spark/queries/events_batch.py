@@ -24,7 +24,7 @@ from map_reduce485_spark.queries._util import T, fmt_ts
     SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
            COUNT(*) AS n_events,
            COUNT(DISTINCT user_id) AS n_users,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+           SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 AS sum_value
     FROM events GROUP BY date_trunc('hour', ts)
     """,
     tags=("events", "window"),
@@ -38,7 +38,7 @@ def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_events"),
             F.countDistinct("user_id").alias("n_users"),
-            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+            (F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0).alias("sum_value"),
         )
         .select(fmt_ts(F.col("w.start"), "window_start"), "n_events", "n_users", "sum_value")
     )
@@ -131,7 +131,7 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
            event_type,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+           SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 AS sum_value,
            CAST(MAX(value) AS DOUBLE) AS max_value
     FROM events GROUP BY date_trunc('day', ts), event_type
     """,
@@ -147,7 +147,7 @@ def events_daily_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+            (F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0).alias("sum_value"),
             F.max("value").alias("max_value"),
         )
     )

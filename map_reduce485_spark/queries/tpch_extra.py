@@ -187,13 +187,13 @@ def q16_parts_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q17_ORACLE = """
-SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(24,2))) AS DOUBLE) / 7.0
+SELECT SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) / 100.0 / 7.0
          AS avg_yearly,
        COUNT(*) AS n_rows
 FROM lineitem
 JOIN (
   SELECT l_partkey AS pk,
-         CAST(SUM(CAST(l_quantity AS DECIMAL(24,2))) AS DOUBLE) / COUNT(*) AS avg_qty
+         SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) / 100.0 / COUNT(*) AS avg_qty
   FROM lineitem GROUP BY l_partkey
 ) p ON l_partkey = pk
 WHERE l_quantity < 0.5 * avg_qty
@@ -208,7 +208,9 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold bit-identical across engines)."""
     (li,) = T(spark, sf_dir, "lineitem")
     avg_q = li.groupBy(F.col("l_partkey").alias("pk")).agg(
-        (F.sum(F.col("l_quantity").cast("decimal(24,2)")).cast("double") / F.count("*")).alias(
+        # integer-cents sum -> mutable long agg buffer (codegen HashAggregate);
+        # see queries/_util.dsum for the strategy rationale
+        (F.sum(F.round(F.col("l_quantity") * 100).cast("long")) / 100.0 / F.count("*")).alias(
             "avg_qty"
         )
     )
@@ -216,7 +218,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(avg_q, F.col("l_partkey") == F.col("pk"))
         .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
         .agg(
-            (F.sum(F.col("l_extendedprice").cast("decimal(24,2)")).cast("double") / 7.0).alias(
+            (F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")) / 100.0 / 7.0).alias(
                 "avg_yearly"
             ),
             F.count("*").alias("n_rows"),
@@ -262,11 +264,11 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q22_ORACLE = """
 SELECT n_name, COUNT(*) AS numcust,
-       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+       SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) / 100.0 AS totacctbal
 FROM customer
 JOIN nation ON c_nationkey = n_nationkey
 WHERE c_acctbal > (
-        SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+        SELECT SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) / 100.0 / COUNT(*)
         FROM customer WHERE c_acctbal > 0)
   AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
                   AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
@@ -281,7 +283,7 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust, nation, orders = T(spark, sf_dir, "customer", "nation", "orders")
     avg_bal_row = (
         cust.filter(F.col("c_acctbal") > 0)
-        .agg((F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double") / F.count("*")).alias("v"))
+        .agg((F.sum(F.round(F.col("c_acctbal") * 100).cast("long")) / 100.0 / F.count("*")).alias("v"))
         .collect()[0]
     )
     return (
@@ -295,6 +297,6 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(
             F.count("*").alias("numcust"),
-            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double").alias("totacctbal"),
+            (F.sum(F.round(F.col("c_acctbal") * 100).cast("long")) / 100.0).alias("totacctbal"),
         )
     )

@@ -348,7 +348,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q20_ORACLE = """
 WITH sold AS (
   SELECT l_suppkey, l_partkey,
-         CAST(SUM(CAST(l_quantity AS DECIMAL(24,2))) AS DOUBLE) AS qty
+         SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) / 100.0 AS qty
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
     AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
@@ -383,7 +383,7 @@ def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter((F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01"))
         .join(F.broadcast(red), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
         .groupBy("l_suppkey", "l_partkey")
-        .agg(F.sum(F.col("l_quantity").cast("decimal(24,2)")).cast("double").alias("qty"))
+        .agg((F.sum(F.round(F.col("l_quantity") * 100).cast("long")) / 100.0).alias("qty"))
     )
     totals = sold.groupBy(F.col("l_partkey").alias("pk")).agg(
         F.sum("qty").alias("part_total")

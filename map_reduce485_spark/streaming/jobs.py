@@ -53,7 +53,7 @@ def stream_tumbling_counts(events: DataFrame, watermark: str = "1 hour") -> Data
         .groupBy(F.window("ts", "1 hour").alias("w"))
         .agg(
             F.count("*").alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+            (F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0).alias("sum_value"),
         )
         .select(
             F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
