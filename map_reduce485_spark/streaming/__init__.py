@@ -9,6 +9,7 @@ from map_reduce485_spark.streaming.jobs import (
     stream_tumbling_counts,
     stream_user_running_totals,
     stream_view_purchase_join,
+    run_foreach_batch_upsert,
 )
 
 __all__ = [
@@ -20,4 +21,5 @@ __all__ = [
     "stream_dedup_exact",
     "stream_user_running_totals",
     "stream_view_purchase_join",
+    "run_foreach_batch_upsert",
 ]

@@ -184,6 +184,54 @@ def stream_view_purchase_join(
     )
 
 
+def run_foreach_batch_upsert(
+    events: DataFrame, state_dir: str, checkpoint_dir: str
+):
+    """Streaming upsert via foreachBatch: each micro-batch merges its
+    latest-per-user records into a parquet state table (read-modify-write
+    with latest-ts-wins).  This is the standard pattern for sinks without
+    native MERGE — foreachBatch hands every micro-batch to arbitrary batch
+    code under the streaming checkpoint's exactly-once batch ids.
+
+    At scale the overwrite becomes a partition-scoped dynamic overwrite (or
+    a lakehouse MERGE); the dataflow — dedup within batch, full-outer
+    reconcile with state, atomic swap — is identical."""
+    from pyspark.sql import Window as W
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        w = W.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        latest = (
+            batch_df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("user_id", "event_id", "ts", "event_type", "value")
+        )
+        try:
+            state = spark.read.parquet(state_dir)
+        except Exception:  # first batch: no state yet
+            latest.write.mode("overwrite").parquet(state_dir)
+            return
+        merged = (
+            state.unionByName(latest)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        # materialize before overwriting the input path (local-mode safe;
+        # production would write to a new location and swap)
+        rows = merged.collect()
+        spark.createDataFrame(rows, merged.schema).write.mode("overwrite").parquet(state_dir)
+
+    return (
+        events.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_to_memory_sink(stream_df: DataFrame, name: str, mode: str = "complete"):
     """Execute a streaming plan to completion over all currently-available
     input (availableNow trigger) into an in-memory table; returns the query

@@ -195,3 +195,36 @@ def test_stream_checkpoint_recovery_exactly_once(spark, events_landing, tmp_path
     n_ids = got.select("event_id").distinct().count()
     exp = load_table(spark, SF_SMOKE, "events").dropDuplicates(["event_id", "ts"]).count()
     assert n_rows == n_ids == exp  # every event exactly once across the restart
+
+
+def test_foreach_batch_upsert_converges_to_latest_state(spark, events_landing, tmp_path):
+    """foreachBatch upsert sink: after draining the stream in single-file
+    micro-batches, the parquet state table holds exactly the latest record
+    per user — same result as the batch cdc_latest_state compaction."""
+    from pyspark.sql import functions as F
+
+    from map_reduce485_spark.streaming import run_foreach_batch_upsert
+    from map_reduce485_spark.streaming.jobs import EVENTS_SCHEMA
+
+    state = str(tmp_path / "state")
+    src = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_landing)
+    )
+    q = run_foreach_batch_upsert(src, state, str(tmp_path / "ckpt"))
+    q.awaitTermination()
+
+    got = {
+        r.user_id: (r.event_id, r.ts)
+        for r in spark.read.parquet(state).collect()
+    }
+    from pyspark.sql import Window as W
+
+    ev = spark.read.parquet(events_landing)
+    w = W.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    exp = {
+        r.user_id: (r.event_id, r.ts)
+        for r in ev.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).collect()
+    }
+    assert got == exp and len(got) > 0
