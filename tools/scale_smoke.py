@@ -112,11 +112,13 @@ def main() -> int:
     for name in names:
         fn = REGISTRY[name].fn
         fn(spark, sf_dir).collect()  # warm (codegen/JIT), same protocol as bench.py
-        t0 = time.perf_counter()
-        n = len(fn(spark, sf_dir).collect())
-        dt = time.perf_counter() - t0
-        total += dt
-        print(json.dumps({"query": name, "rows": n, "sec": round(dt, 2)}))
+        best, n = float("inf"), 0
+        for _ in range(2):  # best-of-2: local JVM noise is ±10-50% under load
+            t0 = time.perf_counter()
+            n = len(fn(spark, sf_dir).collect())
+            best = min(best, time.perf_counter() - t0)
+        total += best
+        print(json.dumps({"query": name, "rows": n, "sec": round(best, 2)}))
     print(json.dumps({"metric": "scale_smoke_total", "mult": args.mult, "value": round(total, 2), "unit": "sec"}))
     return 0
 
