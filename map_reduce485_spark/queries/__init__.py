@@ -95,6 +95,7 @@ def _load_all() -> None:
         udf_surface,
         tpch_extra,
         tpch_full,
+        bucketed,
     )
 
     _LOADED = True

@@ -12,6 +12,31 @@ from map_reduce485_spark.plans import explain_str
 from tests.conftest import SF_SMOKE
 
 
+def test_bucketed_gate_query_single_exchange(spark):
+    """The gate query's only shuffle is the final aggregate — the bucketed
+    fact-fact join itself plans with zero Exchange."""
+    from map_reduce485_spark.queries.bucketed import bucketed_fact_join_revenue
+
+    df = bucketed_fact_join_revenue(spark, SF_SMOKE)
+    plan = explain_str(df)
+    assert "SortMergeJoin" in plan, plan[:800]
+    tree = plan.split("\n\n")[0]  # formatted explain repeats ops in detail sections
+    assert len(re.findall(r"\bExchange\b", tree)) == 1, tree
+    assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan
+    # and it computes the same thing as the raw-parquet join
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    orders = load_table(spark, SF_SMOKE, "orders")
+    exp = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_items"))
+        .orderBy("o_orderpriority")
+        .collect()
+    )
+    got = df.orderBy("o_orderpriority").select("o_orderpriority", "n_items").collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in exp]
+
+
 def test_bucketed_join_is_shuffle_free_and_correct(spark):
     orders = load_table(spark, SF_SMOKE, "orders")
     li = load_table(spark, SF_SMOKE, "lineitem").select(
