@@ -18,8 +18,14 @@ def write_bucketed(
     bucket_key: str,
     n_buckets: int = 8,
     sort_key: str | None = None,
+    path: str | None = None,
 ) -> None:
-    """Persist ``df`` as a bucketed (optionally sorted) managed table."""
+    """Persist ``df`` as a bucketed (optionally sorted) table.
+
+    ``path=None`` → managed table in the session warehouse.  Pass ``path``
+    to create an *external* bucketed table at an explicitly writable
+    location instead — required when the session's default warehouse dir
+    (cwd-relative for a vanilla SparkSession) may not be writable."""
     import shutil
     from pathlib import Path
     from urllib.parse import urlparse
@@ -27,12 +33,17 @@ def write_bucketed(
     spark = df.sparkSession
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     # a crashed prior write can leave an orphan location that blocks CREATE
-    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-    orphan = Path(warehouse) / table.lower()
+    if path is None:
+        warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        orphan = Path(warehouse) / table.lower()
+    else:
+        orphan = Path(path)
     if orphan.exists():
         shutil.rmtree(orphan)
     writer = df.write.mode("overwrite").format("parquet").bucketBy(n_buckets, bucket_key)
     writer = writer.sortBy(sort_key or bucket_key)
+    if path is not None:
+        writer = writer.option("path", path)
     writer.saveAsTable(table)
 
 

@@ -22,6 +22,8 @@ the final aggregate; none between scans and join).
 from __future__ import annotations
 
 import hashlib
+import os
+import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -39,6 +41,10 @@ def _ensure_bucketed_facts(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     never collide in one catalog)."""
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     li_t, ord_t = f"b_lineitem_{tag}", f"b_orders_{tag}"
+    # external tables at an explicitly writable location: a vanilla
+    # SparkSession's warehouse dir is cwd-relative, and the gate may run
+    # from a read-only cwd
+    root = os.path.join(tempfile.gettempdir(), "mr485_bucketed")
     if not (spark.catalog.tableExists(li_t) and spark.catalog.tableExists(ord_t)):
         li, orders = T(spark, sf_dir, "lineitem", "orders")
         write_bucketed(
@@ -46,12 +52,14 @@ def _ensure_bucketed_facts(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
             li_t,
             "l_orderkey",
             _N_BUCKETS,
+            path=os.path.join(root, li_t),
         )
         write_bucketed(
             orders.select("o_orderkey", "o_orderpriority"),
             ord_t,
             "o_orderkey",
             _N_BUCKETS,
+            path=os.path.join(root, ord_t),
         )
     return li_t, ord_t
 
