@@ -305,6 +305,40 @@ def vocab_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "heavy_hitter_tokens",
+    """
+    SELECT token, COUNT(*) AS freq
+    FROM (
+      SELECT UNNEST(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS token
+      FROM documents
+    )
+    GROUP BY token
+    HAVING COUNT(*) >= 500
+    """,
+    tags=("text",),
+)
+def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-item mining with a support threshold: every lowercased
+    token appearing >= 500 times in the corpus.  Unlike top-k (rank
+    semantics, needs a global cut), a support threshold is decided
+    per-group inside the final HashAggregate — explode is corpus-linear,
+    the count groupBy is the only shuffle, and the HAVING filter ships
+    nothing but survivors.  This is the candidate-generation primitive of
+    frequent-itemset mining and stopword discovery."""
+    (docs,) = T(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.explode(
+                F.expr("filter(split(lower(text), ' '), x -> x <> '')")
+            ).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.count("*").alias("freq"))
+        .filter(F.col("freq") >= 500)
+    )
+
+
+@query(
     "pii_scrub",
     r"""
     SELECT doc_id,
