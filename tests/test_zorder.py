@@ -34,6 +34,33 @@ def _files_overlapping(spark, out_dir: str, col: str, lo: float, hi: float) -> i
     return n
 
 
+def test_interleave_matches_python_mirror_and_is_bijective(spark):
+    """The Spark bit-interleave expression == the textbook Morton code,
+    exhaustively over the full 4-bit grid, and is a bijection (no two
+    (x, y) cells share a code — the property pruning correctness rests on)."""
+    from map_reduce485_spark.operators.zorder import _interleave
+
+    bits = 4
+    grid = [(x, y) for x in range(1 << bits) for y in range(1 << bits)]
+    df = spark.createDataFrame(grid, ["qx", "qy"])
+    got = {
+        (r.qx, r.qy): r.z
+        for r in df.select(
+            "qx", "qy", _interleave(F.col("qx"), F.col("qy"), bits).alias("z")
+        ).collect()
+    }
+
+    def morton(x: int, y: int) -> int:
+        z = 0
+        for i in range(bits):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    assert got == {(x, y): morton(x, y) for x, y in grid}
+    assert len(set(got.values())) == len(grid)
+
+
 def test_zorder_prunes_both_dimensions(spark):
     orders = load_table(spark, SF_SMOKE, "orders").select(
         "o_orderkey", "o_custkey", "o_totalprice"
