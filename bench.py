@@ -18,6 +18,9 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# measured numbers must include the real parquet scan, not a warmed cache
+os.environ.setdefault("SPARK_GRAFT_CACHE_TABLES", "0")
+
 from map_reduce485_spark import get_spark
 from map_reduce485_spark.queries import bench_queries
 

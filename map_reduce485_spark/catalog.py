@@ -11,6 +11,8 @@ through here rather than hand-rolled readers.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 TABLES = (
@@ -35,16 +37,62 @@ def table_path(sf_dir: str, name: str) -> str:
     return f"{sf_dir.rstrip('/')}/{name}.parquet"
 
 
+# Sessions already tuned by _tune_session (id() keys; sessions are few and
+# long-lived in every entry path — driver gate, tests, bench).
+_TUNED: set[int] = set()
+
+
+def _tune_session(spark: SparkSession) -> None:
+    """Apply runtime-settable SQL confs to whatever session the harness hands
+    us.  The driver constructs a *plain* SparkSession (200 shuffle partitions,
+    10 MB broadcast threshold); on local[32] over test-SF data that default
+    multiplies pure task-scheduling overhead across every one of the ~106 gate
+    queries.  These are exactly the knobs `session.get_spark` sets at build
+    time — mirrored here so correctness/bench behavior does not depend on who
+    built the session.  All of them are runtime-settable SQL confs.
+    """
+    if id(spark) in _TUNED:
+        return
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # timestamp formatting must agree with the (timezone-naive) DuckDB oracle
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    _TUNED.add(id(spark))
+
+
+# (session id, sf_dir, table) → cached DataFrame.  The correctness gate runs
+# ~106 queries over the same ten small tables; caching the scans turns ~150
+# repeated parquet reads into in-memory columnar scans.  Opt-out via
+# SPARK_GRAFT_CACHE_TABLES=0 (bench.py does, so measured numbers include the
+# real scan).  At production scale this maps to the standard warm-table
+# pattern (`spark.catalog.cacheTable` on dims that fit executor memory).
+_TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
+def _cache_enabled() -> bool:
+    return os.environ.get("SPARK_GRAFT_CACHE_TABLES", "1") != "0"
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
-    # timestamp formatting must agree with the (timezone-naive) DuckDB oracle
-    # regardless of what session the harness hands us — runtime SQL conf, so
-    # it applies even to a pre-existing plain session
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    _tune_session(spark)
+    key = (id(spark), sf_dir.rstrip("/"), name)
+    if _cache_enabled() and key in _TABLE_CACHE:
+        return _TABLE_CACHE[key]
     if name == "events":
-        return _load_events(spark, sf_dir)
-    return spark.read.parquet(table_path(sf_dir, name))
+        df = _load_events(spark, sf_dir)
+    else:
+        df = spark.read.parquet(table_path(sf_dir, name))
+    if _cache_enabled():
+        df = df.cache()
+        _TABLE_CACHE[key] = df
+    return df
 
 
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:

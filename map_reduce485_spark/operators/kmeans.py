@@ -13,9 +13,15 @@ Determinism (no seeded RNG anywhere):
   `ann_ivf_topk`);
 - assignment: argmin of squared L2 distance, ties broken by lowest centroid
   index (`array_position` returns the first match);
-- update: per-dimension mean via exact DECIMAL sums, so centroid values do
-  not depend on Spark's partial-aggregation order and reruns are
-  bit-identical.
+- update: per-dimension mean over integer micro-units — each value rounds
+  to round(val·1e6) and sums as BIGINT, so the mean is independent of
+  Spark's partial-aggregation order (long addition is associative), reruns
+  are bit-identical, AND the arithmetic is replayable in ANSI SQL
+  (`queries/similarity.py` builds a DuckDB oracle that reruns all Lloyd
+  iterations with the same integer math).  Quantizing a coarse-quantizer
+  centroid at 1e-6 is semantically free.  Overflow: |val|≲10 ⇒ per-cluster
+  sum ≲ 1e7·n; a long holds n up to ~1e11 rows per cluster — beyond a
+  100 TB corpus per cell.
 """
 
 from __future__ import annotations
@@ -51,14 +57,16 @@ def assign_clusters(emb: DataFrame, centroids: list[list[float]]) -> DataFrame:
 
 
 def _recompute_centroids(assigned: DataFrame, dim: int, k: int) -> list[list[float]]:
-    """Per-cluster per-dimension mean with exact decimal sums; empty
+    """Per-cluster per-dimension mean over exact integer micro-units; empty
     clusters keep a zero vector (deterministic, and cannot capture points)."""
     rows = (
         assigned.select("cluster", F.posexplode("embedding").alias("dim", "val"))
         .groupBy("cluster", "dim")
         .agg(
             (
-                F.sum(F.col("val").cast("decimal(30,10)")).cast("double") / F.count("*")
+                F.sum(F.round(F.col("val") * 1000000.0).cast("long"))
+                / F.count("*")
+                / 1000000.0
             ).alias("mean")
         )
         .collect()

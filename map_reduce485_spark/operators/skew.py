@@ -38,9 +38,22 @@ def salted_join(
 
     Cost model: small side is duplicated n_salts× (fine for dimension-sized
     inputs; for fact-fact skew, salt only the known-hot keys instead).
+
+    Only ``inner`` and ``left`` joins are supported: the big side carries
+    exactly one salt per row, so those two preserve plain-join semantics.
+    ``right``/``full`` would emit every unmatched *small*-side row once per
+    salt replica — n_salts duplicates — so they are rejected.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports how='inner'/'left' only, got {how!r}: "
+            "unmatched small-side rows would be duplicated n_salts times"
+        )
     salt = (
-        salt_from.cast("int") % n_salts
+        # pmod, not %: Spark's % keeps the dividend's sign, so a negative
+        # salt_from (e.g. a hash column) would yield salts outside
+        # [0, n_salts) that never match the exploded small side
+        F.pmod(salt_from.cast("long"), F.lit(n_salts)).cast("int")
         if salt_from is not None
         # row-level hash, NOT a hash of the join key (a per-key-constant
         # salt would leave every hot key in a single partition again)

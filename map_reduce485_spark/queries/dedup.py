@@ -527,31 +527,28 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id", F.col("id").alias("label"))
     )
     # diameter of near-dup clusters is tiny (dup groups are near-cliques);
-    # bound the loop and stop early once a fixpoint is reached
+    # bound the loop and stop early once a fixpoint is reached.  The old and
+    # new label ride in ONE joined frame so each round costs one join + one
+    # groupBy + one action over the cached result (no separate diff join).
     for _ in range(10):
         neighbor_min = (
             edges.join(labels, F.col("b_id") == F.col("id"))
             .groupBy(F.col("a_id").alias("nid"))
             .agg(F.min("label").alias("nlabel"))
         )
-        new_labels = (
+        step = (
             labels.join(neighbor_min, F.col("id") == F.col("nid"), "left")
             .select(
                 "id",
+                F.col("label").alias("old_label"),
                 F.least(
                     F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
                 ).alias("label"),
             )
+            .cache()
         )
-        new_labels = new_labels.cache()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.id") == F.col("o.id"))
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = step.filter(F.col("label") != F.col("old_label")).limit(1).count()
+        labels = step.select("id", "label")
         if changed == 0:
             break
     return labels.select(

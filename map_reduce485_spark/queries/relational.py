@@ -284,20 +284,28 @@ def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "filter_project",
     """
     SELECT l_orderkey, l_linenumber, l_quantity,
-           CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) AS net_price
+           CAST(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) AS DOUBLE)
+             AS net_price
     FROM lineitem WHERE l_quantity >= 48 AND l_returnflag = 'A'
     """,
     tags=("relational", "filter"),
 )
 def filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Projection + predicate — both pushed into the Parquet scan
-    (reference analog: mapper-side field selection, SURVEY.md §2.b)."""
+    (reference analog: mapper-side field selection, SURVEY.md §2.b).
+
+    net_price goes through exact DECIMAL(18,4) arithmetic, then surfaces as
+    DOUBLE per the package hash-stability rule (a DECIMAL stringifies as
+    '101229.1800' on one engine and '101229.18' on the other — same value,
+    different hash)."""
     (li,) = T(spark, sf_dir, "lineitem")
     return li.filter((F.col("l_quantity") >= 48) & (F.col("l_returnflag") == "A")).select(
         "l_orderkey",
         "l_linenumber",
         "l_quantity",
-        F.expr("CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))").alias("net_price"),
+        F.expr("CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))")
+        .cast("double")
+        .alias("net_price"),
     )
 
 

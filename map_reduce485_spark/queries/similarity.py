@@ -6,7 +6,15 @@
 - LSH-bucketed ANN: the scale path — deterministic random-hyperplane signs
   derived from md5, bucket equi-join, rerank within bucket.  At 100 TB the
   brute force is O(Q·N); LSH makes the candidate set per query ~N/2^bits.
-- Embedding near-dup: pairs with cosine ≥ threshold (dedup by embedding).
+- Embedding near-dup: pairs with cosine ≥ threshold (dedup by embedding),
+  as a brute-force twin plus an LSH-banded scale twin, both oracle-checked.
+- IVF ANN: coarse-quantize (fixed or k-means-trained centroids), probe the
+  nearest cells only.
+
+Cross-engine float parity: every floating-point reduction here is a
+*sequential left fold* on both engines — Spark `aggregate(..., 0D,
+(acc, v) -> acc + v)` vs DuckDB `list_reduce(..., (acc, el) -> acc + el)`
+— so results are bit-identical and ROUND(x, 6) cannot straddle engines.
 
 The reference has no numeric/vector capability at all (strings only,
 SURVEY.md §1.2); this is north-star surface mandated by BASELINE.json.
@@ -14,15 +22,18 @@ SURVEY.md §1.2); this is north-star surface mandated by BASELINE.json.
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from map_reduce485_spark.queries import query
 from map_reduce485_spark.queries._util import T
 
+_DIM = 64
+
 # cosine similarity between two float arrays, computed in double, sequential
-# left-to-right accumulation — matches DuckDB list_cosine_similarity on
-# DOUBLE[] inputs.
+# left-to-right accumulation — bit-matching the DuckDB fragments below.
 _COS_EXPR = (
     "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
     " 0D, (acc, v) -> acc + v)"
@@ -36,6 +47,75 @@ _COS_EXPR = (
 def cosine_col(a: str, b: str) -> F.Column:
     return F.expr(_COS_EXPR.format(a=a, b=b))
 
+
+# ---------------------------------------------------------------------------
+# DuckDB fragments: sequential left-fold float math (see module docstring)
+# ---------------------------------------------------------------------------
+
+
+def _duck_dot(a: str, b: str, dim: int = _DIM) -> str:
+    return (
+        f"list_reduce(list_transform(generate_series(1, {dim}),"
+        f" i -> {a}[i] * {b}[i]), (acc, el) -> acc + el)"
+    )
+
+
+def _duck_sq(a: str, dim: int = _DIM) -> str:
+    return (
+        f"list_reduce(list_transform(generate_series(1, {dim}),"
+        f" i -> {a}[i] * {a}[i]), (acc, el) -> acc + el)"
+    )
+
+
+def _duck_cos(a: str, b: str, dim: int = _DIM) -> str:
+    return (
+        f"({_duck_dot(a, b, dim)}"
+        f" / (sqrt({_duck_sq(a, dim)}) * sqrt({_duck_sq(b, dim)})))"
+    )
+
+
+_DUCK_EMB_CTE = (
+    "emb AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"
+)
+
+# unit vectors: norm computed once per row, then per-element division —
+# the same two-step shape as the Spark side (`_unit_df`)
+_DUCK_UNIT_CTE = (
+    "nv AS (SELECT vec_id, list_transform(v, x -> x / n) AS u FROM"
+    f" (SELECT vec_id, v, sqrt({_duck_sq('v')}) AS n FROM emb))"
+)
+
+
+def _unit_df(emb: DataFrame) -> DataFrame:
+    """(vec_id, u: array<double>) — unit-normalized embeddings.
+
+    Normalizing ONCE per vector turns every pairwise cosine downstream into
+    a single dot product (3 array reductions per pair → 1): the standard
+    trick that makes brute-force and rerank stages ~3× cheaper at any scale.
+    """
+    return (
+        emb.select("vec_id", "embedding")
+        .withColumn(
+            "_n",
+            F.expr(
+                "sqrt(aggregate(transform(embedding,"
+                " y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)),"
+                " 0D, (acc, v) -> acc + v))"
+            ),
+        )
+        .select(
+            "vec_id",
+            F.expr("transform(embedding, x -> CAST(x AS DOUBLE) / _n)").alias("u"),
+        )
+    )
+
+
+_UNIT_DOT = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
+
+
+# ---------------------------------------------------------------------------
+# brute-force top-k (exactness baseline)
+# ---------------------------------------------------------------------------
 
 _TOPK_ORACLE = """
 SELECT query_id, neighbor_id, rank, ROUND(sim, 6) AS sim
@@ -85,51 +165,108 @@ def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_NEARDUP_ORACLE = """
-SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-       ROUND(list_cosine_similarity(
-         CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])
-       ), 6) AS sim
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE list_cosine_similarity(
-        CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])
-      ) >= 0.95
+# ---------------------------------------------------------------------------
+# embedding near-dup: brute-force twin + LSH-banded scale twin
+# ---------------------------------------------------------------------------
+
+# Production embedding-dedup thresholds sit at 0.9-0.95; the synthetic
+# corpus has no near-identical embeddings (max pairwise cosine ≈ 0.51 at
+# sf0.01), so the gate threshold is 0.4 — low enough that the oracle check
+# exercises real rows instead of passing vacuously on an empty result.
+_NEARDUP_T = 0.4
+
+_NEARDUP_ORACLE = f"""
+WITH {_DUCK_EMB_CTE},
+{_DUCK_UNIT_CTE},
+pairs AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id, {_duck_dot('a.u', 'b.u')} AS sim
+  FROM nv a JOIN nv b ON a.vec_id < b.vec_id
+)
+SELECT a_id, b_id, ROUND(sim, 6) AS sim FROM pairs WHERE sim >= {_NEARDUP_T}
 """
 
 
 @query("dedup_embedding_cosine", _NEARDUP_ORACLE, tags=("similarity", "dedup"))
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs: cosine ≥ 0.95.
+    """Embedding near-dup pairs: cosine ≥ threshold, all-pairs exact.
 
-    All-pairs at test SF; at 100 TB candidates come from the LSH buckets
-    below (same rerank expression, bucket-local pairs only)."""
+    This is the brute-force twin (deliberately O(n²), bounded to test SF);
+    `dedup_embedding_lsh` below is the banded plan that survives 100 TB.
+    Vectors are unit-normalized once so each pair costs one dot product."""
     (emb,) = T(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_emb"))
-    b = emb.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_emb"))
+    nu = _unit_df(emb)
+    a = nu.select(F.col("vec_id").alias("a_id"), F.col("u").alias("au"))
+    b = nu.select(F.col("vec_id").alias("b_id"), F.col("u").alias("bu"))
     return (
         a.join(b, F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id", cosine_col("a_emb", "b_emb").alias("_sim"))
-        .filter(F.col("_sim") >= 0.95)
+        .select(
+            "a_id", "b_id", F.expr(_UNIT_DOT.format(a="au", b="bu")).alias("_sim")
+        )
+        .filter(F.col("_sim") >= _NEARDUP_T)
         .select("a_id", "b_id", F.round("_sim", 6).alias("sim"))
     )
 
 
-# Deterministic pseudo-random hyperplanes: component i of plane p is
-# (md5-nibble based) in {-1, +1}.  Engine-agnostic (md5 everywhere), so the
-# bucketing — though approximate as an ANN method — is exactly reproducible.
+# ---------------------------------------------------------------------------
+# random-hyperplane LSH: deterministic md5-derived planes
+# ---------------------------------------------------------------------------
+
 _N_PLANES = 8
-_DIM = 64
+
+# component i of plane p is ±1 by the parity of md5("p:i") — deterministic,
+# engine-agnostic, and replayed literally inside the DuckDB oracles below
+_PLANES: list[list[int]] = [
+    [
+        1 if int(hashlib.md5(f"{p}:{i}".encode()).hexdigest(), 16) % 2 == 0 else -1
+        for i in range(_DIM)
+    ]
+    for p in range(_N_PLANES)
+]
+
+_DUCK_PLANES_CTE = "planes(p, pv) AS (VALUES " + ", ".join(
+    f"({p}, CAST([{', '.join(str(float(s)) for s in plane)}] AS DOUBLE[]))"
+    for p, plane in enumerate(_PLANES)
+) + ")"
+
+_DUCK_BUCKETS_CTE = f"""buckets AS (
+  SELECT e.vec_id, e.label,
+         CAST(SUM(CASE WHEN {_duck_dot('e.v', 'pl.pv')} > 0
+                  THEN (1 << pl.p) ELSE 0 END) AS BIGINT) AS bucket
+  FROM emb e CROSS JOIN planes pl
+  GROUP BY e.vec_id, e.label
+)"""
+
+
+def _planes_lit() -> F.Column:
+    return F.array(*[F.array(*[F.lit(float(s)) for s in plane]) for plane in _PLANES])
 
 
 def _plane_sign_expr(p: int) -> str:
-    # sign for (plane p, dim i) from one md5 hex char of 'p:i'
+    # v · r_p as a sequential fold (requires a `_planes` column in scope)
     return (
         f"aggregate(zip_with(embedding, _planes[{p}],"
         " (x, s) -> CAST(x AS DOUBLE) * s), 0D, (acc, v) -> acc + v)"
     )
 
 
-@query("ann_lsh_buckets", None, tags=("similarity",))
+def _bucket_expr() -> F.Column:
+    """8-bit signature: bit p = sign(v · r_p)."""
+    bucket = None
+    for p in range(_N_PLANES):
+        bit = (F.expr(_plane_sign_expr(p)) > 0).cast("int") * (1 << p)
+        bucket = bit if bucket is None else bucket + bit
+    return bucket.cast("bigint")
+
+
+_LSH_BUCKETS_ORACLE = f"""
+WITH {_DUCK_EMB_CTE},
+{_DUCK_PLANES_CTE},
+{_DUCK_BUCKETS_CTE}
+SELECT vec_id, label, bucket FROM buckets
+"""
+
+
+@query("ann_lsh_buckets", _LSH_BUCKETS_ORACLE, tags=("similarity",))
 def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH bucketing for ANN (the 100 TB scale path).
 
@@ -137,30 +274,91 @@ def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     a ±1 hyperplane derived deterministically from md5(p ∥ ':' ∥ i).  The
     result (vec_id, bucket, label) partitions the corpus into 2^8 buckets;
     top-k search reranks only within the query's bucket (± multi-probe).
-    No oracle: LSH bucket membership is not meaningfully expressible as
-    ANSI SQL the driver can sanity-check — rows-only check applies; the
-    deterministic construction keeps it reproducible run to run.
-    """
-    import hashlib
-
+    The DuckDB oracle replays the identical planes (inlined as literals)
+    with the identical sequential dot product, so bucket membership is
+    hash-checked exactly — not rows-only."""
     (emb,) = T(spark, sf_dir, "embeddings")
-    # build the ±1 planes driver-side from md5 (tiny: 8×64 ints), ship as literal
-    planes = [
-        [
-            1 if int(hashlib.md5(f"{p}:{i}".encode()).hexdigest(), 16) % 2 == 0 else -1
-            for i in range(_DIM)
-        ]
-        for p in range(_N_PLANES)
-    ]
-    planes_lit = F.array(
-        *[F.array(*[F.lit(float(s)) for s in plane]) for plane in planes]
+    return (
+        emb.withColumn("_planes", _planes_lit())
+        .select("vec_id", "label", _bucket_expr().alias("bucket"))
     )
-    df = emb.withColumn("_planes", planes_lit)
-    bucket = None
-    for p in range(_N_PLANES):
-        bit = (F.expr(_plane_sign_expr(p)) > 0).cast("int") * (1 << p)
-        bucket = bit if bucket is None else bucket + bit
-    return df.select("vec_id", "label", bucket.cast("bigint").alias("bucket")).orderBy("vec_id")
+
+
+_LSH_NEARDUP_ORACLE = f"""
+WITH {_DUCK_EMB_CTE},
+{_DUCK_UNIT_CTE},
+{_DUCK_PLANES_CTE},
+{_DUCK_BUCKETS_CTE},
+bands AS (
+  SELECT vec_id, 0 AS band_id, bucket & 15 AS band_val FROM buckets
+  UNION ALL
+  SELECT vec_id, 1 AS band_id, bucket >> 4 AS band_val FROM buckets
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.vec_id < b.vec_id
+),
+scored AS (
+  SELECT c.a_id, c.b_id, {_duck_dot('x.u', 'y.u')} AS sim
+  FROM cand c JOIN nv x ON x.vec_id = c.a_id JOIN nv y ON y.vec_id = c.b_id
+)
+SELECT a_id, b_id, ROUND(sim, 6) AS sim FROM scored WHERE sim >= {_NEARDUP_T}
+"""
+
+
+@query("dedup_embedding_lsh", _LSH_NEARDUP_ORACLE, tags=("similarity", "dedup"))
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup via LSH banding — the scale twin of
+    `dedup_embedding_cosine`.
+
+    The 8-bit hyperplane signature splits into 2 bands of 4 bits; pairs
+    agreeing on ≥1 band become candidates (equi-join on (band_id, band_val),
+    never all-pairs), then candidates are verified with the exact
+    normalized dot.  Candidate volume is bounded by band-bucket sizes —
+    corpus-linear for non-degenerate data — which is what survives 100 TB.
+    Unlike SimHash chunk-banding there is no pigeonhole guarantee for
+    cosine, so recall < 1 by design (recall rises toward ~0.95 at the
+    production threshold 0.95, where near-dup pairs disagree with a random
+    hyperplane ~6% of the time); the construction is fully deterministic,
+    and the oracle replays the same planes, bands, and verify — an exact
+    hash check of an approximate algorithm."""
+    (emb,) = T(spark, sf_dir, "embeddings")
+    nu = _unit_df(emb)
+    sig = (
+        emb.withColumn("_planes", _planes_lit())
+        .select("vec_id", _bucket_expr().alias("_bucket"))
+        .join(nu, "vec_id")
+    )
+    bands = sig.select(
+        "vec_id",
+        "u",
+        F.lit(0).alias("band_id"),
+        F.col("_bucket").bitwiseAND(F.lit(15)).alias("band_val"),
+    ).unionAll(
+        sig.select(
+            "vec_id",
+            "u",
+            F.lit(1).alias("band_id"),
+            F.shiftright("_bucket", 4).alias("band_val"),
+        )
+    )
+    a = bands.select(
+        F.col("vec_id").alias("a_id"), F.col("u").alias("au"), "band_id", "band_val"
+    )
+    b = bands.select(
+        F.col("vec_id").alias("b_id"), F.col("u").alias("bu"), "band_id", "band_val"
+    )
+    return (
+        a.join(b, ["band_id", "band_val"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select(
+            "a_id", "b_id", F.expr(_UNIT_DOT.format(a="au", b="bu")).alias("_sim")
+        )
+        .filter(F.col("_sim") >= _NEARDUP_T)
+        .dropDuplicates(["a_id", "b_id"])
+        .select("a_id", "b_id", F.round("_sim", 6).alias("sim"))
+    )
 
 
 _NORMS_ORACLE = """
@@ -252,10 +450,10 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast everywhere; assignment is a broadcast join + per-vector argmax
     (one shuffle keyed on vec_id); search reranks only the ~nprobe/K fraction
     of the corpus in the probed cells.  Centroids here are the K lowest
-    vec_ids — deterministic so the whole pipeline is oracle-checkable; a real
-    deployment would swap in k-means centroids (same dataflow, different
-    centroid table).  Recall vs the brute-force baseline is bounded by cell
-    locality, the standard IVF trade.
+    vec_ids — deterministic so the whole pipeline is oracle-checkable; the
+    k-means-trained variant below is the production form (same dataflow,
+    trained centroid table).  Recall vs the brute-force baseline is bounded
+    by cell locality, the standard IVF trade.
     """
     from pyspark.sql import Window as W
 
@@ -302,18 +500,97 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ann_ivf_kmeans_topk", None, tags=("similarity",))
+def _kmeans_ivf_oracle(
+    k: int = 16, iters: int = 3, dim: int = _DIM, nprobe: int = 4, topk: int = 10
+) -> str:
+    """DuckDB replay of `ann_ivf_kmeans_topk`: all Lloyd iterations as CTEs.
+
+    Exactness rests on three cross-engine invariants, each mirrored from the
+    Spark side: (1) distances/cosines are sequential left folds (bit-equal),
+    (2) centroid means are integer micro-unit sums (associative, engine-
+    agnostic; `operators/kmeans.py`), (3) every argmin/top-k breaks ties by
+    the id column.  So 3 iterations of k-means land on bit-identical
+    centroids in both engines and the final ranking matches exactly."""
+    zero = "[" + ", ".join("0.0" for _ in range(dim)) + "]"
+
+    def sqdist(v: str, c: str) -> str:
+        return (
+            f"list_reduce(list_transform(generate_series(1, {dim}),"
+            f" i -> ({v}[i] - {c}[i]) * ({v}[i] - {c}[i])), (acc, el) -> acc + el)"
+        )
+
+    def assign_cte(name: str, cent: str) -> str:
+        return f"""{name} AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT e.vec_id, e.v, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY {sqdist('e.v', 'c.c')} ASC, c.cid ASC) AS rn
+    FROM emb e CROSS JOIN {cent} c
+  ) WHERE rn = 1
+)"""
+
+    ctes = [
+        "emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        f"""cent0 AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, v AS c
+  FROM (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT {k})
+)""",
+    ]
+    for t in range(1, iters + 1):
+        ctes.append(assign_cte(f"asg{t}", f"cent{t - 1}"))
+        ctes.append(f"""mean{t} AS (
+  SELECT cid, dim,
+         CAST(SUM(CAST(ROUND(val * 1000000.0) AS BIGINT)) AS DOUBLE)
+           / COUNT(*) / 1000000.0 AS m
+  FROM (SELECT cid, UNNEST(v) AS val, UNNEST(generate_series(1, {dim})) AS dim
+        FROM asg{t})
+  GROUP BY cid, dim
+)""")
+        ctes.append(f"""cent{t} AS (
+  SELECT g.cid, COALESCE(l.c, CAST({zero} AS DOUBLE[])) AS c
+  FROM (SELECT UNNEST(generate_series(0, {k - 1})) AS cid) g
+  LEFT JOIN (SELECT cid, list(m ORDER BY dim) AS c FROM mean{t} GROUP BY cid) l
+    ON l.cid = g.cid
+)""")
+    final = f"cent{iters}"
+    ctes.append(assign_cte("asgf", final))
+    ctes.append(f"""probes AS (
+  SELECT query_id, cid FROM (
+    SELECT q.vec_id AS query_id, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+             ORDER BY {sqdist('q.v', 'c.c')} ASC, c.cid ASC) AS rn
+    FROM emb q CROSS JOIN {final} c WHERE q.vec_id < 5
+  ) WHERE rn <= {nprobe}
+)""")
+    ctes.append("""cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id, a.v
+  FROM probes p JOIN asgf a ON a.cid = p.cid
+  WHERE a.vec_id <> p.query_id
+)""")
+    cos = _duck_cos("q.v", "c.v", dim)
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT query_id, neighbor_id, rank, ROUND(sim, 6) AS sim FROM (
+  SELECT c.query_id, c.neighbor_id, {cos} AS sim,
+         ROW_NUMBER() OVER (PARTITION BY c.query_id
+           ORDER BY {cos} DESC, c.neighbor_id) AS rank
+  FROM cand c JOIN emb q ON q.vec_id = c.query_id
+) WHERE rank <= {topk}
+"""
+    )
+
+
+@query("ann_ivf_kmeans_topk", _kmeans_ivf_oracle(), tags=("similarity",))
 def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN with trained (k-means) centroids — the production form of
     `ann_ivf_topk`.
 
     Three deterministic Lloyd iterations (`operators/kmeans.py`: exact
-    decimal means, lowest-id init, first-match tie-breaks) produce the
-    coarse quantizer; assignment, probing, and rerank are the same dataflow
-    as `ann_ivf_topk`.  Rows-only check by design: the centroid means are
-    order-exact but replaying 3 Lloyd iterations in one ANSI-SQL statement
-    is not reasonably expressible; determinism is instead pinned by
-    `tests/test_queries.py::test_kmeans_deterministic_and_converges`."""
+    integer-micro-unit means, lowest-id init, first-match tie-breaks)
+    produce the coarse quantizer; assignment, probing, and rerank are the
+    same dataflow as `ann_ivf_topk`.  The DuckDB oracle replays all three
+    Lloyd iterations as CTEs with the identical integer/sequential-fold
+    arithmetic, so this is hash-checked end to end — training included."""
     from pyspark.sql import Window as W
 
     from map_reduce485_spark.operators.kmeans import assign_clusters, kmeans_fit

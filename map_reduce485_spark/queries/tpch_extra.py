@@ -279,15 +279,20 @@ GROUP BY n_name
 @query("q22_global_sales_opportunity", _Q22_ORACLE, tags=("tpch",))
 def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 shape: rich idle customers (above-average balance, no
-    recent orders) per nation — scalar subquery + anti join + broadcast dim."""
+    recent orders) per nation — scalar subquery + anti join + broadcast dim.
+
+    The scalar average stays a DataFrame, joined in via crossJoin(broadcast)
+    — a 1-row broadcast keeps the whole query one lazy job instead of a
+    driver round-trip (single-action laziness at any scale)."""
     cust, nation, orders = T(spark, sf_dir, "customer", "nation", "orders")
-    avg_bal_row = (
+    avg_bal = (
         cust.filter(F.col("c_acctbal") > 0)
-        .agg((F.sum(F.round(F.col("c_acctbal") * 100).cast("long")) / 100.0 / F.count("*")).alias("v"))
-        .collect()[0]
+        .agg((F.sum(F.round(F.col("c_acctbal") * 100).cast("long")) / 100.0 / F.count("*")).alias("_avg_bal"))
     )
     return (
-        cust.filter(F.col("c_acctbal") > avg_bal_row.v)
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("_avg_bal"))
+        .drop("_avg_bal")
         .join(
             orders.filter(F.col("o_orderdate") >= "2000-01-01"),
             F.col("o_custkey") == F.col("c_custkey"),

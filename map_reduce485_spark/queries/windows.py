@@ -324,10 +324,10 @@ _TIME_RANGE_ORACLE = """
 SELECT user_id, event_id,
        strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
        COUNT(*) OVER w AS n_7d,
-       SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w AS cents_7d
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w AS BIGINT) AS cents_7d
 FROM events
 WHERE user_id < 50
-WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
+WINDOW w AS (PARTITION BY user_id ORDER BY (epoch_us(ts) // 1000000)
              RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
 """
 
@@ -339,7 +339,13 @@ def window_time_range_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     (epoch seconds here), not row counts, so simultaneous events share a
     frame; money accumulates as integer cents so partial frames hash
     exactly.  One shuffle on user_id; frame evaluation is a per-partition
-    sliding aggregate."""
+    sliding aggregate.
+
+    Hash-parity notes: the oracle CASTs its windowed SUM back to BIGINT
+    (DuckDB's SUM(BIGINT) is HUGEINT, which stringifies differently), and
+    both sides frame on *integer* epoch seconds — Spark `unix_timestamp`
+    (floor seconds) vs `epoch_us(ts) // 1000000` (integer floor division) —
+    so RANGE boundaries agree even on sub-second timestamps."""
     from pyspark.sql import Window as W
 
     from map_reduce485_spark.queries._util import fmt_ts

@@ -193,10 +193,26 @@ def run_foreach_batch_upsert(
     native MERGE — foreachBatch hands every micro-batch to arbitrary batch
     code under the streaming checkpoint's exactly-once batch ids.
 
-    At scale the overwrite becomes a partition-scoped dynamic overwrite (or
-    a lakehouse MERGE); the dataflow — dedup within batch, full-outer
-    reconcile with state, atomic swap — is identical."""
+    The merge never touches the driver: the new state is written to a
+    sibling ``.tmp`` directory (the current state stays readable during the
+    write), then swapped in with two filesystem renames — the same
+    write-new-then-swap-pointer move a lakehouse MERGE commits with.  State
+    size is bounded by distinct keys, but "bounded" at 100 TB is still far
+    beyond driver memory, so no collect/createDataFrame round-trip anywhere.
+
+    First-batch detection is an explicit FileSystem existence check (via the
+    Hadoop FS API, so it holds on HDFS/S3A too) — NOT a bare try/except
+    around the read, which would silently treat corrupt state or a transient
+    FS error as "no state yet" and drop everything accumulated so far.
+
+    Crash safety: if a batch dies between the two renames, the state dir is
+    momentarily absent but the previous state survives under ``.old``; the
+    next attempt (foreachBatch replays the failed batch id from the
+    checkpoint) rolls it back before merging."""
     from pyspark.sql import Window as W
+
+    base = state_dir.rstrip("/")
+    tmp_dir, old_dir = base + ".tmp", base + ".old"
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -208,21 +224,32 @@ def run_foreach_batch_upsert(
             .filter(F.col("rn") == 1)
             .select("user_id", "event_id", "ts", "event_type", "value")
         )
-        try:
-            state = spark.read.parquet(state_dir)
-        except Exception:  # first batch: no state yet
-            latest.write.mode("overwrite").parquet(state_dir)
+
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path
+        state_p, tmp_p, old_p = hpath(base), hpath(tmp_dir), hpath(old_dir)
+        fs = state_p.getFileSystem(spark._jsc.hadoopConfiguration())
+
+        # roll back a swap interrupted between the two renames (see docstring)
+        if not fs.exists(state_p) and fs.exists(old_p):
+            fs.rename(old_p, state_p)
+
+        if not fs.exists(state_p):  # genuinely the first batch
+            latest.write.mode("overwrite").parquet(base)
             return
+
         merged = (
-            state.unionByName(latest)
+            spark.read.parquet(base)
+            .unionByName(latest)
             .withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
             .drop("rn")
         )
-        # materialize before overwriting the input path (local-mode safe;
-        # production would write to a new location and swap)
-        rows = merged.collect()
-        spark.createDataFrame(rows, merged.schema).write.mode("overwrite").parquet(state_dir)
+        merged.write.mode("overwrite").parquet(tmp_dir)  # state still live
+        fs.delete(old_p, True)
+        fs.rename(state_p, old_p)
+        fs.rename(tmp_p, state_p)
+        fs.delete(old_p, True)
 
     return (
         events.writeStream.foreachBatch(upsert)

@@ -7,6 +7,10 @@ whole-stage codegen on the hot path."""
 
 from __future__ import annotations
 
+import os
+
+import pytest
+
 from map_reduce485_spark.plans import (
     codegen_operator_count,
     has_broadcast_join,
@@ -17,6 +21,23 @@ from map_reduce485_spark.queries import REGISTRY, _load_all
 from tests.conftest import SF_SMOKE
 
 _load_all()
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _uncached_scans(spark):
+    """These pins assert on the raw parquet scan (PushedFilters/ReadSchema);
+    the catalog's cross-query table cache would swap in InMemoryTableScan
+    and hide them.  Disable the cache and clear any already-cached plans for
+    the duration of this module — pushdown/pruning still hold in cached
+    runs, they are just asserted against the uncached plan."""
+    prev = os.environ.get("SPARK_GRAFT_CACHE_TABLES")
+    os.environ["SPARK_GRAFT_CACHE_TABLES"] = "0"
+    spark.catalog.clearCache()
+    yield
+    if prev is None:
+        os.environ.pop("SPARK_GRAFT_CACHE_TABLES", None)
+    else:
+        os.environ["SPARK_GRAFT_CACHE_TABLES"] = prev
 
 
 def _q(spark, name):

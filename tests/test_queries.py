@@ -20,7 +20,7 @@ def test_registry_integrity():
     assert set(osql) <= set(qs)
     # every non-oracle query is a deliberate rows-only op
     rows_only = set(qs) - set(osql)
-    assert rows_only == {"ann_lsh_buckets", "sketch_approx_aggs", "ann_ivf_kmeans_topk"}
+    assert rows_only == {"sketch_approx_aggs"}
 
 
 # -- oracle parity on a representative per-family subset (fast, sf0.001-ish) --
