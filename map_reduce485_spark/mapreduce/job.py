@@ -204,6 +204,11 @@ class JobQueue:
         with self._lock:
             return self._errors.get(job_id)
 
+    def snapshot(self) -> dict[int, str]:
+        """All job states at once (the manager `status` verb's payload)."""
+        with self._lock:
+            return dict(self._status)
+
     def wait(self, job_id: int, timeout: float = 300.0) -> str:
         """Block until the job leaves the queue/running states."""
         import time
