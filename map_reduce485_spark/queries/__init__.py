@@ -15,6 +15,8 @@ schema + order-insensitive value hash, columns sorted by name):
 - Timestamp outputs are formatted to strings so timezone/display conventions
   cannot differ.
 - Top-k orderings always include a unique tiebreaker column.
+- Floating-point array reductions (similarity module) are sequential left
+  folds on BOTH engines, so even unrounded doubles are bit-identical.
 """
 
 from __future__ import annotations
@@ -35,6 +37,11 @@ class QuerySpec:
     doc: str = ""
     tags: tuple[str, ...] = field(default_factory=tuple)
     bench: bool = False  # headline query: included in bench.py
+    # bench measures this query to a parquet sink instead of a driver
+    # collect: set for queries whose output is a distributed intermediate
+    # (e.g. pair-emitting dedup — millions of rows that no real pipeline
+    # ever collects; at 10x they exceed spark.driver.maxResultSize)
+    bench_sink: bool = False
 
 
 REGISTRY: dict[str, QuerySpec] = {}
@@ -45,6 +52,7 @@ def query(
     oracle: str | None,
     tags: tuple[str, ...] = (),
     bench: bool = False,
+    bench_sink: bool = False,
 ) -> Callable[[QueryFn], QueryFn]:
     """Register a query. ``oracle=None`` → rows-only correctness check."""
 
@@ -52,7 +60,8 @@ def query(
         if name in REGISTRY:
             raise ValueError(f"duplicate query name {name!r}")
         REGISTRY[name] = QuerySpec(
-            name=name, fn=fn, oracle=oracle, doc=fn.__doc__ or "", tags=tags, bench=bench
+            name=name, fn=fn, oracle=oracle, doc=fn.__doc__ or "", tags=tags,
+            bench=bench, bench_sink=bench_sink,
         )
         return fn
 
@@ -99,6 +108,7 @@ def _load_all() -> None:
         tpch_extra,
         tpch_full,
         bucketed,
+        source_formats,
         relational,
         windows,
         functions_surface,

@@ -416,7 +416,7 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_simhash_banded", _SIMHASH_PAIRS_ORACLE, tags=("dedup",))
+@query("dedup_simhash_banded", _SIMHASH_PAIRS_ORACLE, tags=("dedup",), bench=True, bench_sink=True)
 def dedup_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs via chunk banding — same result set as
     `dedup_simhash_pairs`, scalable plan.

@@ -79,7 +79,7 @@ def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT doc_id, 8 AS width, 8 AS height,
            LEAST(octet_length(encode(text)), 64) AS n_bytes_out,
-           sha256(substring(text, 1, 64)) AS resized_sha256
+           sha256(substr(hex(encode(text)), 1, 128)) AS resized_sha256
     FROM documents WHERE length(text) > 0
     """,
     tags=("multimodal",),
@@ -88,8 +88,9 @@ def multimodal_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image-resize pipeline over `mapInPandas`: binary in → resized binary
     metadata + content digest out.  The 'resampling' is the deterministic
     truncation fake (`operators.multimodal.fake_resize_image`); the oracle
-    replays it (ASCII payloads ⇒ char-slice == byte-slice), verifying the
-    full Arrow-batched plumbing."""
+    replays it byte-exactly for any payload — both sides digest the hex of
+    the first 64 BYTES (128 hex chars), so multi-byte UTF-8 cannot diverge
+    a char-slice from a byte-slice."""
     from map_reduce485_spark.operators.multimodal import fake_resize_image
 
     (docs,) = T(spark, sf_dir, "documents")
@@ -105,9 +106,10 @@ def multimodal_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "multimodal_frame_sample",
     """
-    WITH d AS (SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents)
+    WITH d AS (SELECT doc_id, hex(encode(text)) AS h,
+                      octet_length(encode(text)) AS n FROM documents)
     SELECT doc_id, i AS frame_no,
-           hex(encode(substr(text, CAST(i * 64 + 1 AS BIGINT), 16))) AS frame_hex
+           substr(h, CAST(i * 128 + 1 AS BIGINT), 32) AS frame_hex
     FROM d, UNNEST(generate_series(0, (n - 16) // 64)) AS u(i)
     WHERE n >= 16
     """,
@@ -117,7 +119,9 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame-sampling pipeline over `mapInPandas` with 1→N fan-out:
     each payload yields one row per sampled 'frame' (16-byte slice every 64
     bytes — the stub for decode-and-keep-every-Nth-frame).  Exercises the
-    row-multiplying UDF contract a real sampler needs."""
+    row-multiplying UDF contract a real sampler needs.  The oracle slices
+    the payload's hex string (2 chars per byte), so frame boundaries are
+    byte-positions on both engines regardless of UTF-8 content."""
     from map_reduce485_spark.operators.multimodal import fake_frame_sample
 
     (docs,) = T(spark, sf_dir, "documents")
@@ -130,15 +134,15 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "multimodal_audio_features",
     """
-    WITH chars AS (
-      SELECT doc_id, unicode(substr(text, CAST(i AS BIGINT), 1)) AS b
-      FROM documents, UNNEST(generate_series(1, length(text))) AS u(i)
+    WITH bytes AS (
+      SELECT doc_id, ('0x' || substr(hex(encode(text)), 2 * i - 1, 2))::INT AS b
+      FROM documents, UNNEST(generate_series(1, octet_length(encode(text)))) AS u(i)
       WHERE length(text) > 0
     )
     SELECT doc_id, COUNT(*) AS n_samples,
            COUNT(*) / 16000.0 AS duration_s,
            sqrt(SUM(b * b) / COUNT(*)) AS rms
-    FROM chars GROUP BY doc_id
+    FROM bytes GROUP BY doc_id
     """,
     tags=("multimodal",),
 )
@@ -146,7 +150,9 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio feature-extraction pipeline over `mapInPandas`: payload bytes as
     u8 samples → (count, duration@16kHz, RMS).  RMS uses an exact integer
     sum of squares, so Spark-side numpy and the oracle's SQL aggregation
-    agree bit-for-bit."""
+    agree bit-for-bit.  The oracle reads actual BYTE values out of the
+    payload's hex string (was: `unicode()` per character, which diverges
+    from bytes on any multi-byte UTF-8 character)."""
     from map_reduce485_spark.operators.multimodal import fake_audio_features
 
     (docs,) = T(spark, sf_dir, "documents")

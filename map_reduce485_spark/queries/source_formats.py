@@ -1,0 +1,98 @@
+"""Source-format surface: CSV and JSON-lines readers proven inside the gate.
+
+The reference reads exactly one format — line-oriented text
+(``manager/__main__.py:224``, ``worker/__main__.py:104``); Parquet/CSV/JSON
+typed scans are the Layer-B upgrade (`sources/io.py`).  Each query here
+round-trips a catalog table through the format under test (write to a
+scratch dir, read back with an EXPLICIT schema — no inference pass, which
+at 100 TB would be a full extra read) and aggregates; the oracle computes
+the same aggregate from the original parquet.  A lossy writer, a wrong
+schema mapping, or a quoting/escaping bug all surface as a hash mismatch.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import tempfile
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from map_reduce485_spark.queries import query
+from map_reduce485_spark.queries._util import T as tables
+from map_reduce485_spark.sources.io import read_csv, read_json
+
+
+def _scratch(kind: str, sf_dir: str) -> str:
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    return str(Path(tempfile.gettempdir()) / f"mr485_src_{kind}_{tag}")
+
+
+_NATION_SCHEMA = T.StructType(
+    [
+        T.StructField("n_nationkey", T.IntegerType()),
+        T.StructField("n_name", T.StringType()),
+        T.StructField("n_regionkey", T.IntegerType()),
+    ]
+)
+
+_SUPPLIER_SCHEMA = T.StructType(
+    [
+        T.StructField("s_suppkey", T.LongType()),
+        T.StructField("s_name", T.StringType()),
+        T.StructField("s_nationkey", T.IntegerType()),
+        T.StructField("s_acctbal", T.DoubleType()),
+    ]
+)
+
+
+@query(
+    "csv_source_roundtrip",
+    """
+    SELECT n_regionkey, COUNT(*) AS n_nations,
+           MIN(n_name) AS first_name, MAX(n_nationkey) AS max_key
+    FROM nation GROUP BY n_regionkey
+    """,
+    tags=("sources",),
+)
+def csv_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV reader surface: nation → CSV (quoted as needed) → explicit-schema
+    read (`sources/io.read_csv`) → aggregate.  The oracle aggregates the
+    original parquet, so the round-trip must be lossless."""
+    (nation,) = tables(spark, sf_dir, "nation")
+    path = _scratch("csv", sf_dir)
+    nation.write.mode("overwrite").option("header", True).csv(path)
+    back = read_csv(spark, path, _NATION_SCHEMA, header=True)
+    return back.groupBy("n_regionkey").agg(
+        F.count("*").alias("n_nations"),
+        F.min("n_name").alias("first_name"),
+        F.max("n_nationkey").alias("max_key"),
+    )
+
+
+@query(
+    "json_source_roundtrip",
+    """
+    SELECT s_nationkey, COUNT(*) AS n_suppliers,
+           SUM(CAST(ROUND(s_acctbal * 100) AS BIGINT)) / 100.0 AS total_bal
+    FROM supplier GROUP BY s_nationkey
+    """,
+    tags=("sources",),
+)
+def json_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines reader surface: supplier → JSON → explicit-schema read
+    (`sources/io.read_json`) → aggregate.  Doubles round-trip exactly
+    (Spark writes shortest-round-trip representations); the cents-sum makes
+    the aggregate order-independent as everywhere else."""
+    (supplier,) = tables(spark, sf_dir, "supplier")
+    path = _scratch("json", sf_dir)
+    supplier.select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+    ).write.mode("overwrite").json(path)
+    back = read_json(spark, path, _SUPPLIER_SCHEMA)
+    return back.groupBy("s_nationkey").agg(
+        F.count("*").alias("n_suppliers"),
+        (F.sum(F.round(F.col("s_acctbal") * 100).cast("long")) / 100.0).alias("total_bal"),
+    )

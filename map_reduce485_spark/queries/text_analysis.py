@@ -412,7 +412,7 @@ FROM deduped d JOIN kept k ON k.doc_id = d.keep_doc_id
 """
 
 
-@query("training_data_pipeline", _PIPELINE_ORACLE, tags=("text", "etl"))
+@query("training_data_pipeline", _PIPELINE_ORACLE, tags=("text", "etl"), bench=True)
 def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The capstone composition: PII scrub → normalize → length gate →
     exact dedup (keep lowest id) → surviving-doc metadata, as ONE declarative

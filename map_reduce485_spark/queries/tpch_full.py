@@ -189,7 +189,7 @@ GROUP BY n_name, o_year
 """
 
 
-@query("q9_product_profit", _Q9_ORACLE, tags=("tpch",))
+@query("q9_product_profit", _Q9_ORACLE, tags=("tpch",), bench=True)
 def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9 shape: profit on 'widget' parts by supplier nation and order
     year (supply cost proxied as 10% of p_retailprice — no partsupp table)."""
@@ -432,7 +432,7 @@ GROUP BY s_name
 """
 
 
-@query("q21_waiting_suppliers", _Q21_ORACLE, tags=("tpch",))
+@query("q21_waiting_suppliers", _Q21_ORACLE, tags=("tpch",), bench=True)
 def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 shape: suppliers solely responsible for a finished
     multi-supplier order shipping late.  The classic EXISTS / NOT-EXISTS

@@ -250,3 +250,50 @@ def test_wordcount_gzip_input(spark, tmp_path):
             k, v = line.split("\t", 1)
             counts[k] = counts.get(k, 0) + int(v)
     assert counts == {"alpha": 2, "beta": 1}
+
+
+def test_stateful_mapper_runs_per_partition_not_per_file(spark, tmp_path):
+    """Pin the documented divergence from the reference (SURVEY.md §7.3,
+    job.py:_apply_mapper): the reference spawns the mapper executable once
+    per input FILE (worker/__main__.py:104-110); RDD.pipe spawns it once per
+    PARTITION.  For the line-streaming contract (stateless per line) the
+    two are equivalent; a mapper carrying cross-line state observes the
+    difference.  This test uses such a mapper — awk counting its own input
+    lines, emitting one record per invocation — and asserts (a) aggregate
+    totals are invariant anyway, and (b) the invocation count equals the
+    partition count of the input RDD, NOT the file count, which is the
+    stated assumption."""
+    ind = tmp_path / "input"
+    ind.mkdir()
+    # 2 files, num_mappers=4: Hadoop byte-range splitting makes >2 splits,
+    # so per-partition invocations must exceed the reference's per-file count
+    (ind / "a.txt").write_text("one\ntwo\nthree\nfour\nfive\nsix\nseven\neight\n")
+    (ind / "b.txt").write_text("ichi\nni\nsan\nshi\ngo\nroku\n")
+    n_lines = 14
+    n_mappers = 4
+
+    # one `invocations\t<line-count>` record per mapper process
+    mapper = "awk '{n++} END {print \"invocations\\t\" n}'"
+    reducer_sh = tmp_path / "sum_count.sh"
+    reducer_sh.write_text(
+        "#!/bin/sh\n"
+        "awk -F'\\t' '{s[$1]+=$2; c[$1]++} END {for (k in s) print k \"\\t\" s[k] \"\\t\" c[k]}'\n"
+    )
+    out = tmp_path / "out"
+    MapReduceJob(
+        spark,
+        JobRequest(str(ind), str(out), mapper, f"sh {reducer_sh}", n_mappers, 1),
+    ).run()
+
+    expected_partitions = spark.sparkContext.textFile(
+        str(ind), minPartitions=n_mappers
+    ).getNumPartitions()
+    assert expected_partitions > 2  # the premise: more partitions than files
+
+    rows = [line for _, lines in read_parts(out) for line in lines]
+    assert len(rows) == 1
+    key, total, n_invocations = rows[0].split("\t")
+    assert key == "invocations"
+    assert int(total) == n_lines  # aggregate invariant under granularity
+    # per-partition, not per-file: 2 files but `expected_partitions` spawns
+    assert int(n_invocations) == expected_partitions

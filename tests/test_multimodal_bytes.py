@@ -1,0 +1,99 @@
+"""Non-ASCII byte-parity pins for the multimodal fakes vs their oracles.
+
+ADVICE r1 flagged that the resize/frame/audio oracles compared CHAR-sliced
+text against Spark's BYTE-sliced payloads — equivalent only while the corpus
+stays ASCII.  The oracles now do byte arithmetic via the payload's hex
+string; these tests run fake and oracle over a deliberately multi-byte
+corpus (accents, CJK, emoji) so the parity claim is proven, not assumed.
+No SparkSession needed: the fakes are plain pandas-batch functions, and the
+mapInPandas plumbing is already oracle-checked at sf0.01."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+from map_reduce485_spark.operators.multimodal import (
+    fake_audio_features,
+    fake_frame_sample,
+    fake_resize_image,
+)
+from map_reduce485_spark.queries import REGISTRY, _load_all
+
+_load_all()
+
+_DOCS = pd.DataFrame(
+    {
+        "doc_id": [0, 1, 2, 3, 4],
+        "text": [
+            "plain ascii only here, long enough to cross the 64-byte line " * 2,
+            "héllo wörld — accented latin pushing past sixty-four bytes éééé",
+            "中文文本跨越多字节边界测试中文文本跨越多字节边界测试中文",  # 3-byte chars
+            "emoji 🎉🎊🎈 payload 🚀 with 4-byte sequences crossing cuts",
+            "x",  # shorter than one frame
+        ],
+    }
+)
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    c.register("documents", _DOCS)
+    return c
+
+
+def _run_fake(fn, schema_cols):
+    pdf = _DOCS.assign(payload=_DOCS["text"].str.encode("utf-8"))[
+        ["doc_id", "payload"]
+    ]
+    out = pd.concat(list(fn(iter([pdf]))), ignore_index=True)
+    return out[schema_cols]
+
+
+def _run_oracle(con, name):
+    return con.execute(REGISTRY[name].oracle).df()
+
+
+def _assert_frames_equal(got: pd.DataFrame, exp: pd.DataFrame, keys: list[str]):
+    got = got.sort_values(keys).reset_index(drop=True)
+    exp = exp.sort_values(keys).reset_index(drop=True)
+    assert list(got.columns) == list(exp.columns)
+    pd.testing.assert_frame_equal(
+        got, exp, check_dtype=False, check_exact=False, rtol=0, atol=0
+    )
+
+
+def test_resize_digest_is_byte_exact_on_multibyte(con):
+    got = _run_fake(
+        fake_resize_image,
+        ["doc_id", "width", "height", "n_bytes_out", "resized_sha256"],
+    )
+    # fake emits rows for every payload; the query filters empty text — none here
+    exp = _run_oracle(con, "multimodal_resize_stub")
+    _assert_frames_equal(got, exp, ["doc_id"])
+    # the 64-byte cut really does land inside a multi-byte char somewhere
+    assert any(
+        len(t.encode("utf-8")) > 64 and len(t.encode("utf-8")[:64].decode("utf-8", "ignore").encode()) < 64
+        for t in _DOCS["text"]
+    )
+
+
+def test_frame_sample_slices_bytes_not_chars(con):
+    got = _run_fake(fake_frame_sample, ["doc_id", "frame_no", "frame_hex"])
+    exp = _run_oracle(con, "multimodal_frame_sample")
+    _assert_frames_equal(got, exp, ["doc_id", "frame_no"])
+    assert len(got) > 0
+
+
+def test_audio_features_read_byte_values(con):
+    got = _run_fake(
+        fake_audio_features, ["doc_id", "n_samples", "duration_s", "rms"]
+    )
+    exp = _run_oracle(con, "multimodal_audio_features")
+    _assert_frames_equal(got, exp, ["doc_id"])
+    # multi-byte docs must have n_samples > char count (the old unicode()
+    # oracle would have produced char counts here)
+    n = dict(zip(got["doc_id"], got["n_samples"]))
+    assert n[2] == len(_DOCS["text"][2].encode("utf-8")) > len(_DOCS["text"][2])

@@ -15,20 +15,26 @@ this container holds):
 - dedup's LSH path absorbs a 10x corpus with ~10x work, not ~100x
   (no quadratic stage).
 
-Run:  python tools/scale_smoke.py [--mult 10]
-Output: one JSON line per query with rows + seconds, then a total.
+Run:  python tools/scale_smoke.py [--mult 10] [--record SCALE_SMOKE.json]
+Output: one JSON line per query with rows + seconds, then a total; with
+--record, the whole run is also written to one JSON artifact so scaling
+regressions are visible round over round.
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+import os
 import shutil
 import sys
 import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+# measured numbers must include the real parquet scan, not a warmed cache
+os.environ.setdefault("SPARK_GRAFT_CACHE_TABLES", "0")
 
 from pyspark.sql import functions as F
 
@@ -86,12 +92,18 @@ def build(spark, mult: int) -> str:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mult", type=int, default=10)
+    ap.add_argument("--record", default=None, help="also write one JSON artifact here")
+    ap.add_argument("--skip-build", action="store_true", help="reuse the existing dataset")
     args = ap.parse_args()
 
     spark = get_spark("scale_smoke")
-    t0 = time.perf_counter()
-    sf_dir = build(spark, args.mult)
-    print(json.dumps({"step": "build", "mult": args.mult, "sec": round(time.perf_counter() - t0, 2)}))
+    if args.skip_build and (OUT / f"x{args.mult}").exists():
+        sf_dir, build_sec = str(OUT / f"x{args.mult}"), 0.0
+    else:
+        t0 = time.perf_counter()
+        sf_dir = build(spark, args.mult)
+        build_sec = round(time.perf_counter() - t0, 2)
+    print(json.dumps({"step": "build", "mult": args.mult, "sec": build_sec}))
 
     from map_reduce485_spark.queries import REGISTRY, _load_all
 
@@ -100,26 +112,63 @@ def main() -> int:
         "q1_pricing_summary",
         "q3_shipping_priority",
         "q5_local_supplier_volume",
+        "q9_product_profit",
+        "q21_waiting_suppliers",
         "wordcount",
+        "training_data_pipeline",
         "dedup_minhash_lsh",
+        "dedup_simhash_banded",
         "cosine_topk_bruteforce",
     ]
     # scan-parallelism proof on the multi-file layout
     n_parts = load_table(spark, sf_dir, "lineitem").rdd.getNumPartitions()
     print(json.dumps({"step": "scan_partitions", "lineitem": n_parts}))
 
+    # Results land in a parquet sink, not the driver: at 10x the dedup pair
+    # sets exceed spark.driver.maxResultSize (every doc has `mult` near-copies
+    # by construction, so pair output grows ~mult² per dup group — inherent to
+    # pair-emitting dedup, which is why production pipelines go pairs →
+    # clusters → keep-one before anything leaves the cluster).  Writing is
+    # also the operation a real 100 TB job performs; row counts come from
+    # parquet metadata afterwards.
+    sink = OUT / "sink"
+
+    def run_once(fn) -> int:
+        fn(spark, sf_dir).write.mode("overwrite").parquet(str(sink))
+        return spark.read.parquet(str(sink)).count()
+
+    queries: dict[str, dict] = {}
     total = 0.0
     for name in names:
         fn = REGISTRY[name].fn
-        fn(spark, sf_dir).collect()  # warm (codegen/JIT), same protocol as bench.py
+        run_once(fn)  # warm (codegen/JIT), same protocol as bench.py
         best, n = float("inf"), 0
         for _ in range(2):  # best-of-2: local JVM noise is ±10-50% under load
             t0 = time.perf_counter()
-            n = len(fn(spark, sf_dir).collect())
+            n = run_once(fn)
             best = min(best, time.perf_counter() - t0)
         total += best
+        queries[name] = {"rows": n, "sec": round(best, 2)}
         print(json.dumps({"query": name, "rows": n, "sec": round(best, 2)}))
-    print(json.dumps({"metric": "scale_smoke_total", "mult": args.mult, "value": round(total, 2), "unit": "sec"}))
+    summary = {
+        "metric": "scale_smoke_total",
+        "mult": args.mult,
+        "value": round(total, 2),
+        "unit": "sec",
+        "build_sec": build_sec,
+        "lineitem_scan_partitions": n_parts,
+        "queries": queries,
+        "notes": (
+            "results go to a parquet sink (driver collect would cap at "
+            "maxResultSize); dedup pair outputs grow ~mult^2 because every "
+            "dup family is co-scaled by the generator — candidate generation "
+            "itself stays bucket-bounded (banding), which is the property "
+            "that matters at 100 TB"
+        ),
+    }
+    print(json.dumps({k: summary[k] for k in ("metric", "mult", "value", "unit")}))
+    if args.record:
+        Path(args.record).write_text(json.dumps(summary, indent=1) + "\n")
     return 0
 
 
