@@ -39,26 +39,52 @@ def _dist_expr(cent_col: str, vec_col: str = "embedding") -> str:
     )
 
 
-def assign_clusters(emb: DataFrame, centroids: list[list[float]]) -> DataFrame:
-    """(id_cols…, cluster) — nearest-centroid id per vector, fully JVM-side.
+def assign_clusters(
+    emb: DataFrame, centroids: list[list[float]], id_col: str = "vec_id"
+) -> DataFrame:
+    """(emb columns…, cluster) — nearest-centroid id per vector.
 
-    Centroids ship as a literal array-of-arrays (K×dim doubles — a few KB),
-    the Spark analog of a broadcast variable for expression use."""
-    cents = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
-    df = emb.withColumn("_cents", cents)
-    dists = F.expr(
-        f"transform(_cents, c -> {_dist_expr('c')})"
+    Centroids ride in as a broadcast DataFrame (K×dim doubles) rather than
+    literal arrays: the generated code then contains no per-iteration
+    constants, so the codegen cache reuses ONE compiled plan across all
+    Lloyd iterations — embedding fresh centroid literals forced a
+    multi-thousand-node codegen compile every iteration, which dominated
+    the (tiny) shuffle.  Assignment = broadcast join + per-vector argmin
+    via a (dist, cid)-ordered window — identical distances and identical
+    first-match tie-breaking to the literal `array_position` formulation
+    (and structurally the same ROW_NUMBER the DuckDB oracle replays)."""
+    from pyspark.sql import Window as W
+
+    spark = emb.sparkSession
+    cent_df = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cid int, c array<double>",
     )
+    dist = F.expr(
+        "aggregate(zip_with(embedding, c, (x, cc) -> (CAST(x AS DOUBLE) - cc)"
+        " * (CAST(x AS DOUBLE) - cc)), 0D, (acc, v) -> acc + v)"
+    )
+    w = W.partitionBy(id_col).orderBy(F.col("_d").asc(), F.col("cid").asc())
     return (
-        df.withColumn("_d", dists)
-        .withColumn("cluster", F.expr("array_position(_d, array_min(_d))").cast("int") - 1)
-        .drop("_cents", "_d")
+        emb.join(F.broadcast(cent_df))
+        .withColumn("_d", dist)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .withColumnRenamed("cid", "cluster")
+        .drop("_d", "_rn", "c")
     )
 
 
 def _recompute_centroids(assigned: DataFrame, dim: int, k: int) -> list[list[float]]:
     """Per-cluster per-dimension mean over exact integer micro-units; empty
-    clusters keep a zero vector (deterministic, and cannot capture points)."""
+    clusters keep a zero vector (deterministic, and cannot capture points).
+
+    Plan shape: posexplode → groupBy(cluster, dim).  A 64-column wide
+    aggregate was measured 4x SLOWER here — each Lloyd iteration embeds
+    fresh centroid literals, so the giant per-iteration codegen method
+    recompiles every time, swamping the smaller shuffle.  The exploded
+    shuffle carries rows×dim longs but reuses one compiled shape across
+    iterations."""
     rows = (
         assigned.select("cluster", F.posexplode("embedding").alias("dim", "val"))
         .groupBy("cluster", "dim")
