@@ -151,3 +151,81 @@ def events_daily_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("value").alias("max_value"),
         )
     )
+
+
+_FUNNEL_ORACLE = """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t FROM events WHERE event_type = 'view'
+  GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, MIN(e.ts) AS t FROM events e
+  JOIN v ON v.user_id = e.user_id AND e.event_type = 'click' AND e.ts >= v.t
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS t FROM events e
+  JOIN c ON c.user_id = e.user_id AND e.event_type = 'purchase' AND e.ts >= c.t
+  GROUP BY e.user_id
+)
+SELECT 'viewed' AS stage, (SELECT COUNT(*) FROM v) AS n_users
+UNION ALL SELECT 'clicked_after_view', (SELECT COUNT(*) FROM c)
+UNION ALL SELECT 'purchased_after_click', (SELECT COUNT(*) FROM p)
+"""
+
+
+@query("funnel_conversion", _FUNNEL_ORACLE, tags=("events",))
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-sequence funnel: users who viewed, then clicked at or after
+    their first view, then purchased at or after that click.
+
+    Plan shape is ONE partition-by-user shuffle with three chained window
+    minimums (each stage's anchor timestamp is a window column the next
+    stage conditions on) — the scale-right funnel: no self-joins, no
+    per-stage re-shuffles.  The oracle computes the same anchors with
+    successive grouped joins, so agreeing counts prove the window
+    formulation equals the relational one."""
+    from pyspark.sql import Window as W
+
+    (events,) = T(spark, sf_dir, "events")
+    w = W.partitionBy("user_id")
+    staged = (
+        events.select("user_id", "event_type", "ts")
+        .withColumn(
+            "v", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+        )
+        .withColumn(
+            "c",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click") & (F.col("ts") >= F.col("v")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "p",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("ts") >= F.col("c")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+    )
+    per_user = staged.groupBy("user_id").agg(
+        F.max(F.col("v").isNotNull().cast("int")).alias("viewed"),
+        F.max(F.col("c").isNotNull().cast("int")).alias("clicked"),
+        F.max(F.col("p").isNotNull().cast("int")).alias("purchased"),
+    )
+    totals = per_user.agg(
+        F.sum("viewed").alias("n_viewed"),
+        F.sum("clicked").alias("n_clicked"),
+        F.sum("purchased").alias("n_purchased"),
+    )
+    return totals.select(
+        F.expr(
+            "stack(3, 'viewed', n_viewed, 'clicked_after_view', n_clicked,"
+            " 'purchased_after_click', n_purchased) AS (stage, n_users)"
+        )
+    )

@@ -454,3 +454,63 @@ def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deduped.join(
         kept, F.col("doc_id") == F.col("keep_doc_id")
     ).select("content_hash", "keep_doc_id", "n_copies", "lang", "n_tokens")
+
+
+_REPETITION_ORACLE = """
+WITH words AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         len(w) - 2 AS n_ngrams,
+         len(list_distinct(list_transform(
+           generate_series(1, len(w) - 2),
+           i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]
+         ))) AS n_distinct
+  FROM words WHERE len(w) >= 3
+)
+SELECT doc_id, n_ngrams, n_distinct,
+       CAST(n_ngrams - n_distinct AS DOUBLE) / n_ngrams AS rep_ratio
+FROM grams
+"""
+
+
+@query("repetition_ratio", _REPETITION_ORACLE, tags=("text",))
+def repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-n-gram ratio per document — the standard LLM-corpus quality
+    signal for boilerplate/spam (a doc whose 3-grams are mostly duplicates
+    of each other is template noise, not prose).
+
+    rep_ratio = 1 - distinct_3grams / total_3grams, computed entirely with
+    JVM array expressions in the projection (no explode, no shuffle at all —
+    the scan IS the plan), as integer counts divided once at the end so the
+    value hashes identically on both engines."""
+    (docs,) = T(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id", F.expr("filter(split(text, ' '), x -> x <> '')").alias("w")
+        )
+        .filter(F.size("w") >= 3)
+        .select(
+            "doc_id",
+            (F.size("w") - 2).alias("n_ngrams"),
+            F.size(
+                F.array_distinct(
+                    F.expr(
+                        "transform(sequence(1, size(w) - 2),"
+                        " i -> concat_ws(' ', w[i-1], w[i], w[i+1]))"
+                    )
+                )
+            ).alias("n_distinct"),
+        )
+        .select(
+            "doc_id",
+            "n_ngrams",
+            "n_distinct",
+            (
+                (F.col("n_ngrams") - F.col("n_distinct")).cast("double")
+                / F.col("n_ngrams")
+            ).alias("rep_ratio"),
+        )
+    )

@@ -139,3 +139,48 @@ def mapreduce_wordcount_pipe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.split_part("value", F.lit("\t"), F.lit(1)).alias("word"),
         F.split_part("value", F.lit("\t"), F.lit(2)).cast("bigint").alias("count"),
     )
+
+
+_UDTF_ORACLE = """
+WITH words AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+  FROM documents
+)
+SELECT doc_id, i - 1 AS chunk_no,
+       LEAST(10, len(w) - (i - 1) * 10) AS n_words,
+       w[(i - 1) * 10 + 1] AS first_word
+FROM words, UNNEST(generate_series(1, CAST(ceil(len(w) / 10.0) AS BIGINT))) AS u(i)
+WHERE len(w) > 0
+"""
+
+
+@query("udtf_word_chunks", _UDTF_ORACLE, tags=("udf",))
+def udtf_word_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native Python UDTF (Spark 4 `@udtf`) driven through a SQL LATERAL
+    join — one input row fans out to one row per 10-word chunk.
+
+    This completes the UDF surface mapped from the reference's executable
+    contract (SURVEY.md §2.b last row): the mapper analog exists as
+    `RDD.pipe` (bit-faithful), `mapInPandas` (Arrow batches), and now the
+    first-class table-function form with `LATERAL` correlation — the
+    declarative replacement for a mapper that emits multiple records per
+    input.  Arrow-batched (`useArrow`); the oracle replays the chunking
+    relationally."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_no int, n_words int, first_word string", useArrow=True)
+    class WordChunks:
+        def eval(self, text: str):
+            words = [w for w in (text or "").split(" ") if w]
+            for i in range(0, len(words), 10):
+                chunk = words[i : i + 10]
+                yield i // 10, len(chunk), chunk[0]
+
+    from map_reduce485_spark.catalog import register_views
+
+    spark.udtf.register("word_chunks", WordChunks)
+    register_views(spark, sf_dir)
+    return spark.sql(
+        "SELECT d.doc_id, f.chunk_no, f.n_words, f.first_word "
+        "FROM documents d, LATERAL word_chunks(d.text) f"
+    )
