@@ -96,3 +96,44 @@ def json_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_suppliers"),
         (F.sum(F.round(F.col("s_acctbal") * 100).cast("long")) / 100.0).alias("total_bal"),
     )
+
+
+_PRUNED_ORACLE = """
+SELECT event_type, COUNT(*) AS n_events,
+       SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 AS sum_value
+FROM events
+WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'
+GROUP BY event_type
+"""
+
+
+@query("partition_pruned_scan", _PRUNED_ORACLE, tags=("sources", "layout"))
+def partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directory-partition pruning end to end: events written partitioned by
+    event_date (`sources/io.write_partitioned_parquet`), read back with a
+    one-week date predicate that must prune to 7 directories, aggregated.
+
+    This is THE scan discipline at 100 TB — a date-partitioned event table
+    is read by partition directory, not by file scan + filter; the oracle
+    computes the same week from the unpartitioned source, so a broken
+    date derivation or a partition column that silently changes type shows
+    up as a hash mismatch.  `tests/test_plans.py` additionally pins that
+    the plan prunes (scans 7 partitions, not all)."""
+    from map_reduce485_spark.sources.io import write_partitioned_parquet
+
+    (events,) = tables(spark, sf_dir, "events")
+    path = _scratch("events_by_date", sf_dir)
+    marker = Path(path) / "_SUCCESS"
+    if not marker.exists():  # layout build is one-time per sf_dir
+        write_partitioned_parquet(
+            events.withColumn("event_date", F.to_date("ts")),
+            path,
+            partition_by=["event_date"],
+        )
+    back = spark.read.parquet(path).filter(
+        F.col("event_date").between("2024-01-08", "2024-01-14")
+    )
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        (F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0).alias("sum_value"),
+    )

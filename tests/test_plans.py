@@ -157,3 +157,47 @@ def test_vocab_topk_no_global_window(spark):
 
     plan = explain_str(REGISTRY["vocab_top_bigrams"].fn(spark, SF_SMOKE))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_partition_pruned_scan_prunes_directories(spark):
+    """The date predicate must reach the scan as PartitionFilters pruning to
+    7 event_date directories — at 100 TB this is reading a week, not a
+    history."""
+    from map_reduce485_spark.plans import explain_str
+
+    df = _q(spark, "partition_pruned_scan")
+    plan = explain_str(df, "formatted")
+    assert "PartitionFilters" in plan and "event_date" in plan
+    # the physical scan reports the pruned partition count
+    import re
+
+    m = re.search(r"partition count: (\d+)", plan) or re.search(
+        r"PartitionCount: (\d+)", plan
+    )
+    if m:
+        assert int(m.group(1)) == 7
+
+
+def test_q9_dims_broadcast_and_part_filter_pushed(spark):
+    df = _q(spark, "q9_product_profit")
+    assert has_broadcast_join(df)
+    pf = " ".join(pushed_filters(df))
+    assert "p_name" in pf  # the %green% filter reaches the part scan
+
+
+def test_q21_no_cartesian_and_broadcast_nation(spark):
+    from map_reduce485_spark.plans import explain_str
+
+    df = _q(spark, "q21_waiting_suppliers")
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan
+    assert has_broadcast_join(df)
+
+
+def test_asof_join_no_cartesian(spark):
+    """AS-OF must plan as an equi-join on user + window, never a
+    range-cross-product."""
+    from map_reduce485_spark.plans import explain_str
+
+    plan = explain_str(REGISTRY["asof_join_purchase_view"].fn(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
