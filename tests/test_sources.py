@@ -138,3 +138,36 @@ def test_orc_roundtrip(spark, tmp_path):
     spark.range(10).select(F.col("id"), (F.col("id") * 2).alias("v")).write.orc(p)
     back = spark.read.orc(p)
     assert back.count() == 10 and set(back.columns) == {"id", "v"}
+
+
+def test_read_json_permissive_corrupt_records(spark, tmp_path):
+    """Malformed JSON lines must land in the PERMISSIVE corrupt-record
+    column, not fail the job — at 100 TB a single bad line must never kill
+    a pipeline.  Good rows parse normally alongside."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from map_reduce485_spark.sources.io import read_json
+
+    p = tmp_path / "j"
+    p.mkdir()
+    (p / "part-0.json").write_text(
+        '{"k": 1, "v": "ok"}\n'
+        "{this is not json}\n"
+        '{"k": 2, "v": "also ok"}\n'
+        '{"k": "not-an-int", "v": "half ok"}\n'
+    )
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("v", T.StringType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    df = read_json(spark, str(p), schema).cache()
+    good = df.filter(F.col("_corrupt_record").isNull())
+    bad = df.filter(F.col("_corrupt_record").isNotNull())
+    assert {(r.k, r.v) for r in good.collect()} == {(1, "ok"), (2, "also ok")}
+    # the unparseable line and the type-mismatched line are both quarantined
+    assert bad.count() == 2
+    df.unpersist()

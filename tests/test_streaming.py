@@ -228,3 +228,47 @@ def test_foreach_batch_upsert_converges_to_latest_state(spark, events_landing, t
         for r in ev.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).collect()
     }
     assert got == exp and len(got) > 0
+
+
+def test_foreach_batch_upsert_recovers_mid_swap_crash(spark, events_landing, tmp_path):
+    """Crash-window recovery: if a previous batch died BETWEEN the two swap
+    renames (state dir gone, .old still present), the next batch must roll
+    the old state back and merge into it — not mistake the moment for a
+    first batch and silently drop all accumulated state (the failure mode
+    the r1 advisor flagged in the bare-except version)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from map_reduce485_spark.streaming import run_foreach_batch_upsert
+    from map_reduce485_spark.streaming.jobs import EVENTS_SCHEMA
+
+    state = str(tmp_path / "state")
+
+    # run the stream once to build real state
+    src = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_landing)
+    )
+    run_foreach_batch_upsert(src, state, str(tmp_path / "ckpt1")).awaitTermination()
+    full_state = {
+        r.user_id: (r.event_id, r.ts) for r in spark.read.parquet(state).collect()
+    }
+    assert full_state
+
+    # simulate dying between rename(state -> old) and rename(tmp -> state)
+    os.rename(state, state + ".old")
+    assert not os.path.exists(state)
+
+    # replay the same input against a FRESH checkpoint (a re-delivered batch)
+    src2 = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_landing)
+    )
+    run_foreach_batch_upsert(src2, state, str(tmp_path / "ckpt2")).awaitTermination()
+
+    got = {r.user_id: (r.event_id, r.ts) for r in spark.read.parquet(state).collect()}
+    assert got == full_state  # rolled back + re-merged, nothing lost
+    assert not os.path.exists(state + ".old")  # swap debris cleaned up
