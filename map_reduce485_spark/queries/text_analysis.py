@@ -514,3 +514,101 @@ def repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rep_ratio"),
         )
     )
+
+
+_PACK_SEQ_LEN = 2048
+_PACK_SHARD = 100  # docs per packing shard (by id range)
+
+_PACK_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, doc_id // {_PACK_SHARD} AS shard,
+         len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens
+  FROM documents
+),
+o AS (
+  SELECT doc_id, shard, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY shard ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset
+  FROM t
+)
+SELECT doc_id, shard, n_tokens, start_offset,
+       shard * 100000 + start_offset // {_PACK_SEQ_LEN} AS pack_id
+FROM o
+"""
+
+
+@query("pack_sequences", _PACK_ORACLE, tags=("text", "etl"))
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing: concatenate documents in deterministic
+    order and cut at a fixed token budget (GPT-style concat-and-cut), each
+    doc labeled with the pack it starts in and its offset there.
+
+    Scale design: a single global running sum is one partition — the
+    anti-scale shape — so packing happens per id-range SHARD (embarrassingly
+    parallel, deterministic pack ids namespaced by shard).  A 100 TB corpus
+    packs as N independent shards whose outputs are unioned; the window
+    cumsum shuffles once on shard.  Token counts are whitespace counts here
+    (`token_count.n_bpe_tokens` is the drop-in upgrade)."""
+    from pyspark.sql import Window as W
+
+    (docs,) = T(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.expr(f"doc_id div {_PACK_SHARD}").alias("shard"),
+        F.size(F.expr("filter(split(text, ' '), x -> x <> '')"))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    w = (
+        W.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    o = t.withColumn("start_offset", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+    return o.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        "start_offset",
+        (F.col("shard") * 100000 + F.expr(f"start_offset div {_PACK_SEQ_LEN}")).alias(
+            "pack_id"
+        ),
+    )
+
+
+# per-language keep quotas (percent) — the "data mixing" knob: upsample
+# nothing, downsample over-represented languages deterministically
+_MIX_QUOTA = {"en": 40, "de": 80, "fr": 80, "es": 80, "zh": 100}
+
+_MIX_CASE = "CASE lang " + " ".join(
+    f"WHEN '{k}' THEN {v}" for k, v in _MIX_QUOTA.items()
+) + " ELSE 0 END"
+
+_MIX_ORACLE = f"""
+SELECT doc_id, lang, n_chars
+FROM documents
+WHERE (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+      + strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1
+      < ({_MIX_CASE}) * 256 / 100
+"""
+
+
+@query("corpus_mix_sample", _MIX_ORACLE, tags=("text", "sampling"))
+def corpus_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language corpus mixing: keep each document with a
+    language-specific probability (downsampling over-represented languages —
+    the standard mixture-reweighting step before training), decided by the
+    doc's md5 bucket, NOT rand(): re-runs, engines, and auditors all agree
+    on exactly which documents survived.
+
+    The first md5 byte (0..255) is compared against quota*256/100 — pure
+    projection + filter, no shuffle, linear at any scale."""
+    (docs,) = T(spark, sf_dir, "documents")
+    first_byte = (
+        (F.instr(F.lit("0123456789abcdef"), F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)) - 1) * 16
+        + F.instr(F.lit("0123456789abcdef"), F.substring(F.md5(F.col("doc_id").cast("string")), 2, 1)) - 1
+    )
+    return docs.filter(
+        first_byte < F.expr(_MIX_CASE) * 256 / 100
+    ).select("doc_id", "lang", "n_chars")
