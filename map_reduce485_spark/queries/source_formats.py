@@ -137,3 +137,80 @@ def partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         (F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0).alias("sum_value"),
     )
+
+
+_ZORDER_ORACLE = """
+SELECT COUNT(*) AS n_rows,
+       SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) / 100.0 AS sum_price
+FROM lineitem
+WHERE l_orderkey BETWEEN 1000 AND 3000
+  AND l_partkey BETWEEN 500 AND 1500
+"""
+
+
+@query("zorder_multidim_filter", _ZORDER_ORACLE, tags=("sources", "layout"))
+def zorder_multidim_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout end to end: lineitem rewritten clustered on the
+    (l_orderkey, l_partkey) Morton curve (`operators/zorder.zorder_write`),
+    then a two-dimensional range predicate reads it back and aggregates.
+
+    This is Delta/Iceberg's `OPTIMIZE ... ZORDER BY` as an engine operator:
+    every output file covers a compact rectangle of (orderkey, partkey)
+    space, so min/max stats prune files on BOTH columns (measured pruning
+    in `tests/test_zorder.py`).  The oracle aggregates the same predicate
+    from the raw table — a layout rewrite that loses or duplicates rows
+    hash-mismatches here."""
+    from map_reduce485_spark.operators.zorder import zorder_write
+
+    (li,) = tables(spark, sf_dir, "lineitem")
+    path = _scratch("lineitem_zorder", sf_dir)
+    if not (Path(path) / "_SUCCESS").exists():  # layout build once per sf_dir
+        zorder_write(li, path, "l_orderkey", "l_partkey", n_files=8)
+    back = spark.read.parquet(path).filter(
+        F.col("l_orderkey").between(1000, 3000)
+        & F.col("l_partkey").between(500, 1500)
+    )
+    return back.agg(
+        F.count("*").alias("n_rows"),
+        (F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")) / 100.0).alias(
+            "sum_price"
+        ),
+    )
+
+
+_COMPACT_ORACLE = """
+SELECT o_orderpriority, COUNT(*) AS n_orders,
+       SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0 AS total
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+@query("compact_small_files", _COMPACT_ORACLE, tags=("sources", "layout"))
+def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction end to end: orders deliberately shattered into
+    64 tiny files (the classic streaming-ingest pathology — at 100 TB,
+    millions of small files turn scans into metadata storms), compacted to
+    size-targeted files (`operators/compact.compact`), aggregated from the
+    compacted copy against an oracle over the original table.
+
+    Checks the property that matters: compaction is a pure layout change —
+    same rows, same values, fewer files (file-count assertions live in
+    `tests/test_compact.py`)."""
+    from map_reduce485_spark.operators.compact import compact
+
+    (orders,) = tables(spark, sf_dir, "orders")
+    frag = _scratch("orders_fragmented", sf_dir)
+    comp = _scratch("orders_compacted", sf_dir)
+    if not (Path(comp) / "_SUCCESS").exists():  # build once per sf_dir
+        orders.repartition(64).write.mode("overwrite").parquet(frag)
+        compact(spark, frag, comp, target_mb=128)
+    return (
+        spark.read.parquet(comp)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            (F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / 100.0).alias(
+                "total"
+            ),
+        )
+    )
