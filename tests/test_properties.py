@@ -97,3 +97,27 @@ def test_sort_and_placement_fidelity(spark, tmp_path_factory, lines):
             assert md5_partition(extract_key(line), 3) == part_idx, (
                 f"line {line!r} misplaced"
             )
+
+
+def test_pack_sequences_offsets_contiguous_and_bounded(spark):
+    """Packing invariants: within every shard, docs tile the token stream
+    contiguously (each start_offset == previous start + previous length,
+    starting at 0), and a doc's pack is its start offset's 2048-window."""
+    from map_reduce485_spark.queries.text_analysis import (
+        _PACK_SEQ_LEN,
+        pack_sequences,
+    )
+    from tests.conftest import SF_SMOKE
+
+    rows = pack_sequences(spark, SF_SMOKE).collect()
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r)
+    assert by_shard
+    for shard, rs in by_shard.items():
+        rs.sort(key=lambda r: r.doc_id)
+        expect = 0
+        for r in rs:
+            assert r.start_offset == expect, (shard, r.doc_id)
+            assert r.pack_id == shard * 100000 + r.start_offset // _PACK_SEQ_LEN
+            expect += r.n_tokens

@@ -272,3 +272,45 @@ def test_foreach_batch_upsert_recovers_mid_swap_crash(spark, events_landing, tmp
     got = {r.user_id: (r.event_id, r.ts) for r in spark.read.parquet(state).collect()}
     assert got == full_state  # rolled back + re-merged, nothing lost
     assert not os.path.exists(state + ".old")  # swap debris cleaned up
+
+
+def test_stream_static_enrichment_join(spark, events_landing):
+    """Stream-static join: the streaming side enriches against a static
+    (broadcastable) dimension — the standard streaming-ETL shape (facts
+    arrive, dims sit in the lakehouse).  Output must equal the batch twin
+    of the same join + aggregation."""
+    from pyspark.sql import functions as F
+
+    from map_reduce485_spark.streaming.jobs import EVENTS_SCHEMA
+
+    segments = spark.createDataFrame(
+        [(i, f"seg_{i % 3}") for i in range(200)], "user_id bigint, segment string"
+    )
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .parquet(events_landing)
+        .join(F.broadcast(segments), "user_id")  # stream-static equi-join
+        .groupBy("segment")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+        )
+    )
+    run_to_memory_sink(stream, "seg_enrich_t", mode="complete")
+    got = {
+        r.segment: (r.n_events, r.cents)
+        for r in spark.table("seg_enrich_t").collect()
+    }
+
+    batch = (
+        spark.read.parquet(events_landing)
+        .join(F.broadcast(segments), "user_id")
+        .groupBy("segment")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+        )
+    )
+    exp = {r.segment: (r.n_events, r.cents) for r in batch.collect()}
+    assert got == exp and len(got) == 3
