@@ -26,10 +26,14 @@ KNOWN_BNLJ = {
     "dedup_simhash_pairs",
     "cosine_topk_bruteforce",
     "dedup_embedding_cosine",
+    "dedup_embedding_lsh",
     "ann_ivf_topk",
     "ann_ivf_kmeans_topk",
     "range_join_price_bands",
     "q11_important_stock",
+    # 1-row broadcast of the scalar average threshold (crossJoin(broadcast))
+    # — replaced a driver-side collect; a 1-row BNLJ probe is free
+    "q22_global_sales_opportunity",
 }
 
 
