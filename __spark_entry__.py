@@ -22,10 +22,13 @@ from map_reduce485_spark.queries import all_oracles, all_queries
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: TPC-H Q1-style pricing
-    summary (filter → partial+final hash agg → sort)."""
-    from map_reduce485_spark.queries.relational import q1_pricing_summary
+    summary (filter → partial+final hash agg → sort).
 
-    return q1_pricing_summary(spark, "/root/testdata/sf0.001")
+    Resolved through the registry (NOT a direct module import): importing
+    `queries.relational` here would register that module's queries first
+    and silently defeat `_load_all`'s deliberate gate-execution ordering
+    whenever the harness calls entry() before queries()."""
+    return all_queries()["q1_pricing_summary"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
