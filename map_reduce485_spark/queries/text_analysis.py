@@ -117,9 +117,9 @@ _STOPWORDS = ["' the '", "' a '", "' of '", "' and '", "' to '"]
     "quality_score",
     f"""
     SELECT doc_id, n_chars, n_tokens, avg_token_len, stopword_ratio,
-           ROUND(0.4 * LEAST(n_tokens / 50.0, 1.0)
+           0.4 * LEAST(n_tokens / 50.0, 1.0)
                + 0.3 * LEAST(avg_token_len / 8.0, 1.0)
-               + 0.3 * LEAST(stopword_ratio * 5.0, 1.0), 6) AS quality
+               + 0.3 * LEAST(stopword_ratio * 5.0, 1.0) AS quality
     FROM (
       SELECT doc_id, length(text) AS n_chars,
              len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens,
@@ -134,8 +134,15 @@ _STOPWORDS = ["' the '", "' a '", "' of '", "' and '", "' to '"]
 )
 def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document quality scoring: length, mean token length, stopword density
-    → weighted score in [0,1].  All inputs are integer counts, so the
-    arithmetic is bit-identical across engines."""
+    → weighted score in [0,1].  All inputs are integer counts and every
+    operation runs in the same order on both engines, so the UNROUNDED
+    double is bit-identical — and is emitted unrounded on purpose: a
+    ROUND(x, 6) here once flipped on a doc whose score sat within 1 ulp of
+    an exact .5 at the 6th decimal (Spark rounds via exact BigDecimal
+    expansion, DuckDB multiplies by 1e6 then rounds — they disagree exactly
+    at that boundary; surfaced at sf0.1, invisible at sf0.01).  Rounding is
+    for values that are merely CLOSE across engines; bit-identical values
+    must skip it."""
     (docs,) = T(spark, sf_dir, "documents")
     n_tokens = F.size(F.expr("filter(split(text, ' '), x -> x <> '')"))
     stop_cnt = F.expr(" + ".join(_marker_count(m.strip("'")) for m in _STOPWORDS))
@@ -154,11 +161,10 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         "avg_token_len",
         "stopword_ratio",
-        F.round(
+        (
             0.4 * F.least(F.col("n_tokens") / 50.0, F.lit(1.0))
             + 0.3 * F.least(F.col("avg_token_len") / 8.0, F.lit(1.0))
-            + 0.3 * F.least(F.col("stopword_ratio") * 5.0, F.lit(1.0)),
-            6,
+            + 0.3 * F.least(F.col("stopword_ratio") * 5.0, F.lit(1.0))
         ).alias("quality"),
     )
 
