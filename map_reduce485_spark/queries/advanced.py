@@ -211,7 +211,7 @@ def scalar_and_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
            ABS(l_extendedprice - 50000) AS abs_dev,
            CEIL(l_quantity / 7) AS qty_ceil,
            FLOOR(l_quantity / 7) AS qty_floor,
-           ROUND(SQRT(l_extendedprice), 6) AS price_sqrt,
+           SQRT(l_extendedprice) AS price_sqrt,
            CAST(l_orderkey % 97 AS BIGINT) AS key_mod,
            SIGN(l_discount - 0.05) AS disc_sign,
            GREATEST(l_quantity, 25.0) AS qty_hi,
@@ -231,7 +231,7 @@ def math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.abs(F.col("l_extendedprice") - 50000).alias("abs_dev"),
         F.ceil(F.col("l_quantity") / 7).alias("qty_ceil"),
         F.floor(F.col("l_quantity") / 7).alias("qty_floor"),
-        F.round(F.sqrt("l_extendedprice"), 6).alias("price_sqrt"),
+        F.sqrt("l_extendedprice").alias("price_sqrt"),
         (F.col("l_orderkey") % 97).cast("bigint").alias("key_mod"),
         F.signum(F.col("l_discount") - 0.05).alias("disc_sign"),
         F.greatest(F.col("l_quantity"), F.lit(25.0)).alias("qty_hi"),

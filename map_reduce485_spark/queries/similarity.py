@@ -182,7 +182,7 @@ pairs AS (
   SELECT a.vec_id AS a_id, b.vec_id AS b_id, {_duck_dot('a.u', 'b.u')} AS sim
   FROM nv a JOIN nv b ON a.vec_id < b.vec_id
 )
-SELECT a_id, b_id, ROUND(sim, 6) AS sim FROM pairs WHERE sim >= {_NEARDUP_T}
+SELECT a_id, b_id, sim FROM pairs WHERE sim >= {_NEARDUP_T}
 """
 
 
@@ -203,7 +203,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             "a_id", "b_id", F.expr(_UNIT_DOT.format(a="au", b="bu")).alias("_sim")
         )
         .filter(F.col("_sim") >= _NEARDUP_T)
-        .select("a_id", "b_id", F.round("_sim", 6).alias("sim"))
+        .select("a_id", "b_id", F.col("_sim").alias("sim"))
     )
 
 
@@ -303,7 +303,7 @@ scored AS (
   SELECT c.a_id, c.b_id, {_duck_dot('x.u', 'y.u')} AS sim
   FROM cand c JOIN nv x ON x.vec_id = c.a_id JOIN nv y ON y.vec_id = c.b_id
 )
-SELECT a_id, b_id, ROUND(sim, 6) AS sim FROM scored WHERE sim >= {_NEARDUP_T}
+SELECT a_id, b_id, sim FROM scored WHERE sim >= {_NEARDUP_T}
 """
 
 
@@ -357,7 +357,7 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("_sim") >= _NEARDUP_T)
         .dropDuplicates(["a_id", "b_id"])
-        .select("a_id", "b_id", F.round("_sim", 6).alias("sim"))
+        .select("a_id", "b_id", F.col("_sim").alias("sim"))
     )
 
 
@@ -570,7 +570,7 @@ def _kmeans_ivf_oracle(
     cos = _duck_cos("q.v", "c.v", dim)
     return (
         "WITH " + ",\n".join(ctes) + f"""
-SELECT query_id, neighbor_id, rank, ROUND(sim, 6) AS sim FROM (
+SELECT query_id, neighbor_id, rank, sim FROM (
   SELECT c.query_id, c.neighbor_id, {cos} AS sim,
          ROW_NUMBER() OVER (PARTITION BY c.query_id
            ORDER BY {cos} DESC, c.neighbor_id) AS rank
@@ -642,5 +642,5 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cand.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 10)
-        .select("query_id", "neighbor_id", "rank", F.round("sim", 6).alias("sim"))
+        .select("query_id", "neighbor_id", "rank", "sim")
     )
