@@ -25,9 +25,9 @@ SELECT p.event_id, p.user_id,
          (SELECT MAX(v.ts) FROM events v
           WHERE v.user_id = p.user_id AND v.event_type = 'view' AND v.ts <= p.ts),
          '%Y-%m-%d %H:%M:%S') AS last_view_ts,
-       epoch_us(p.ts) - (SELECT MAX(epoch_us(v.ts)) FROM events v
+       CAST(epoch_us(p.ts) - (SELECT MAX(epoch_us(v.ts)) FROM events v
           WHERE v.user_id = p.user_id AND v.event_type = 'view' AND v.ts <= p.ts)
-         AS gap_us
+         AS BIGINT) AS gap_us
 FROM events p WHERE p.event_type = 'purchase'
 """
 
@@ -209,11 +209,14 @@ def scalar_and_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT l_orderkey, l_linenumber,
            ABS(l_extendedprice - 50000) AS abs_dev,
-           CEIL(l_quantity / 7) AS qty_ceil,
-           FLOOR(l_quantity / 7) AS qty_floor,
+           -- type pins: DuckDB CEIL/FLOOR(double)→DOUBLE but Spark→BIGINT;
+           -- DuckDB SIGN→TINYINT but Spark signum→DOUBLE.  Values agree,
+           -- the type surface doesn't — cast to one kind on both sides.
+           CAST(CEIL(l_quantity / 7) AS BIGINT) AS qty_ceil,
+           CAST(FLOOR(l_quantity / 7) AS BIGINT) AS qty_floor,
            SQRT(l_extendedprice) AS price_sqrt,
            CAST(l_orderkey % 97 AS BIGINT) AS key_mod,
-           SIGN(l_discount - 0.05) AS disc_sign,
+           CAST(SIGN(l_discount - 0.05) AS DOUBLE) AS disc_sign,
            GREATEST(l_quantity, 25.0) AS qty_hi,
            LEAST(l_quantity, 25.0) AS qty_lo
     FROM lineitem WHERE l_orderkey <= 200
@@ -336,10 +339,24 @@ def sketch_approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows-only; `tests/test_queries.py` pins accuracy against the exact
     values (±2% / containment) instead."""
     (events,) = T(spark, sf_dir, "events")
-    return events.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
-        F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("value_pcts"),
-        F.count("*").alias("n_events"),
+    # percentiles projected to scalar p50/p95/p99 (one shared t-digest,
+    # sliced post-agg) — no array type on the result surface, so the
+    # driver's rows-only canonicalizer can sort and hash the frame
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+            F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("_pcts"),
+            F.count("*").alias("n_events"),
+        )
+        .select(
+            "event_type",
+            "approx_users",
+            F.col("_pcts")[0].alias("p50"),
+            F.col("_pcts")[1].alias("p95"),
+            F.col("_pcts")[2].alias("p99"),
+            "n_events",
+        )
     )
 
 

@@ -533,9 +533,12 @@ WITH t AS (
 ),
 o AS (
   SELECT doc_id, shard, n_tokens,
-         COALESCE(SUM(n_tokens) OVER (
+         -- CAST: DuckDB windowed SUM(BIGINT) is HUGEINT, which pandas fetches
+         -- as float64; Spark emits BIGINT — pin the type so hashes agree
+         CAST(COALESCE(SUM(n_tokens) OVER (
            PARTITION BY shard ORDER BY doc_id
-           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS start_offset
   FROM t
 )
 SELECT doc_id, shard, n_tokens, start_offset,

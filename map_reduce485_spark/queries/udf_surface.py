@@ -74,7 +74,7 @@ def _user_stats(pdf: pd.DataFrame) -> pd.DataFrame:
     "apply_in_pandas_grouped",
     """
     SELECT user_id, COUNT(*) AS n_events,
-           SUM(CAST(round(value * 100) AS BIGINT)) AS total_cents,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents,
            MAX(CAST(round(value * 100) AS BIGINT)) AS max_cents
     FROM events GROUP BY user_id
     """,

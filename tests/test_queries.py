@@ -171,7 +171,7 @@ def test_sketch_approx_aggs_accuracy(spark):
     for et, a in approx.items():
         e = exact[et]
         assert abs(a.approx_users - e.users) <= max(2, 0.02 * e.users), et
-        p50, p95, p99 = a.value_pcts
+        p50, p95, p99 = a.p50, a.p95, a.p99
         assert e.vmin <= p50 <= p95 <= p99 <= e.vmax, et
 
 

@@ -1,21 +1,35 @@
-"""Local replica of the driver's correctness gate.
+"""Local replica of the driver's correctness gate — dtype-faithful.
 
-Runs every registry query on Spark AND its oracle SQL on DuckDB over the
-same parquet tables, canonicalizes (columns sorted by name, rows sorted,
-floats rounded), and diffs.  Use while iterating:
+The driver compares pandas-STRINGIFIED frames: Spark ``.toPandas()`` vs
+DuckDB ``.df()``, columns sorted by name, rows sorted, values hashed as
+strings.  That makes pandas dtype *kind* part of the contract — an int64
+``123456`` and a float64 ``123456.0`` stringify differently even though
+Python ``==`` calls them equal (the exact blind spot that cost round 2:
+DuckDB HUGEINT/TINYINT results land in pandas as float64 while Spark
+emits int64).
+
+This gate therefore compares the same pandas frames the driver sees:
+
+  1. per-column dtype-kind check — any int-vs-float pair is a FAIL(dtype)
+  2. stringified, column-sorted, row-sorted frame equality — FAIL(hash)
+
+Use while iterating:
 
     python tools/verify_local.py [--sf /root/testdata/sf0.01] [query ...]
+
+`tests/test_oracle_dtypes.py` imports `kind_mismatches` / `canon_frame`
+so the dtype sweep also runs under pytest.
 """
 
 from __future__ import annotations
 
 import argparse
-import math
 import sys
 import time
 import traceback
 
 import duckdb
+import pandas as pd
 
 sys.path.insert(0, ".")
 
@@ -23,25 +37,70 @@ from map_reduce485_spark import get_spark
 from map_reduce485_spark.catalog import TABLES, table_path
 from map_reduce485_spark.queries import REGISTRY, _load_all
 
+_NUMERIC_KINDS = set("iuf")
 
-def canon(rows: list[tuple], cols: list[str]) -> list[tuple]:
-    """Column-name-sorted, row-sorted, float-rounded canonical form."""
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
 
-    def norm(v):
-        if isinstance(v, bool):
-            return int(v)
-        if isinstance(v, float):
-            if math.isnan(v):
-                return "NaN"
-            return round(v, 6)
-        if isinstance(v, int):
-            return v
-        return str(v) if v is not None else None
+def kind_mismatches(spdf: pd.DataFrame, opdf: pd.DataFrame) -> list[str]:
+    """Columns where one engine fetched int-kind and the other float-kind.
 
-    out = [tuple(norm(r[i]) for i in order) for r in rows]
-    out.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
-    return out
+    These stringify differently (``123456`` vs ``123456.0``) and therefore
+    hash-mismatch in the driver even when values are numerically equal.
+    """
+    bad = []
+    for c in spdf.columns:
+        if c not in opdf.columns:
+            continue
+        a, b = spdf[c].dtype.kind, opdf[c].dtype.kind
+        if a in _NUMERIC_KINDS and b in _NUMERIC_KINDS and (a == "f") != (b == "f"):
+            bad.append(f"{c}: spark={spdf[c].dtype} oracle={opdf[c].dtype}")
+    return bad
+
+
+def canon_frame(pdf: pd.DataFrame) -> list[tuple]:
+    """Driver-style canonical form: columns sorted by name, every value
+    stringified (no float rounding — bit-identical values are the
+    contract), rows sorted."""
+    pdf = pdf[sorted(pdf.columns)]
+    as_str = pdf.astype(str)
+    return sorted(map(tuple, as_str.itertuples(index=False, name=None)))
+
+
+def open_oracle(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{table_path(sf_dir, t)}')"
+        )
+    return con
+
+
+def check_query(spark, con, spec, sf_dir: str) -> tuple[str, str]:
+    """Returns (status, detail) with status in PASS|rows|FAIL."""
+    try:
+        spdf = spec.fn(spark, sf_dir).toPandas()
+    except Exception:
+        return "FAIL", "SPARK ERROR\n" + traceback.format_exc()
+    if spec.oracle is None:
+        return "rows", f"{len(spdf)} rows (rows-only)"
+    try:
+        opdf = con.execute(spec.oracle).df()
+    except Exception:
+        return "FAIL", "ORACLE ERROR\n" + traceback.format_exc()
+    if sorted(spdf.columns) != sorted(opdf.columns):
+        return (
+            "FAIL",
+            f"columns spark={sorted(spdf.columns)} oracle={sorted(opdf.columns)}",
+        )
+    dt = kind_mismatches(spdf, opdf)
+    if dt:
+        return "FAIL", "dtype kind mismatch (driver hash WILL differ): " + "; ".join(dt)
+    cs, co = canon_frame(spdf), canon_frame(opdf)
+    if len(cs) != len(co):
+        return "FAIL", f"rowcount spark={len(cs)} oracle={len(co)}"
+    if cs != co:
+        bad = [(a, b) for a, b in zip(cs, co) if a != b][:3]
+        return "FAIL", f"stringified-value mismatch; first diffs: {bad}"
+    return "PASS", f"{len(cs)} rows"
 
 
 def main() -> int:
@@ -54,54 +113,19 @@ def main() -> int:
     names = args.names or list(REGISTRY)
 
     spark = get_spark("verify_local")
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{table_path(args.sf, t)}')"
-        )
+    con = open_oracle(args.sf)
 
     n_pass = n_fail = n_rows_only = 0
     for name in names:
-        spec = REGISTRY[name]
         t0 = time.time()
-        try:
-            sdf = spec.fn(spark, args.sf)
-            scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
-        except Exception:
-            print(f"FAIL  {name}: SPARK ERROR")
-            traceback.print_exc()
-            n_fail += 1
-            continue
-        if spec.oracle is None:
-            print(f"rows  {name}: {len(srows)} rows (rows-only, {time.time()-t0:.1f}s)")
+        status, detail = check_query(spark, con, REGISTRY[name], args.sf)
+        print(f"{status:<5} {name}: {detail} ({time.time()-t0:.1f}s)")
+        if status == "PASS":
+            n_pass += 1
+        elif status == "rows":
             n_rows_only += 1
-            continue
-        try:
-            res = con.execute(spec.oracle)
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
-        except Exception:
-            print(f"FAIL  {name}: ORACLE ERROR")
-            traceback.print_exc()
+        else:
             n_fail += 1
-            continue
-        if sorted(scols) != sorted(ocols):
-            print(f"FAIL  {name}: columns spark={sorted(scols)} oracle={sorted(ocols)}")
-            n_fail += 1
-            continue
-        cs, co = canon(srows, scols), canon(orows, ocols)
-        if len(cs) != len(co):
-            print(f"FAIL  {name}: rowcount spark={len(cs)} oracle={len(co)}")
-            n_fail += 1
-            continue
-        if cs != co:
-            bad = [(a, b) for a, b in zip(cs, co) if a != b][:3]
-            print(f"FAIL  {name}: value mismatch; first diffs: {bad}")
-            n_fail += 1
-            continue
-        print(f"PASS  {name}: {len(cs)} rows ({time.time()-t0:.1f}s)")
-        n_pass += 1
 
     print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")
     return 1 if n_fail else 0
