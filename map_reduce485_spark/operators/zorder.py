@@ -14,26 +14,65 @@ The reference has no layout control at all (its output placement is
 `md5(key) % R`, `worker/__main__.py:117-121` — deliberately scattering,
 never clustering); this operator exists for the scale goal, not parity.
 
-Everything is JVM-side expression work (rank windows + bit arithmetic —
-no UDFs): two shuffles total (one per rank dimension) plus the final range
-repartition, each a plain column shuffle that AQE can re-plan.
+Scale design — how each dimension is quantized to [0, 2^bits):
+
+  1. One distributed `approxQuantile` pass computes 2^bits - 1 rank
+     boundaries (Greenwald-Khanna sketch: fixed-size state per partition,
+     merged on the driver — the same mechanism as `percentile_approx`).
+     Rank boundaries are distribution-proof: uniform bucket occupancy even
+     for skewed/heavy-tailed values, where min/max scaling would collapse
+     everything into a few codes.
+  2. Bucket assignment is a MAP-SIDE expression over the broadcast literal
+     boundary array (count boundaries <= value via `F.aggregate`) — no
+     shuffle, no window, whole-stage-codegen'd.
+
+Total shuffles for `zorder_write`: exactly one (the final range partition
+by z_code).  The previous implementation rank-quantized with
+`percent_rank().over(W.orderBy(col))` — a single-partition global window
+over the entire table being re-laid-out, the one shape that cannot run at
+100 TB.  The quantile sketch keeps its distribution-proofness at a bounded,
+distributed cost.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-_BITS = 16  # per-dimension quantization: 2^16 buckets is plenty for file pruning
+# per-dimension quantization: 2^8 = 256 rank buckets per dimension (65536
+# curve cells for two dimensions) — far finer than any realistic output
+# file count, and cheap to compute as a quantile sketch + 255-element
+# map-side comparison fold
+_BITS = 8
 
 
-def _quantize(col: str, bits: int) -> Column:
-    """Rank-quantize a column to [0, 2^bits): percent_rank is distribution-
-    proof (uniform bucket occupancy even for skewed/heavy-tailed values,
-    where min-max scaling would collapse everything into a few codes)."""
-    pr = F.percent_rank().over(W.orderBy(F.col(col)))
-    return F.least(
-        F.floor(pr * (1 << bits)).cast("long"), F.lit((1 << bits) - 1)
+def _rank_boundaries(df: DataFrame, col: str, bits: int) -> list[float]:
+    """Interior rank boundaries of `col` at probabilities i/2^bits — one
+    distributed sketch pass, driver state is just the 2^bits - 1 floats."""
+    n = 1 << bits
+    probs = [i / n for i in range(1, n)]
+    # relativeError 1/(4n): tight enough that buckets stay near-uniform,
+    # sketch state stays fixed-size per partition
+    # duplicates are KEPT deliberately: for low-cardinality / heavy-tied
+    # columns a value that spans k quantile points advances the bucket
+    # count by k, so `#boundaries <= v` stays ~ 2^bits * CDF(v) — the same
+    # occupancy-uniform rank quantization percent_rank gave, spread over
+    # the full code range (deduping would compress codes into a corner of
+    # the curve and misalign file splits with the Morton bit structure)
+    return df.approxQuantile(col, probs, 1.0 / (4 * n))
+
+
+def _bucket(col: str, boundaries: list[float]) -> Column:
+    """Map-side bucket assignment: how many boundaries lie at or below the
+    value.  Branch-free comparison fold over a broadcast literal array —
+    no shuffle, stays inside whole-stage codegen."""
+    if not boundaries:
+        return F.lit(0).cast("long")
+    arr = F.array(*[F.lit(float(b)) for b in boundaries])
+    return F.aggregate(
+        arr,
+        F.lit(0).cast("long"),
+        lambda acc, b: acc + F.when(F.col(col) >= b, 1).otherwise(0),
     )
 
 
@@ -53,13 +92,11 @@ def _interleave(qx: Column, qy: Column, bits: int) -> Column:
 
 def zorder_code(df: DataFrame, x: str, y: str, bits: int = _BITS) -> DataFrame:
     """Add a `z_code` column interleaving the rank-quantized bits of two
-    numeric columns.  (The global rank windows are the honest cost of
-    distribution-proof quantization; at petabyte scale, swap `_quantize`
-    for fixed min/max scaling computed from table stats — one pass, no
-    window — at the price of skew sensitivity.)"""
-    return df.withColumn(
-        "z_code", _interleave(_quantize(x, bits), _quantize(y, bits), bits)
-    )
+    numeric columns.  Costs two quantile-sketch passes (one per dimension)
+    plus a map-side projection — no shuffle, no window."""
+    qx = _bucket(x, _rank_boundaries(df, x, bits))
+    qy = _bucket(y, _rank_boundaries(df, y, bits))
+    return df.withColumn("z_code", _interleave(qx, qy, bits))
 
 
 def zorder_write(
@@ -71,14 +108,25 @@ def zorder_write(
     bits: int = _BITS,
 ) -> None:
     """Write `df` as parquet clustered on the (x, y) Morton curve:
-    range-partition by z_code into `n_files` splits, sort within each, drop
-    the helper column.  Every output file then covers a compact rectangle
-    of (x, y) space — min/max stats prune on BOTH columns."""
+    split the curve into `n_files` EQUAL z ranges, one file each, sort
+    within each, drop the helper columns.  Every output file then covers a
+    compact rectangle of (x, y) space — min/max stats prune on BOTH columns.
+
+    The file id is computed from the top z bits (`z * n_files >> 2*bits`)
+    rather than letting `repartitionByRange(z_code)` sample its own split
+    points: rank quantization already makes z occupancy uniform, and
+    bit-aligned splits mean a filter band touches exactly the curve
+    quadrants it must — sampled splits land off the Morton bit boundaries
+    and overlap extra files."""
+    shift_den = 1 << (2 * bits)
     (
         zorder_code(df, x, y, bits)
-        .repartitionByRange(n_files, "z_code")
+        .withColumn(
+            "_file", (F.col("z_code") * F.lit(n_files) / F.lit(shift_den)).cast("long")
+        )
+        .repartitionByRange(n_files, "_file")
         .sortWithinPartitions("z_code")
-        .drop("z_code")
+        .drop("z_code", "_file")
         .write.mode("overwrite")
         .parquet(out_dir)
     )

@@ -406,15 +406,13 @@ scored AS (
 ),
 kept AS (
   SELECT * FROM scored WHERE n_tokens >= 20
-),
-deduped AS (
-  SELECT md5(clean_text) AS content_hash,
-         MIN(doc_id) AS keep_doc_id,
-         COUNT(*) AS n_copies
-  FROM kept GROUP BY md5(clean_text)
 )
-SELECT d.content_hash, d.keep_doc_id, d.n_copies, k.lang, k.n_tokens
-FROM deduped d JOIN kept k ON k.doc_id = d.keep_doc_id
+SELECT md5(clean_text) AS content_hash,
+       MIN(doc_id) AS keep_doc_id,
+       COUNT(*) AS n_copies,
+       arg_min(lang, doc_id) AS lang,
+       arg_min(n_tokens, doc_id) AS n_tokens
+FROM kept GROUP BY md5(clean_text)
 """
 
 
@@ -423,10 +421,13 @@ def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The capstone composition: PII scrub → normalize → length gate →
     exact dedup (keep lowest id) → surviving-doc metadata, as ONE declarative
     plan.  Catalyst fuses the scrub/normalize/score maps into a single
-    codegen stage; the only shuffles are the dedup groupBy (on 32-byte
-    hashes, not documents) and the survivor join.  This is the shape of the
-    real 100 TB job: per-doc stages are corpus-linear and fused, reductions
-    shuffle digests."""
+    codegen stage; the ONLY shuffle is the dedup groupBy (on 32-byte
+    hashes, not documents) — survivor metadata rides through the groupBy as
+    `min_by(..., doc_id)`, so the corpus is scanned ONCE and the regexp
+    stages run once per document (the previous survivor join recomputed
+    them on the probe side).  This is the shape of the real 100 TB job:
+    per-doc stages are corpus-linear and fused, reductions shuffle
+    digests."""
     (docs,) = T(spark, sf_dir, "documents")
     clean = F.trim(
         F.regexp_replace(
@@ -453,13 +454,16 @@ def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens", F.size(F.expr("filter(split(clean_text, ' '), x -> x <> '')"))
     )
     kept = scored.filter(F.col("n_tokens") >= 20)
-    deduped = (
+    return (
         kept.groupBy(F.md5("clean_text").alias("content_hash"))
-        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies"))
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count("*").alias("n_copies"),
+            F.min_by("lang", "doc_id").alias("lang"),
+            F.min_by("n_tokens", "doc_id").alias("n_tokens"),
+        )
+        .select("content_hash", "keep_doc_id", "n_copies", "lang", "n_tokens")
     )
-    return deduped.join(
-        kept, F.col("doc_id") == F.col("keep_doc_id")
-    ).select("content_hash", "keep_doc_id", "n_copies", "lang", "n_tokens")
 
 
 _REPETITION_ORACLE = """
