@@ -53,13 +53,17 @@ def main() -> None:
 
     # Per-query protocol: one untimed warm-up pass (JIT compilation of the
     # query's generated code, parquet footer caching, shuffle buffer
-    # allocation), then best-of-2 measured runs IMMEDIATELY after — the
+    # allocation), then best-of-3 measured runs IMMEDIATELY after — the
     # query's own code is hot and later queries' codegen/GC churn cannot
-    # bleed into it.  Best-of-2 because steady-state run-to-run noise on a
+    # bleed into it.  Best-of-3 because steady-state run-to-run noise on a
     # busy local JVM is ~±10%; the minimum reports the engine's capability
-    # rather than scheduler luck.  A long-lived 1000-executor cluster runs
-    # warm essentially always.
+    # rather than scheduler luck, and the per-query [best, worst] band is
+    # recorded alongside so a slow machine moment is visible IN the artifact
+    # instead of masquerading as a regression (the round-2 artifact recorded
+    # a 1.4x "regression" that an immediate rerun showed was machine noise).
+    # A long-lived 1000-executor cluster runs warm essentially always.
     timings: dict[str, float] = {}
+    bands: dict[str, list[float]] = {}
     total = 0.0
     for name, spec in bench_queries().items():
         try:
@@ -67,15 +71,16 @@ def main() -> None:
         except Exception as exc:
             print(f"# warmup {name} failed: {exc}", file=sys.stderr)
             continue
-        best, n_rows = float("inf"), 0
-        for _ in range(2):
+        runs, n_rows = [], 0
+        for _ in range(3):
             t0 = time.perf_counter()
             n_rows = run_once(spec)
-            best = min(best, time.perf_counter() - t0)
-        dt = round(best, 3)
+            runs.append(time.perf_counter() - t0)
+        dt = round(min(runs), 3)
         timings[name] = dt
+        bands[name] = [dt, round(max(runs), 3)]
         total += dt
-        print(f"# {name}: {dt:.3f}s ({n_rows} rows)", file=sys.stderr)
+        print(f"# {name}: {dt:.3f}s (worst {max(runs):.3f}s, {n_rows} rows)", file=sys.stderr)
         # big results' GC debt must not bleed into the next query
         spark._jvm.System.gc()
 
@@ -86,6 +91,7 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
+                "bands": bands,
                 "sf": sf,
             }
         )

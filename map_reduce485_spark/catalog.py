@@ -37,9 +37,13 @@ def table_path(sf_dir: str, name: str) -> str:
     return f"{sf_dir.rstrip('/')}/{name}.parquet"
 
 
-# Sessions already tuned by _tune_session (id() keys; sessions are few and
-# long-lived in every entry path — driver gate, tests, bench).
-_TUNED: set[int] = set()
+# Sessions already tuned by _tune_session.  Keyed by id() but holding a
+# strong reference to the session: a bare id-set could false-hit if a stopped
+# session were garbage-collected and a new one reused its id (silently
+# skipping the UTC timezone the oracles depend on); pinning the object makes
+# id reuse impossible while the entry exists, and the identity check guards
+# the hash-collision-free lookup.
+_TUNED: dict[int, SparkSession] = {}
 
 
 def _tune_session(spark: SparkSession) -> None:
@@ -51,7 +55,7 @@ def _tune_session(spark: SparkSession) -> None:
     time — mirrored here so correctness/bench behavior does not depend on who
     built the session.  All of them are runtime-settable SQL confs.
     """
-    if id(spark) in _TUNED:
+    if _TUNED.get(id(spark)) is spark:
         return
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     # timestamp formatting must agree with the (timezone-naive) DuckDB oracle
@@ -62,16 +66,19 @@ def _tune_session(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
-    _TUNED.add(id(spark))
+    _TUNED[id(spark)] = spark
 
 
-# (session id, sf_dir, table) → cached DataFrame.  The correctness gate runs
-# ~106 queries over the same ten small tables; caching the scans turns ~150
-# repeated parquet reads into in-memory columnar scans.  Opt-out via
+# (session id, sf_dir, table) → (session, cached DataFrame).  The
+# correctness gate runs ~117 queries over the same ten small tables; caching
+# the scans turns ~150 repeated parquet reads into in-memory columnar scans.
+# The session rides along in the entry for the same reason as _TUNED: a
+# cached DataFrame bound to a dead session must never be returned to a new
+# session that happens to reuse its id.  Opt-out via
 # SPARK_GRAFT_CACHE_TABLES=0 (bench.py does, so measured numbers include the
 # real scan).  At production scale this maps to the standard warm-table
 # pattern (`spark.catalog.cacheTable` on dims that fit executor memory).
-_TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+_TABLE_CACHE: dict[tuple[int, str, str], tuple[SparkSession, DataFrame]] = {}
 
 
 def _cache_enabled() -> bool:
@@ -84,14 +91,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _tune_session(spark)
     key = (id(spark), sf_dir.rstrip("/"), name)
     if _cache_enabled() and key in _TABLE_CACHE:
-        return _TABLE_CACHE[key]
+        owner, df = _TABLE_CACHE[key]
+        if owner is spark:
+            return df
     if name == "events":
         df = _load_events(spark, sf_dir)
     else:
         df = spark.read.parquet(table_path(sf_dir, name))
     if _cache_enabled():
         df = df.cache()
-        _TABLE_CACHE[key] = df
+        _TABLE_CACHE[key] = (spark, df)
     return df
 
 
