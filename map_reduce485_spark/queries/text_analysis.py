@@ -625,3 +625,95 @@ def corpus_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.filter(
         first_byte < F.expr(_MIX_CASE) * 256 / 100
     ).select("doc_id", "lang", "n_chars")
+
+
+# eval-set membership: deterministic ~5% md5 bucket (first byte <= 0x0c),
+# standing in for the benchmark corpus a real pipeline loads separately.
+# CAST AS STRING parses in BOTH engines (Spark rejects bare VARCHAR; DuckDB
+# accepts STRING as a VARCHAR alias), so one expression serves both sides.
+_DECON_EVAL = "substr(md5(CAST(doc_id AS STRING)), 1, 2) <= '0c'"
+_DECON_N = 8  # contiguous-token n-gram length (GPT-3 used 13; 8 fits testdata)
+
+_DECON_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, lang,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS w,
+         {_DECON_EVAL} AS is_eval
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, is_eval,
+         UNNEST(list_transform(generate_series(1, len(w) - {_DECON_N - 1}),
+                i -> array_to_string(w[i:i+{_DECON_N - 1}], ' '))) AS g
+  FROM tok WHERE len(w) >= {_DECON_N}
+),
+eval_grams AS (SELECT DISTINCT g FROM grams WHERE is_eval),
+hits AS (
+  SELECT t.doc_id, COUNT(DISTINCT t.g) AS n_shared_grams
+  FROM grams t JOIN eval_grams e USING (g)
+  WHERE NOT t.is_eval
+  GROUP BY t.doc_id
+)
+SELECT tok.doc_id, tok.lang,
+       COALESCE(h.n_shared_grams, 0) AS n_shared_grams
+FROM tok LEFT JOIN hits h ON h.doc_id = tok.doc_id
+WHERE NOT tok.is_eval
+"""
+
+
+@query("decontaminate_eval_overlap", _DECON_ORACLE, tags=("text", "etl"))
+def decontaminate_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag every training document sharing a
+    contiguous 8-token n-gram with the eval set (the GPT-3/PaLM-style
+    overlap rule — theirs used 13-grams; 8 fits the synthetic corpus).
+    Output is every training doc with its shared-distinct-gram count, 0 for
+    clean — the filter `n_shared_grams > 0` is the removal step.
+
+    100 TB shape: the eval side is a benchmark corpus — megabytes — so its
+    distinct gram set BROADCASTS.  The training side explodes grams
+    corpus-linearly and hits the broadcast filter map-side; only grams that
+    actually collide (a tiny, contamination-bounded set) reach the
+    per-doc-count shuffle.  No training-side pre-distinct — the broadcast
+    join filters first, `countDistinct` dedups after, so the big side never
+    shuffles whole.  The contaminated-doc list is again small and
+    broadcasts back onto the doc table for the zero-filled left join.  At
+    real scale the gram strings would be xxhash64'd to 8 bytes before the
+    join; strings are kept here so the DuckDB oracle joins on identical
+    values (engine hash functions differ)."""
+    (docs,) = T(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        "lang",
+        F.expr("filter(split(lower(text), ' '), x -> x <> '')").alias("w"),
+        F.expr(_DECON_EVAL).alias("is_eval"),
+    )
+    grams = (
+        tok.filter(F.size("w") >= _DECON_N)
+        .select(
+            "doc_id",
+            "is_eval",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(w) - {_DECON_N - 1}),"
+                    f" i -> concat_ws(' ', slice(w, i, {_DECON_N})))"
+                )
+            ).alias("g"),
+        )
+    )
+    eval_grams = grams.filter("is_eval").select("g").distinct()
+    hits = (
+        grams.filter(~F.col("is_eval"))
+        .join(F.broadcast(eval_grams), "g")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("g").alias("n_shared_grams"))
+    )
+    return (
+        tok.filter(~F.col("is_eval"))
+        .select("doc_id", "lang")
+        .join(F.broadcast(hits), "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            F.coalesce("n_shared_grams", F.lit(0)).alias("n_shared_grams"),
+        )
+    )
