@@ -201,3 +201,29 @@ def test_asof_join_no_cartesian(spark):
 
     plan = explain_str(REGISTRY["asof_join_purchase_view"].fn(spark, SF_SMOKE))
     assert "CartesianProduct" not in plan
+
+
+def test_decontaminate_joins_are_broadcast(spark):
+    """Both decontamination joins must be broadcast (eval gram set and
+    contaminated-doc counts are small by construction) — the training-side
+    gram explosion must never sort-merge-shuffle whole."""
+    from map_reduce485_spark.plans import explain_str
+
+    plan = explain_str(REGISTRY["decontaminate_eval_overlap"].fn(spark, SF_SMOKE))
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_training_pipeline_single_scan(spark):
+    """The capstone must scan documents exactly once: survivor metadata
+    rides through the digest groupBy via min_by, not a second scan joined
+    back (which would run the scrub regexps twice)."""
+    import re
+
+    from map_reduce485_spark.plans import explain_str
+
+    plan = explain_str(REGISTRY["training_data_pipeline"].fn(spark, SF_SMOKE))
+    # formatted plans list each node twice (tree + detail section); count
+    # the uniquely-numbered detail headers
+    scans = re.findall(r"^\(\d+\) Scan parquet", plan, re.MULTILINE)
+    assert len(scans) == 1, plan
