@@ -76,41 +76,43 @@ def _bucket(col: str, boundaries: list[float]) -> Column:
     )
 
 
-def _interleave(qx: Column, qy: Column, bits: int) -> Column:
-    """Morton code: bit i of x → bit 2i, bit i of y → bit 2i+1."""
+def _interleave(qs: list[Column], bits: int) -> Column:
+    """Morton code over d dimensions: bit i of dimension j → bit d*i + j
+    (the textbook 2-D x→2i / y→2i+1 layout, generalized)."""
+    d = len(qs)
+    if d * bits > 62:
+        raise ValueError(f"{d} dims x {bits} bits exceeds a signed long")
     # the shifted terms occupy disjoint bit positions, so summing == OR-ing
     # (and stays a plain long expression Column)
     z = F.lit(0).cast("long")
     for i in range(bits):
-        z = (
-            z
-            + F.shiftleft(F.shiftright(qx, i) % 2, 2 * i)
-            + F.shiftleft(F.shiftright(qy, i) % 2, 2 * i + 1)
-        )
+        for j, q in enumerate(qs):
+            z = z + F.shiftleft(F.shiftright(q, i) % 2, d * i + j)
     return z
 
 
-def zorder_code(df: DataFrame, x: str, y: str, bits: int = _BITS) -> DataFrame:
-    """Add a `z_code` column interleaving the rank-quantized bits of two
-    numeric columns.  Costs two quantile-sketch passes (one per dimension)
+def zorder_code(df: DataFrame, *cols: str, bits: int = _BITS) -> DataFrame:
+    """Add a `z_code` column interleaving the rank-quantized bits of two or
+    more numeric columns.  Costs one quantile-sketch pass per dimension
     plus a map-side projection — no shuffle, no window."""
-    qx = _bucket(x, _rank_boundaries(df, x, bits))
-    qy = _bucket(y, _rank_boundaries(df, y, bits))
-    return df.withColumn("z_code", _interleave(qx, qy, bits))
+    if len(cols) < 2:
+        raise ValueError("z-ordering needs at least two columns")
+    qs = [_bucket(c, _rank_boundaries(df, c, bits)) for c in cols]
+    return df.withColumn("z_code", _interleave(qs, bits))
 
 
 def zorder_write(
     df: DataFrame,
     out_dir: str,
-    x: str,
-    y: str,
+    *cols: str,
     n_files: int = 8,
     bits: int = _BITS,
 ) -> None:
-    """Write `df` as parquet clustered on the (x, y) Morton curve:
+    """Write `df` as parquet clustered on the Morton curve of `cols`:
     split the curve into `n_files` EQUAL z ranges, one file each, sort
     within each, drop the helper columns.  Every output file then covers a
-    compact rectangle of (x, y) space — min/max stats prune on BOTH columns.
+    compact hyper-rectangle of the column space — min/max stats prune on
+    EVERY participating column.
 
     The file id is computed from the top z bits (`z * n_files >> 2*bits`)
     rather than letting `repartitionByRange(z_code)` sample its own split
@@ -118,9 +120,9 @@ def zorder_write(
     bit-aligned splits mean a filter band touches exactly the curve
     quadrants it must — sampled splits land off the Morton bit boundaries
     and overlap extra files."""
-    shift_den = 1 << (2 * bits)
+    shift_den = 1 << (len(cols) * bits)
     (
-        zorder_code(df, x, y, bits)
+        zorder_code(df, *cols, bits=bits)
         .withColumn(
             "_file", (F.col("z_code") * F.lit(n_files) / F.lit(shift_den)).cast("long")
         )

@@ -46,7 +46,7 @@ def test_interleave_matches_python_mirror_and_is_bijective(spark):
     got = {
         (r.qx, r.qy): r.z
         for r in df.select(
-            "qx", "qy", _interleave(F.col("qx"), F.col("qy"), bits).alias("z")
+            "qx", "qy", _interleave([F.col("qx"), F.col("qy")], bits).alias("z")
         ).collect()
     }
 
@@ -59,6 +59,29 @@ def test_interleave_matches_python_mirror_and_is_bijective(spark):
 
     assert got == {(x, y): morton(x, y) for x, y in grid}
     assert len(set(got.values())) == len(grid)
+
+
+def test_interleave_3d_is_bijective(spark):
+    """The n-dimensional generalization: exhaustive 3-D grid, every cell a
+    distinct code inside [0, 2^(3*bits))."""
+    from map_reduce485_spark.operators.zorder import _interleave
+
+    bits = 3
+    grid = [
+        (x, y, v)
+        for x in range(1 << bits)
+        for y in range(1 << bits)
+        for v in range(1 << bits)
+    ]
+    df = spark.createDataFrame(grid, ["qx", "qy", "qv"])
+    codes = [
+        r.z
+        for r in df.select(
+            _interleave([F.col("qx"), F.col("qy"), F.col("qv")], bits).alias("z")
+        ).collect()
+    ]
+    assert len(set(codes)) == len(grid)
+    assert min(codes) >= 0 and max(codes) < 1 << (3 * bits)
 
 
 def test_zorder_prunes_both_dimensions(spark):
