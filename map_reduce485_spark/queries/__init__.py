@@ -177,10 +177,40 @@ _GATE_SECOND = [
 ]
 
 
+def _last_verified_round() -> dict[str, int]:
+    """Per-query latest driver-checked round, read from the CORRECTNESS_r*.json
+    artifacts at the repo root.  Queries absent from every artifact have
+    never been driver-witnessed and must lead the gate."""
+    import glob
+    import json
+    import os
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    last: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"r(\d+)", os.path.basename(path))
+        if not m:
+            continue
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except (OSError, ValueError):
+            continue
+        for name in data:
+            last[name] = max(last.get(name, 0), int(m.group(1)))
+    return last
+
+
 def _load_all() -> None:
     """Import every query module exactly once (registration side effects),
-    then reorder the registry to the round's gate order (`_GATE_FIRST`,
-    `_GATE_SECOND`, then everything else in registration order)."""
+    then reorder the registry to the round's gate order: `_GATE_FIRST`
+    (fixes awaiting a driver re-witness + this round's hand-tuned 50),
+    `_GATE_SECOND`, then everything else least-recently-driver-verified
+    first (never-checked queries lead), ties in registration order.  The
+    automatic tail self-heals across rounds — a new query or a stale one
+    floats forward without editing the lists; next round the manual lists
+    shrink to just the fix-re-witness entries."""
     global _LOADED
     if _LOADED:
         return
@@ -205,9 +235,12 @@ def _load_all() -> None:
     for name in [*_GATE_FIRST, *_GATE_SECOND]:
         if name in REGISTRY:
             ordered[name] = REGISTRY[name]
-    for name, spec in REGISTRY.items():
-        if name not in ordered:
-            ordered[name] = spec
+    last = _last_verified_round()
+    reg_index = {name: i for i, name in enumerate(REGISTRY)}
+    rest = [n for n in REGISTRY if n not in ordered]
+    rest.sort(key=lambda n: (last.get(n, -1), reg_index[n]))
+    for name in rest:
+        ordered[name] = REGISTRY[name]
     REGISTRY.clear()
     REGISTRY.update(ordered)
 
