@@ -717,3 +717,79 @@ def decontaminate_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_shared_grams", F.lit(0)).alias("n_shared_grams"),
         )
     )
+
+
+_BPE_MERGES = 3
+
+
+def _bpe_oracle(n_merges: int) -> str:
+    """Replay `n_merges` BPE iterations as chained CTEs (the k-means
+    Lloyd-replay pattern): each step recomputes pair counts from the
+    previous symbol table, picks the same (freq DESC, pair ASC) argmax,
+    and applies the same double-space replace."""
+    parts = [
+        """
+WITH w0 AS (
+  SELECT word, COUNT(*) AS freq
+  FROM (SELECT UNNEST(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+        FROM documents)
+  GROUP BY word
+),
+s0 AS (
+  SELECT '  ' || array_to_string(
+           list_transform(generate_series(1, len(word)), i -> word[i]), '  ')
+         || '  ' AS s, freq
+  FROM w0
+)"""
+    ]
+    for k in range(1, n_merges + 1):
+        parts.append(
+            f""",
+p{k} AS (
+  SELECT pair, CAST(SUM(freq) AS BIGINT) AS f
+  FROM (SELECT UNNEST(list_transform(generate_series(1, len(a) - 1),
+                      i -> a[i] || ' ' || a[i+1])) AS pair, freq
+        FROM (SELECT list_filter(string_split(trim(s), '  '), x -> x <> '') AS a,
+                     freq
+              FROM s{k - 1}))
+  GROUP BY pair
+),
+b{k} AS (SELECT pair, f FROM p{k} ORDER BY f DESC, pair LIMIT 1),
+s{k} AS (
+  SELECT replace(s,
+           ' ' || (SELECT string_split(pair, ' ')[1] FROM b{k}) || '  '
+               || (SELECT string_split(pair, ' ')[2] FROM b{k}) || ' ',
+           ' ' || (SELECT replace(pair, ' ', '') FROM b{k}) || ' ') AS s, freq
+  FROM s{k - 1}
+)"""
+        )
+    selects = [
+        f"SELECT {k} AS step, pair, replace(pair, ' ', '') AS merged, f AS freq FROM b{k}"
+        for k in range(1, n_merges + 1)
+    ]
+    return "".join(parts) + "\n" + "\nUNION ALL ".join(selects)
+
+
+@query("bpe_train_merges", _bpe_oracle(_BPE_MERGES), tags=("text", "iterative"))
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training, first `_BPE_MERGES` merge rules (see
+    `operators/bpe.py` for the algorithm and the cross-engine replace
+    semantics).  The corpus is scanned once (wordcount); every iteration
+    after that is vocabulary-sized with a 1-row driver argmax round-trip —
+    the k-means iteration shape.  The oracle replays the identical
+    iterations as chained CTEs, so the learned rules are hash-checked, not
+    just counted."""
+    from map_reduce485_spark.operators.bpe import bpe_train
+
+    (docs,) = T(spark, sf_dir, "documents")
+    words = (
+        docs.select(
+            F.explode(F.expr("filter(split(text, ' '), x -> x <> '')")).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    rules = bpe_train(spark, words, _BPE_MERGES)
+    return spark.createDataFrame(
+        rules, "step int, pair string, merged string, freq bigint"
+    )
