@@ -793,3 +793,63 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rules, "step int, pair string, merged string, freq bigint"
     )
+
+
+_TFIDF_ORACLE = """
+WITH terms AS (
+  SELECT doc_id, UNNEST(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+         AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY doc_id, term),
+df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM terms GROUP BY term),
+n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM terms),
+scored AS (
+  SELECT tf.doc_id, tf.term, CAST(tf.tf AS BIGINT) AS tf, CAST(df.df AS BIGINT) AS df,
+         CAST(tf.tf AS DOUBLE) * (SELECT n FROM n) / df.df AS score
+  FROM tf JOIN df USING (term)
+)
+SELECT doc_id, term, tf, df, score, rn FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, term) AS rn
+  FROM scored
+) WHERE rn <= 5
+"""
+
+
+@query("tfidf_top_terms", _TFIDF_ORACLE, tags=("text",))
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 most characteristic terms per document by TF-IDF.
+
+    Uses the RAW inverse frequency `N / df` (no logarithm): `ln` is not
+    required to be correctly rounded and Java's Math.log vs DuckDB's libm
+    log can disagree in the last ulp, while integer-valued multiply/divide
+    are IEEE-exact on both engines — so the score column hash-matches
+    bit-for-bit.  Ranking is unaffected (log is monotone).
+
+    Scale shape: two vocab-keyed groupBys (tf per doc-term, df per term),
+    a broadcast-sized corpus count, one join keyed on term, and the top-k
+    window partitioned BY DOCUMENT (never global).  All corpus-linear."""
+    (docs,) = T(spark, sf_dir, "documents")
+    terms = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr("filter(split(lower(text), ' '), x -> x <> '')")
+        ).alias("term"),
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = terms.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = terms.select("doc_id").distinct().count()
+    scored = tf.join(df_, "term").select(
+        "doc_id",
+        "term",
+        "tf",
+        "df",
+        (F.col("tf").cast("double") * F.lit(n) / F.col("df")).alias("score"),
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("score").desc(), "term")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("doc_id", "term", "tf", "df", "score", "rn")
+    )
