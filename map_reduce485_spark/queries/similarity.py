@@ -644,3 +644,44 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 10)
         .select("query_id", "neighbor_id", "rank", "sim")
     )
+
+
+_CENTROID_ORACLE = """
+SELECT label, i - 1 AS pos,
+       CAST(SUM(CAST(ROUND(CAST(e[i] AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT)
+         / (1000000.0 * COUNT(*)) AS centroid,
+       COUNT(*) AS n_vectors
+FROM (
+  SELECT label, UNNEST(generate_series(1, len(embedding))) AS i, embedding AS e
+  FROM embeddings
+)
+GROUP BY label, i
+"""
+
+
+@query("embedding_label_centroids", _CENTROID_ORACLE, tags=("similarity", "agg"))
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean embedding (mean pooling) — the centroid-update step
+    of IVF/k-means isolated as its own operator, and the standard class
+    prototype / semantic-cluster summary op.
+
+    Element-wise means are order-sensitive in floating point, so each
+    component sums exact integer MICRO-UNITS (float -> double is exact,
+    ROUND half-away agrees across engines) and divides once at the end —
+    partial aggregation can combine in any order and the double still
+    hash-matches the oracle bit-for-bit.  Shape: posexplode is
+    corpus-linear, the groupBy carries (label, pos) keys — labels x dim
+    groups of fixed-size state, fully partial-aggregated map-side."""
+    (emb,) = T(spark, sf_dir, "embeddings")
+    exploded = emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+    return (
+        exploded.groupBy("label", "pos")
+        .agg(
+            (
+                F.sum(F.round(F.col("v").cast("double") * 1000000).cast("long"))
+                / (1000000.0 * F.count("*"))
+            ).alias("centroid"),
+            F.count("*").alias("n_vectors"),
+        )
+        .select("label", "pos", "centroid", "n_vectors")
+    )

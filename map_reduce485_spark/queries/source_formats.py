@@ -214,3 +214,35 @@ def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "orc_source_roundtrip",
+    """
+    SELECT c_mktsegment, COUNT(*) AS n_customers,
+           SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) / 100.0 AS total_bal,
+           MAX(c_custkey) AS max_key
+    FROM customer GROUP BY c_mktsegment
+    """,
+    tags=("sources",),
+)
+def orc_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC reader/writer surface: customer → ORC → native columnar read →
+    aggregate (`sources/io.read_orc`).  ORC carries its own schema and
+    stripe-level min/max statistics, so at scale it prunes like parquet;
+    the oracle aggregates the original parquet, making the round-trip
+    lossless-or-hash-mismatch.  DuckDB cannot read ORC, which is exactly
+    why the check aggregates rather than diffing files."""
+    from map_reduce485_spark.sources.io import read_orc
+
+    (customer,) = tables(spark, sf_dir, "customer")
+    path = _scratch("orc", sf_dir)
+    customer.select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    ).write.mode("overwrite").orc(path)
+    back = read_orc(spark, path)
+    return back.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_customers"),
+        (F.sum(F.round(F.col("c_acctbal") * 100).cast("long")) / 100.0).alias("total_bal"),
+        F.max("c_custkey").alias("max_key"),
+    )

@@ -36,6 +36,13 @@ def read_json(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame
     return spark.read.schema(schema).json(path)
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan (native Spark reader): columnar with embedded schema and
+    min/max stripe statistics, so predicate pushdown and column pruning
+    work exactly as on parquet."""
+    return spark.read.orc(path)
+
+
 def write_partitioned_parquet(
     df: DataFrame,
     path: str,
