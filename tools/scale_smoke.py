@@ -116,6 +116,8 @@ def main() -> int:
         "q21_waiting_suppliers",
         "wordcount",
         "training_data_pipeline",
+        "decontaminate_eval_overlap",
+        "bpe_train_merges",
         "dedup_minhash_lsh",
         "dedup_simhash_banded",
         "cosine_topk_bruteforce",
