@@ -853,3 +853,37 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .select("doc_id", "term", "tf", "df", "score", "rn")
     )
+
+
+_SOURCE_MIX_ORACLE = """
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(COUNT(*) AS DOUBLE) * 100.0
+         / (SELECT COUNT(*) FROM documents) AS share_pct,
+       CAST(SUM(len(list_filter(string_split(text, ' '), x -> x <> '')))
+            AS BIGINT) AS total_tokens,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(n_chars) AS BIGINT) / CAST(COUNT(*) AS DOUBLE) AS avg_chars
+FROM documents
+GROUP BY source
+"""
+
+
+@query("source_mix_report", _SOURCE_MIX_ORACLE, tags=("text", "agg"))
+def source_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus composition: doc share, token and char volume —
+    the report that drives domain-mixture decisions (what
+    `corpus_mix_sample` then enforces per language).  Single groupBy on
+    `source`; the corpus total is a 1-row broadcast scalar subquery.
+    Ratios are integer-valued division/multiplication only (IEEE-exact on
+    both engines), so the doubles hash-match unrounded."""
+    (docs,) = T(spark, sf_dir, "documents")
+    total = docs.count()
+    n_tokens = F.size(F.expr("filter(split(text, ' '), x -> x <> '')"))
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        (F.count("*").cast("double") * 100.0 / F.lit(total)).alias("share_pct"),
+        F.sum(n_tokens.cast("long")).alias("total_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+        (F.sum("n_chars") / F.count("*").cast("double")).alias("avg_chars"),
+    )
