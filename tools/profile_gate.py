@@ -28,11 +28,19 @@ from map_reduce485_spark.queries import REGISTRY, _load_all
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument(
+        "--limit",
+        type=int,
+        default=None,
+        help="profile only the first N registry queries (the driver's window)",
+    )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
     _load_all()
     names = args.names or list(REGISTRY)
+    if args.limit is not None:
+        names = names[: args.limit]
 
     t_boot = time.time()
     spark = SparkSession.builder.getOrCreate()  # plain, driver-style
