@@ -229,3 +229,48 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             " 'purchased_after_click', n_purchased) AS (stage, n_users)"
         )
     )
+
+
+_STREAM_GATE_ORACLE = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       COUNT(*) AS n_events,
+       SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 AS sum_value
+FROM events GROUP BY date_trunc('hour', ts)
+"""
+
+
+@query("streaming_tumbling_gate", _STREAM_GATE_ORACLE, tags=("events", "streaming"))
+def streaming_tumbling_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming under the HASH gate: events land as parquet
+    files, a real file-source STREAM (`readStream` + 1 h watermark +
+    tumbling event-time windows, `streaming/jobs.stream_tumbling_counts`)
+    drains them via an availableNow trigger into a memory sink, and the
+    sink table is hash-compared against the batch SQL oracle.  Until this
+    query, streaming correctness lived only in pytest twins
+    (`tests/test_streaming.py`); this puts the streaming subsystem itself
+    behind the driver's value-level check — the same move
+    `mapreduce_wordcount_pipe` made for Layer A.
+
+    At scale the identical pipeline swaps the directory source for Kafka
+    and the memory sink for a parquet/foreachBatch sink; watermarked window
+    state is bounded regardless of throughput."""
+    import hashlib
+    import tempfile
+    from pathlib import Path
+
+    from map_reduce485_spark.streaming.jobs import (
+        read_events_stream,
+        run_to_memory_sink,
+        stream_tumbling_counts,
+    )
+
+    (events,) = T(spark, sf_dir, "events")  # also tunes the session (UTC)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    landing = Path(tempfile.gettempdir()) / f"mr485_stream_gate_{tag}"
+    if not (landing / "_SUCCESS").exists():  # land once per sf_dir
+        events.repartition(4).write.mode("overwrite").parquet(str(landing))
+
+    agg = stream_tumbling_counts(read_events_stream(spark, str(landing)))
+    name = f"stream_gate_tumbling_{tag}"
+    run_to_memory_sink(agg, name, mode="complete")
+    return spark.table(name)
