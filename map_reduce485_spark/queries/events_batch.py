@@ -274,3 +274,59 @@ def streaming_tumbling_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"stream_gate_tumbling_{tag}"
     run_to_memory_sink(agg, name, mode="complete")
     return spark.table(name)
+
+
+_STREAM_SESSION_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS is_new_session
+  FROM events
+),
+numbered AS (
+  SELECT user_id, ts,
+         SUM(is_new_session) OVER (
+           PARTITION BY user_id ORDER BY ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS session_id
+  FROM ordered
+)
+SELECT user_id,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_last,
+       COUNT(*) AS n_events
+FROM numbered GROUP BY user_id, session_id
+"""
+
+
+@query("streaming_sessionize_gate", _STREAM_SESSION_ORACLE, tags=("events", "streaming"))
+def streaming_sessionize_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STATEFUL streaming under the hash gate: per-user `session_window`
+    sessionization (30-min gap, sessions merge as files arrive) drained
+    through an availableNow memory sink and hash-compared against the
+    gaps-and-islands batch oracle.  Complements `streaming_tumbling_gate`:
+    that witnesses windowed aggregation state, this witnesses Spark's
+    merge-on-arrival session state machine — the op whose semantics are
+    hardest to eyeball."""
+    import hashlib
+    import tempfile
+    from pathlib import Path
+
+    from map_reduce485_spark.streaming.jobs import (
+        read_events_stream,
+        run_to_memory_sink,
+        stream_sessionize,
+    )
+
+    (events,) = T(spark, sf_dir, "events")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    landing = Path(tempfile.gettempdir()) / f"mr485_stream_gate_{tag}"
+    if not (landing / "_SUCCESS").exists():  # shared with the tumbling gate
+        events.repartition(4).write.mode("overwrite").parquet(str(landing))
+
+    sess = stream_sessionize(read_events_stream(spark, str(landing)))
+    name = f"stream_gate_sessions_{tag}"
+    run_to_memory_sink(sess, name, mode="complete")
+    return spark.table(name)
