@@ -685,3 +685,150 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("label", "pos", "centroid", "n_vectors")
     )
+
+
+# ---------------------------------------------------------------------------
+# product quantization (PQ): compressed-vector ANN scoring
+# ---------------------------------------------------------------------------
+
+_PQ_M = 4  # subvectors
+_PQ_SUB = _DIM // _PQ_M  # dims per subvector
+_PQ_K = 16  # codewords per sub-codebook
+
+# deterministic md5-derived codebooks in [-1, 1), replayed literally in the
+# oracle (the ann_lsh plane trick, one level deeper)
+_PQ_CB: list[list[list[float]]] = [
+    [
+        [
+            (int(hashlib.md5(f"pq:{m}:{k}:{i}".encode()).hexdigest(), 16) % 2000)
+            / 1000.0
+            - 1.0
+            for i in range(_PQ_SUB)
+        ]
+        for k in range(_PQ_K)
+    ]
+    for m in range(_PQ_M)
+]
+
+
+def _pq_cb_lit() -> F.Column:
+    return F.array(
+        *[
+            F.array(*[F.array(*[F.lit(v) for v in cw]) for cw in book])
+            for book in _PQ_CB
+        ]
+    )
+
+
+def _pq_dists_expr(m: int, vec: str) -> str:
+    """Distances of `vec`'s m-th subvector (0-based m) to all K codewords:
+    sequential-fold sum of squared diffs — bit-identical on both engines."""
+    off = m * _PQ_SUB + 1
+    return (
+        f"transform(sequence(1, {_PQ_K}), k -> "
+        f"aggregate(zip_with(slice({vec}, {off}, {_PQ_SUB}),"
+        f" element_at(element_at(_cb, {m + 1}), k),"
+        " (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),"
+        " 0D, (acc, v) -> acc + v))"
+    )
+
+
+def _pq_duck_fold(vec: str, m: int, code: str) -> str:
+    """DuckDB mirror of one subvector-to-codeword distance fold (1-based m)."""
+    return (
+        f"list_reduce(list_transform(generate_series(1, {_PQ_SUB}), i -> "
+        f"(CAST({vec}[{(m - 1) * _PQ_SUB} + i] AS DOUBLE) - cb[{m}][{code}][i])"
+        f" * (CAST({vec}[{(m - 1) * _PQ_SUB} + i] AS DOUBLE) - cb[{m}][{code}][i])),"
+        " (a, b) -> a + b)"
+    )
+
+
+_DUCK_PQ_CB_CTE = "cbs AS (SELECT CAST([" + ", ".join(
+    "[" + ", ".join("[" + ", ".join(str(v) for v in cw) + "]" for cw in book) + "]"
+    for book in _PQ_CB
+) + "] AS DOUBLE[][][]) AS cb)"
+
+_DUCK_PQ_ENC = "enc AS (SELECT vec_id, " + ", ".join(
+    f"list_position(dl{m}, list_min(dl{m})) AS c{m}" for m in range(1, _PQ_M + 1)
+) + " FROM (SELECT vec_id, " + ", ".join(
+    f"list_transform(generate_series(1, {_PQ_K}), k -> "
+    + _pq_duck_fold("v", m, "k")
+    + f") AS dl{m}"
+    for m in range(1, _PQ_M + 1)
+) + " FROM emb, cbs))"
+
+_PQ_ORACLE = f"""
+WITH {_DUCK_EMB_CTE},
+{_DUCK_PQ_CB_CTE},
+{_DUCK_PQ_ENC}
+SELECT query_id, neighbor_id, rank, pq_dist FROM (
+  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         {' + '.join(_pq_duck_fold('q.v', m, f'n.c{m}') for m in range(1, _PQ_M + 1))}
+           AS pq_dist,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY {' + '.join(_pq_duck_fold('q.v', m, f'n.c{m}') for m in range(1, _PQ_M + 1))} ASC,
+                    n.vec_id
+         ) AS rank
+  FROM emb q JOIN enc n ON n.vec_id <> q.vec_id, cbs
+  WHERE q.vec_id < 5
+) WHERE rank <= 10
+"""
+
+
+@query("ann_pq_topk", _PQ_ORACLE, tags=("similarity", "ann"))
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN: each vector is compressed to M=4 codes
+    (one per 16-dim subvector, K=16 codewords — md5-deterministic
+    codebooks), and queries score against the RECONSTRUCTED codewords
+    (asymmetric distance computation).
+
+    At 100 TB this is what makes in-memory ANN feasible: 64 float dims
+    (256 B) become 4 small codes, a 16-128x memory compression depending
+    on code width, and scoring touches codebook entries instead of raw
+    vectors.  Encoding is map-side (argmin over K literal codewords, no
+    shuffle); scoring broadcasts the 5 query vectors; real deployments add
+    the IVF coarse stage (`ann_ivf_topk`) in front so only a cell subset
+    is scored.
+
+    Every distance is a sequential fold and the argmin ties break to the
+    lowest code via `array_position(d, array_min(d))` — both replayed
+    exactly in the oracle, so codes AND double distances hash-match."""
+    from pyspark.sql import Window as W
+
+    (emb,) = T(spark, sf_dir, "embeddings")
+    enc = emb.withColumn("_cb", _pq_cb_lit())
+    for m in range(_PQ_M):
+        enc = enc.withColumn(f"_d{m}", F.expr(_pq_dists_expr(m, "embedding")))
+        enc = enc.withColumn(
+            f"c{m + 1}", F.expr(f"array_position(_d{m}, array_min(_d{m}))").cast("int")
+        )
+    enc = enc.select("vec_id", *[f"c{m}" for m in range(1, _PQ_M + 1)])
+
+    queries_df = (
+        emb.filter(F.col("vec_id") < 5)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
+    )
+    joined = (
+        F.broadcast(queries_df)
+        .crossJoin(enc.withColumn("_cb", _pq_cb_lit()))
+        .filter(F.col("vec_id") != F.col("query_id"))
+    )
+    dist_terms = [
+        f"aggregate(zip_with(slice(q_emb, {m * _PQ_SUB + 1}, {_PQ_SUB}),"
+        f" element_at(element_at(_cb, {m + 1}), c{m + 1}),"
+        " (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),"
+        " 0D, (acc, v) -> acc + v)"
+        for m in range(_PQ_M)
+    ]
+    scored = joined.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.expr(" + ".join(dist_terms)).alias("pq_dist"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("pq_dist").asc(), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "neighbor_id", "rank", "pq_dist")
+    )
