@@ -86,95 +86,14 @@ def bench_queries() -> dict[str, QuerySpec]:
 _LOADED = False
 
 # Gate-execution order, query-level (the driver iterates the registry dict
-# and checks ~50 queries per round).  Round-3 rotation: every query that has
-# never had a driver row, plus every fix awaiting a driver re-check, goes in
-# the first 50; the filler slots go to round-1-checked queries so nothing is
-# more than one round stale.
-_GATE_FIRST = [
-    # round-2 hash-fails / canonicalizer error — fixed, witness first
-    "pack_sequences",
-    "math_funcs",
-    "apply_in_pandas_grouped",
-    "sketch_approx_aggs",
-    # never driver-checked after two rounds (sources/layout family)
-    "csv_source_roundtrip",
-    "json_source_roundtrip",
-    "partition_pruned_scan",
-    "compact_small_files",
-    "zorder_multidim_filter",
-    "bucketed_fact_join_revenue",
-    "dedup_embedding_lsh",
-    # never driver-checked (tpch_full remainder)
-    "q2_min_cost_supplier",
-    "q8_market_share",
-    "q9_product_profit",
-    "q11_important_stock",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q19_disjunctive_predicates",
-    "q20_potential_promotion",
-    "q21_waiting_suppliers",
-    "q22_global_sales_opportunity",
-    # round-1 fixes that never got a driver re-check
-    "filter_project",
-    "window_time_range_7d",
-    "ann_lsh_buckets",
-    "ann_ivf_kmeans_topk",
-    # filler to 50: round-1-green queries, cheapest first (keeps the gate
-    # inside the driver's wall-clock budget even with the heavy never-checked
-    # queries above)
-    "grep_filter",
-    "wordcount",
-    "distinct_values",
-    "sort_limit",
-    "having_filter",
-    "agg_stats_per_event_type",
-    "broadcast_dim_join",
-    "case_bucketing",
-    "date_funcs",
-    "string_funcs",
-    "json_funcs",
-    "map_funcs",
-    "set_ops_union",
-    "set_ops_intersect",
-    "set_ops_except",
-    "window_lag_delta",
-    "window_rank_suite",
-    "window_running_sum",
-    "window_frames",
-    "window_topk_per_group",
-    "rollup_agg",
-    "cube_agg",
-    "grouping_sets_agg",
-    "pivot_agg",
-    "unpivot_metrics",
-]
+# and checks ~50 queries per round).  Round-4 rotation: the hand lists are
+# EMPTY — the automatic least-recently-verified tail does all the ordering
+# (never-driver-checked queries lead, then oldest-round greens), which is
+# exactly the round-3 verdict's prescription.  Use the lists only for true
+# "fix awaiting driver re-witness" entries that must jump the LRV order.
+_GATE_FIRST: list[str] = []
 
-# After the 50: the rest of the round-1-only queries (stale by one round),
-# ahead of everything round-2 just verified.
-_GATE_SECOND = [
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q10_returned_items",
-    "q18_large_volume_orders",
-    "semi_join_customers_with_orders",
-    "anti_join_customers_without_orders",
-    "exists_subquery_parts",
-    "embedding_norms",
-    "inverted_index",
-    "dedup_exact",
-    "dedup_clusters",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash_pairs",
-    "dedup_simhash_banded",
-    "simhash_fingerprints",
-    "dedup_embedding_cosine",
-    "cosine_topk_bruteforce",
-    "ann_ivf_topk",
-]
+_GATE_SECOND: list[str] = []
 
 
 def _last_verified_round() -> dict[str, int]:

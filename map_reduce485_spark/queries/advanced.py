@@ -325,7 +325,6 @@ def sample_hash_10pct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "n_chars")
 
 
-@query("sketch_approx_aggs", None, tags=("sketch",))
 def sketch_approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based approximate aggregates per event type: HyperLogLog++
     distinct users (`approx_count_distinct`, rsd=1%) and t-digest-style
@@ -334,10 +333,14 @@ def sketch_approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB these replace their exact twins wherever tolerance allows:
     HLL state is ~KB per group vs a distinct-shuffle of every user id, and
     the sketches merge associatively in partial aggregation, so the shuffle
-    carries fixed-size state regardless of row count.  No oracle: DuckDB's
-    approx sketches are algorithm-different by design — the driver records
-    rows-only; `tests/test_queries.py` pins accuracy against the exact
-    values (±2% / containment) instead."""
+    carries fixed-size state regardless of row count.
+
+    Deliberately NOT in the query registry (round-3 verdict item 3): DuckDB's
+    approx sketches are algorithm-different by design, so no oracle can
+    exist, and the driver has no rows-only path — a registry entry burns a
+    gate slot every round for a guaranteed `err`.  Accuracy is pinned in
+    `tests/test_queries.py` against the exact values (±2% / containment);
+    `percentiles_per_type` is the exact-oracle twin in the registry."""
     (events,) = T(spark, sf_dir, "events")
     # percentiles projected to scalar p50/p95/p99 (one shared t-digest,
     # sliced post-agg) — no array type on the result surface, so the

@@ -18,9 +18,9 @@ def test_registry_integrity():
     qs, osql = all_queries(), all_oracles()
     assert len(qs) >= 50
     assert set(osql) <= set(qs)
-    # every non-oracle query is a deliberate rows-only op
-    rows_only = set(qs) - set(osql)
-    assert rows_only == {"sketch_approx_aggs"}
+    # every registry query has an oracle — no query can structurally `err`
+    # at the driver gate (round-3 verdict item 3)
+    assert set(qs) == set(osql)
 
 
 # -- oracle parity on a representative per-family subset (fast, sf0.001-ish) --
@@ -154,8 +154,9 @@ def test_sketch_approx_aggs_accuracy(spark):
     import pyspark.sql.functions as F
 
     from map_reduce485_spark.catalog import load_table
+    from map_reduce485_spark.queries.advanced import sketch_approx_aggs
 
-    approx = {r.event_type: r for r in REGISTRY["sketch_approx_aggs"].fn(spark, SF_CORRECT).collect()}
+    approx = {r.event_type: r for r in sketch_approx_aggs(spark, SF_CORRECT).collect()}
     events = load_table(spark, SF_CORRECT, "events")
     exact = {
         r.event_type: r

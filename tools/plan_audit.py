@@ -34,13 +34,20 @@ KNOWN_BNLJ = {
     # 1-row broadcast of the scalar average threshold (crossJoin(broadcast))
     # — replaced a driver-side collect; a 1-row BNLJ probe is free
     "q22_global_sales_opportunity",
+    # 5-row broadcast query fan-out against the PQ-encoded corpus
+    # (similarity.py: F.broadcast(queries_df).crossJoin(enc)) — the same
+    # documented-intentional shape as cosine_topk_bruteforce: the corpus
+    # side never moves, the broadcast side is Q rows (Q=5)
+    "ann_pq_topk",
 }
 
 
-def main() -> int:
+def audit(spark, sf: str = "/root/testdata/sf0.001") -> list[str]:
+    """Return failure strings for every registry query whose physical plan
+    has a CartesianProduct or an unwhitelisted BroadcastNestedLoopJoin.
+    Shared by the CLI below and `tests/test_plans.py::test_plan_audit_green`
+    so a red audit cannot be committed (round-3 verdict item 2)."""
     _load_all()
-    spark = get_spark("plan_audit")
-    sf = "/root/testdata/sf0.001"
     bad = []
     for name, spec in REGISTRY.items():
         try:
@@ -52,6 +59,12 @@ def main() -> int:
             bad.append(f"{name}: CartesianProduct")
         elif "BroadcastNestedLoopJoin" in txt and name not in KNOWN_BNLJ:
             bad.append(f"{name}: unexpected BroadcastNestedLoopJoin")
+    return bad
+
+
+def main() -> int:
+    spark = get_spark("plan_audit")
+    bad = audit(spark)
     if bad:
         print("PLAN AUDIT FAILURES:")
         for b in bad:
