@@ -105,16 +105,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.ts is TIMESTAMP(NANOS) parquet, which Spark's vectorized reader
-    rejects outright.  Read nanos as raw int64 (legacy flag) and convert to a
-    microsecond timestamp (truncating division — same ns→us truncation DuckDB
-    applies), preserving the documented schema."""
+    """events.ts has shipped as either TIMESTAMP(NANOS) or TIMESTAMP(MICROS)
+    parquet across driver data generations, so the load is type-adaptive:
+
+    - NANOS: Spark's vectorized reader rejects it outright.  Read nanos as
+      raw int64 (legacy flag) and convert to a microsecond timestamp
+      (truncating integer division — the same ns→us truncation DuckDB
+      applies; double math would lose precision above 2^53 ns).
+    - MICROS (no tz): arrives as TIMESTAMP_NTZ; cast to the session-local
+      TIMESTAMP (session tz is pinned UTC by `_tune_session`) so downstream
+      window/date math sees the identical dtype either way."""
     from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, "events"))
-    # integer division: double math would lose precision above 2^53 ns
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, LongType):  # nanos read as raw int64
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
