@@ -80,7 +80,7 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_sessionize",
     """
     WITH ordered AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
              CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                        > INTERVAL 30 MINUTE
                   OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
@@ -90,7 +90,7 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     numbered AS (
       SELECT user_id, ts,
              SUM(is_new_session) OVER (
-               PARTITION BY user_id ORDER BY ts
+               PARTITION BY user_id ORDER BY ts, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
              ) AS session_id
       FROM ordered
@@ -239,6 +239,40 @@ FROM events GROUP BY date_trunc('hour', ts)
 """
 
 
+def _land_events(events: DataFrame, sf_dir: str) -> str:
+    """Land the events table as parquet files for the streaming gates.
+
+    The landing dir tag fingerprints the SOURCE data (file names, sizes,
+    mtimes), not just the sf_dir path — if the events table under the same
+    path is regenerated, the stale landing dir is abandoned and a fresh one
+    is built.  The write goes to a process-unique temp dir and is renamed
+    into place, so two first-run processes cannot race each other's
+    half-written files: rename(2) is atomic, and the loser just removes
+    its own copy.
+    """
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    src = Path(sf_dir) / "events.parquet"
+    files = sorted(p for p in src.rglob("*") if p.is_file()) if src.is_dir() else [src]
+    h = hashlib.md5(sf_dir.encode())
+    for f in files:
+        st = f.stat()
+        h.update(f"{f.name}:{st.st_size}:{st.st_mtime_ns}".encode())
+    landing = Path(tempfile.gettempdir()) / f"mr485_stream_gate_{h.hexdigest()[:12]}"
+    if not (landing / "_SUCCESS").exists():
+        tmp = landing.with_name(f"{landing.name}.tmp{os.getpid()}")
+        events.repartition(4).write.mode("overwrite").parquet(str(tmp))
+        try:
+            os.rename(tmp, landing)
+        except OSError:  # another process won the rename; keep theirs
+            shutil.rmtree(tmp, ignore_errors=True)
+    return str(landing)
+
+
 @query("streaming_tumbling_gate", _STREAM_GATE_ORACLE, tags=("events", "streaming"))
 def streaming_tumbling_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming under the HASH gate: events land as parquet
@@ -254,10 +288,6 @@ def streaming_tumbling_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     At scale the identical pipeline swaps the directory source for Kafka
     and the memory sink for a parquet/foreachBatch sink; watermarked window
     state is bounded regardless of throughput."""
-    import hashlib
-    import tempfile
-    from pathlib import Path
-
     from map_reduce485_spark.streaming.jobs import (
         read_events_stream,
         run_to_memory_sink,
@@ -265,20 +295,17 @@ def streaming_tumbling_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     (events,) = T(spark, sf_dir, "events")  # also tunes the session (UTC)
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    landing = Path(tempfile.gettempdir()) / f"mr485_stream_gate_{tag}"
-    if not (landing / "_SUCCESS").exists():  # land once per sf_dir
-        events.repartition(4).write.mode("overwrite").parquet(str(landing))
+    landing = _land_events(events, sf_dir)  # shared with the sessionize gate
 
-    agg = stream_tumbling_counts(read_events_stream(spark, str(landing)))
-    name = f"stream_gate_tumbling_{tag}"
+    agg = stream_tumbling_counts(read_events_stream(spark, landing))
+    name = f"stream_gate_tumbling_{landing.rsplit('_', 1)[-1]}"
     run_to_memory_sink(agg, name, mode="complete")
     return spark.table(name)
 
 
 _STREAM_SESSION_ORACLE = """
 WITH ordered AS (
-  SELECT user_id, ts,
+  SELECT user_id, ts, event_id,
          CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                    > INTERVAL 30 MINUTE
               OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
@@ -288,7 +315,7 @@ WITH ordered AS (
 numbered AS (
   SELECT user_id, ts,
          SUM(is_new_session) OVER (
-           PARTITION BY user_id ORDER BY ts
+           PARTITION BY user_id ORDER BY ts, event_id
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
          ) AS session_id
   FROM ordered
@@ -310,10 +337,6 @@ def streaming_sessionize_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     that witnesses windowed aggregation state, this witnesses Spark's
     merge-on-arrival session state machine — the op whose semantics are
     hardest to eyeball."""
-    import hashlib
-    import tempfile
-    from pathlib import Path
-
     from map_reduce485_spark.streaming.jobs import (
         read_events_stream,
         run_to_memory_sink,
@@ -321,12 +344,9 @@ def streaming_sessionize_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     (events,) = T(spark, sf_dir, "events")
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    landing = Path(tempfile.gettempdir()) / f"mr485_stream_gate_{tag}"
-    if not (landing / "_SUCCESS").exists():  # shared with the tumbling gate
-        events.repartition(4).write.mode("overwrite").parquet(str(landing))
+    landing = _land_events(events, sf_dir)  # shared with the tumbling gate
 
-    sess = stream_sessionize(read_events_stream(spark, str(landing)))
-    name = f"stream_gate_sessions_{tag}"
+    sess = stream_sessionize(read_events_stream(spark, landing))
+    name = f"stream_gate_sessions_{landing.rsplit('_', 1)[-1]}"
     run_to_memory_sink(sess, name, mode="complete")
     return spark.table(name)
