@@ -55,6 +55,7 @@ def bpe_train(
     order.  `words.freq` must be integral.
     """
     sym = words.select(F.expr(_SYM_INIT).alias("s"), "freq").cache()
+    prev: DataFrame | None = None
     out: list[tuple[int, str, str, int]] = []
     for step in range(1, n_merges + 1):
         pairs = sym.select(
@@ -67,6 +68,13 @@ def bpe_train(
             .limit(1)
             .collect()
         )
+        # The collect above materialized `sym`'s cache; only now is it safe
+        # to drop the previous iteration's cache — unpersisting before the
+        # child is materialized would force each iteration to recompute the
+        # whole replace chain from the source wordcount.
+        if prev is not None:
+            prev.unpersist()
+            prev = None
         if not best:
             break
         pair, freq = best[0].pair, int(best[0].f)
@@ -78,7 +86,9 @@ def bpe_train(
             ).alias("s"),
             "freq",
         ).cache()
-        sym.unpersist()
+        prev = sym
         sym = new_sym
     sym.unpersist()
+    if prev is not None:
+        prev.unpersist()
     return out
