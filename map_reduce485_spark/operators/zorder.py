@@ -120,12 +120,22 @@ def zorder_write(
     bit-aligned splits mean a filter band touches exactly the curve
     quadrants it must — sampled splits land off the Morton bit boundaries
     and overlap extra files."""
-    shift_den = 1 << (len(cols) * bits)
+    total_bits = len(cols) * bits
+    if n_files & (n_files - 1) == 0:
+        # power-of-two file count: the split IS the top log2(n_files) bits
+        # of the code — pure integer shift, exact at any d*bits <= 62
+        shift = max(total_bits - (n_files.bit_length() - 1), 0)
+        file_col = F.shiftright(F.col("z_code"), shift).cast("long")
+    else:
+        # z_code * n_files can exceed 2^53 (double mantissa) and even 2^63
+        # when d*bits approaches 62 — compute the split in decimal(38,0)
+        # so rounding can never shift rows across file boundaries
+        file_col = F.floor(
+            F.col("z_code").cast("decimal(38,0)") * n_files / F.lit(1 << total_bits)
+        ).cast("long")
     (
         zorder_code(df, *cols, bits=bits)
-        .withColumn(
-            "_file", (F.col("z_code") * F.lit(n_files) / F.lit(shift_den)).cast("long")
-        )
+        .withColumn("_file", file_col)
         .repartitionByRange(n_files, "_file")
         .sortWithinPartitions("z_code")
         .drop("z_code", "_file")
