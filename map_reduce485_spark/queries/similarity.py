@@ -743,8 +743,13 @@ def _pq_duck_fold(vec: str, m: int, code: str) -> str:
     )
 
 
+# codebook literals carry an e0 suffix so DuckDB parses them directly as
+# DOUBLE: a bare decimal literal goes through DECIMAL first, and the
+# decimal->double conversion at the nested array's unified scale rounds 74
+# of these 1024 values one ulp away from Python's float parse — enough to
+# break bit-parity with the Spark-side `_pq_cb_lit` literals
 _DUCK_PQ_CB_CTE = "cbs AS (SELECT CAST([" + ", ".join(
-    "[" + ", ".join("[" + ", ".join(str(v) for v in cw) + "]" for cw in book) + "]"
+    "[" + ", ".join("[" + ", ".join(f"{v!r}e0" for v in cw) + "]" for cw in book) + "]"
     for book in _PQ_CB
 ) + "] AS DOUBLE[][][]) AS cb)"
 
@@ -829,6 +834,161 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = W.partitionBy("query_id").orderBy(F.col("pq_dist").asc(), "neighbor_id")
     return (
         scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "neighbor_id", "rank", "pq_dist")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF + PQ composed: the production ANN shape
+# ---------------------------------------------------------------------------
+
+_IVF_PQ_ORACLE = f"""
+WITH {_DUCK_EMB_CTE},
+{_DUCK_PQ_CB_CTE},
+{_DUCK_PQ_ENC},
+cent AS (
+  SELECT vec_id AS cent_id, v AS cvec FROM emb ORDER BY vec_id LIMIT {_IVF_K}
+),
+assign AS (
+  SELECT vec_id, cent_id FROM (
+    SELECT e.vec_id, c.cent_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.v, c.cvec) DESC, c.cent_id
+           ) AS rn
+    FROM emb e CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT query_id, cent_id FROM (
+    SELECT q.vec_id AS query_id, c.cent_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_cosine_similarity(q.v, c.cvec) DESC, c.cent_id
+           ) AS rn
+    FROM emb q CROSS JOIN cent c WHERE q.vec_id < 5
+  ) WHERE rn <= {_IVF_NPROBE}
+),
+cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id
+  FROM probes p JOIN assign a ON a.cent_id = p.cent_id
+  WHERE a.vec_id <> p.query_id
+)
+SELECT query_id, neighbor_id, rank, pq_dist FROM (
+  SELECT c.query_id, c.neighbor_id,
+         {' + '.join(_pq_duck_fold('q.v', m, f'n.c{m}') for m in range(1, _PQ_M + 1))}
+           AS pq_dist,
+         ROW_NUMBER() OVER (
+           PARTITION BY c.query_id
+           ORDER BY {' + '.join(_pq_duck_fold('q.v', m, f'n.c{m}') for m in range(1, _PQ_M + 1))} ASC,
+                    c.neighbor_id
+         ) AS rank
+  FROM cand c
+  JOIN enc n ON n.vec_id = c.neighbor_id
+  JOIN emb q ON q.vec_id = c.query_id, cbs
+) WHERE rank <= 10
+"""
+
+
+@query("ann_ivf_pq_topk", _IVF_PQ_ORACLE, tags=("similarity", "ann"))
+def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse quantization composed with PQ asymmetric scoring — the
+    production ANN index shape (FAISS's IVFPQ): probe a few coarse cells,
+    score ONLY their members, and score against 4 PQ codes per vector
+    instead of 64 raw floats.
+
+    Why this is the 100 TB plan (and what each half contributes):
+
+    - IVF (`ann_ivf_topk`) bounds WHICH vectors are scored — candidates
+      shrink to ~nprobe/K of the corpus via a broadcast probe->cell
+      equi-join, never a cross join against the corpus.
+    - PQ (`ann_pq_topk`) bounds WHAT the candidate rows carry — the
+      corpus-sized assignment table holds (vec_id, cell, c1..c4): four
+      small ints instead of a 256 B vector, so the shuffle and the
+      in-memory index are 16-128x smaller.  Raw embeddings appear only in
+      the single encode+assign scan; they never flow into the join graph.
+
+    Cell assignment and PQ encoding are computed in ONE pass over the
+    corpus (both are map-side argmins over broadcast literals — one scan,
+    no shuffle); the only shuffle is the per-vector argmax window on
+    vec_id, shared by both outputs.  Centroids are the K lowest vec_ids
+    (deterministic, same as `ann_ivf_topk`; `ann_ivf_kmeans_topk` shows
+    the trained form) and codebooks are md5-derived, so the oracle replays
+    coarse assignment, probing, encoding, and asymmetric distances exactly
+    — every float reduction is a sequential left fold, bit-identical
+    across engines.
+    """
+    from pyspark.sql import Window as W
+
+    (emb,) = T(spark, sf_dir, "embeddings")
+    cent = (
+        emb.orderBy("vec_id")
+        .limit(_IVF_K)
+        .select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cvec"))
+    )
+    codes = [f"c{m}" for m in range(1, _PQ_M + 1)]
+
+    # one corpus scan: PQ codes (argmin over literal codebooks) + cell
+    # assignment (argmax cosine over broadcast centroids), sharing the
+    # per-vector window shuffle
+    enc = emb.withColumn("_cb", _pq_cb_lit())
+    for m in range(_PQ_M):
+        enc = enc.withColumn(f"_d{m}", F.expr(_pq_dists_expr(m, "embedding")))
+        enc = enc.withColumn(
+            f"c{m + 1}", F.expr(f"array_position(_d{m}, array_min(_d{m}))").cast("int")
+        )
+    w_vec = W.partitionBy("vec_id").orderBy(F.col("_sim").desc(), "cent_id")
+    assign = (
+        enc.join(F.broadcast(cent))
+        .select("vec_id", "cent_id", *codes, cosine_col("embedding", "cvec").alias("_sim"))
+        .withColumn("rn", F.row_number().over(w_vec))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cent_id", *codes)
+    )
+
+    probes = (
+        emb.filter(F.col("vec_id") < 5)
+        .join(F.broadcast(cent))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "cent_id",
+            cosine_col("embedding", "cvec").alias("_sim"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("query_id").orderBy(F.col("_sim").desc(), "cent_id")
+            ),
+        )
+        .filter(F.col("rn") <= _IVF_NPROBE)
+        .select("query_id", "cent_id")
+    )
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    dist_terms = [
+        f"aggregate(zip_with(slice(q_emb, {m * _PQ_SUB + 1}, {_PQ_SUB}),"
+        f" element_at(element_at(_cb, {m + 1}), c{m + 1}),"
+        " (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),"
+        " 0D, (acc, v) -> acc + v)"
+        for m in range(_PQ_M)
+    ]
+    cand = (
+        F.broadcast(probes)
+        .join(assign, "cent_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .join(F.broadcast(q), F.col("q_id") == F.col("query_id"))
+        .withColumn("_cb", _pq_cb_lit())
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.expr(" + ".join(dist_terms)).alias("pq_dist"),
+        )
+    )
+    w_rank = W.partitionBy("query_id").orderBy(F.col("pq_dist").asc(), "neighbor_id")
+    return (
+        cand.withColumn("rank", F.row_number().over(w_rank))
         .filter(F.col("rank") <= 10)
         .select("query_id", "neighbor_id", "rank", "pq_dist")
     )

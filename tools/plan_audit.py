@@ -39,6 +39,10 @@ KNOWN_BNLJ = {
     # documented-intentional shape as cosine_topk_bruteforce: the corpus
     # side never moves, the broadcast side is Q rows (Q=5)
     "ann_pq_topk",
+    # IVF+PQ composition: the 16-row centroid table broadcast against the
+    # corpus for cell assignment (emb.join(broadcast(cent)), same fan-out
+    # as ann_ivf_topk) plus the 5-row query broadcast for scoring
+    "ann_ivf_pq_topk",
 }
 
 
