@@ -556,3 +556,106 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("cluster_id"),
         (F.col("id") == F.col("label")).cast("int").alias("is_kept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# winnowing: strided local fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03)
+# ---------------------------------------------------------------------------
+
+_WINNOW_W = 4  # window of consecutive gram hashes; guarantee length w+2 grams
+_WINNOW_MIN_SHARED = 2
+
+_WINNOW_ORACLE = f"""
+WITH words AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, i, md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS h,
+         len(w) - 2 AS n_grams
+  FROM (SELECT doc_id, w, UNNEST(generate_series(1, len(w) - 2)) AS i
+        FROM words WHERE len(w) >= 3)
+),
+wins AS (
+  SELECT doc_id, i, n_grams,
+         MIN(h || lpad(CAST(100000000 - i AS VARCHAR), 8, '0'))
+           OVER (PARTITION BY doc_id ORDER BY i
+                 ROWS BETWEEN CURRENT ROW AND {_WINNOW_W - 1} FOLLOWING) AS sel
+  FROM grams
+),
+fp AS (
+  SELECT DISTINCT doc_id, substr(sel, 1, 32) AS h
+  FROM wins WHERE i <= n_grams - {_WINNOW_W - 1}
+),
+pairs AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_shared
+  FROM fp a JOIN fp b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT a_id, b_id, n_shared FROM pairs WHERE n_shared >= {_WINNOW_MIN_SHARED}
+"""
+
+
+@query("dedup_winnowing_pairs", _WINNOW_ORACLE, tags=("dedup",))
+def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidates by WINNOWING fingerprints: hash word 3-grams in
+    document order, slide a w=4 window over consecutive gram hashes, keep
+    each window's minimum (rightmost position on ties — the paper's robust
+    winnowing rule), and join documents on shared fingerprints.
+
+    Guarantee: any shared run of >= w+2 consecutive words produces at least
+    one shared fingerprint — unlike MinHash there are no probabilistic
+    misses above the guarantee length, and unlike the full n-gram inverted
+    index (`dedup_ngram_jaccard`, the exact twin) only ~2/(w+1) of grams
+    survive as index keys.
+
+    100 TB shape: gram explode is corpus-linear but map-side; the window
+    runs per-document (state = w rows, partition key = doc_id — never a
+    global window); the fingerprint index join shuffles 16-byte hashes at
+    ~40% the full index's volume, with md5-uniform posting lists.  The
+    windowed-min stride is the same primitive `doc_fingerprint` documents
+    as its scale path — this is that path, realized.
+
+    The tie-break key packs (hash, 10^8 - position) into one string so both
+    engines' plain MIN picks the identical (lowest-hash, rightmost) gram —
+    no argmin/min_by cross-engine semantics in play.
+    """
+    from pyspark.sql import Window as W
+
+    (docs,) = T(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.expr("filter(split(text, ' '), x -> x <> '')").alias("w")
+    ).filter(F.size("w") >= 3)
+    grams = words.select(
+        "doc_id",
+        (F.size("w") - 2).alias("n_grams"),
+        F.explode(F.sequence(F.lit(1), F.size("w") - 2)).alias("i"),
+        "w",
+    ).select(
+        "doc_id",
+        "n_grams",
+        "i",
+        F.expr(
+            "md5(concat(element_at(w, i), ' ', element_at(w, i + 1),"
+            " ' ', element_at(w, i + 2)))"
+        ).alias("h"),
+    )
+    win = W.partitionBy("doc_id").orderBy("i").rowsBetween(0, _WINNOW_W - 1)
+    key = F.concat(
+        "h", F.lpad((F.lit(100000000) - F.col("i")).cast("string"), 8, "0")
+    )
+    fp = (
+        grams.withColumn("sel", F.min(key).over(win))
+        .filter(F.col("i") <= F.col("n_grams") - (_WINNOW_W - 1))
+        .select("doc_id", F.substring("sel", 1, 32).alias("h"))
+        .distinct()
+    )
+    a = fp.select(F.col("doc_id").alias("a_id"), "h")
+    b = fp.select(F.col("doc_id").alias("b_id"), "h")
+    return (
+        a.join(b, "h")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= _WINNOW_MIN_SHARED)
+    )
