@@ -171,3 +171,40 @@ def fake_audio_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
                 "rms": f.map(lambda t: t[2]),
             }
         )
+
+
+def byte_histogram(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """REAL feature math over binary payloads (not a stub): 16-bucket byte
+    histogram (high nibble) per payload, fully vectorized across the Arrow
+    batch with numpy — no codec needed, so unlike the decode stubs this is
+    genuine content math verified byte-exactly end to end.
+
+    One `np.frombuffer` over the batch's concatenated payloads + a single
+    `bincount` on (row_index * 16 + high_nibble) computes every payload's
+    histogram at once — zero per-row Python.  Emits SPARSE rows (only
+    non-empty buckets): (doc_id, bucket, n_in_bucket, pct); pct is an
+    int/int division in double, exact on every engine.
+
+    Input batches: (doc_id: int64, payload: bytes), payloads non-empty.
+    """
+    import numpy as np
+
+    for pdf in batches:
+        if len(pdf) == 0:
+            continue
+        payloads = pdf["payload"]
+        lens = payloads.str.len().to_numpy(np.int64)
+        all_bytes = np.frombuffer(b"".join(payloads.tolist()), dtype=np.uint8)
+        row_of_byte = np.repeat(np.arange(len(pdf)), lens)
+        codes = row_of_byte * 16 + (all_bytes >> 4)
+        counts = np.bincount(codes, minlength=len(pdf) * 16).reshape(len(pdf), 16)
+        rows, buckets = np.nonzero(counts)
+        n_in_bucket = counts[rows, buckets].astype(np.int64)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].to_numpy()[rows],
+                "bucket": buckets.astype(np.int32),
+                "n_in_bucket": n_in_bucket,
+                "pct": n_in_bucket / lens[rows],
+            }
+        )

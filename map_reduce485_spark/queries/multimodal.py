@@ -163,3 +163,46 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         fake_audio_features,
         schema="doc_id bigint, n_samples bigint, duration_s double, rms double",
     )
+
+
+@query(
+    "multimodal_byte_histogram",
+    """
+    WITH p AS (
+      SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+      FROM documents WHERE octet_length(encode(text)) > 0
+    ),
+    nib AS (
+      SELECT doc_id, n,
+             strpos('0123456789ABCDEF', substr(hx, 2 * i - 1, 1)) - 1 AS bucket
+      FROM (SELECT doc_id, hx, n, UNNEST(generate_series(1, n)) AS i FROM p)
+    )
+    SELECT doc_id, bucket, COUNT(*) AS n_in_bucket,
+           CAST(COUNT(*) AS DOUBLE) / n AS pct
+    FROM nib GROUP BY doc_id, bucket, n
+    """,
+    tags=("multimodal",),
+)
+def multimodal_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-level content histogram over binary payloads — the one
+    multimodal feature extractor whose MATH is real, not a deterministic
+    fake: a 16-bucket (high-nibble) histogram per payload, computed with
+    numpy `frombuffer` + one batched `bincount` inside `mapInPandas`.
+
+    This is the Arrow-batched shape every real extractor here would use
+    (same signature as the decode stubs), proven on actual content math:
+    the oracle re-derives each byte's high nibble from the hex expansion in
+    SQL, so counts AND the pct division hash-match exactly.  At 100 TB the
+    plan is a single map-side pass — no shuffle until the (tiny) result
+    aggregation, payload bytes never leave the executor."""
+    from map_reduce485_spark.operators.multimodal import byte_histogram
+
+    (docs,) = T(spark, sf_dir, "documents")
+    payloads = (
+        docs.select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
+        .filter(F.octet_length("payload") > 0)
+    )
+    return payloads.mapInPandas(
+        byte_histogram,
+        schema="doc_id bigint, bucket int, n_in_bucket bigint, pct double",
+    )

@@ -97,3 +97,23 @@ def test_audio_features_read_byte_values(con):
     # oracle would have produced char counts here)
     n = dict(zip(got["doc_id"], got["n_samples"]))
     assert n[2] == len(_DOCS["text"][2].encode("utf-8")) > len(_DOCS["text"][2])
+
+
+def test_byte_histogram_known_payload(spark):
+    """Pin byte_histogram's math on a hand-computable payload: 'AAAb' =
+    0x41,0x41,0x41,0x62 -> high nibbles 4,4,4,6."""
+    import pandas as pd
+
+    from map_reduce485_spark.operators.multimodal import byte_histogram
+
+    batch = pd.DataFrame({"doc_id": [7], "payload": [b"AAAb"]})
+    (out,) = list(byte_histogram(iter([batch])))
+    got = {(r.doc_id, r.bucket): (r.n_in_bucket, r.pct) for r in out.itertuples()}
+    assert got == {(7, 4): (3, 0.75), (7, 6): (1, 0.25)}
+
+    df = spark.createDataFrame(batch).mapInPandas(
+        byte_histogram,
+        schema="doc_id bigint, bucket int, n_in_bucket bigint, pct double",
+    )
+    rows = {(r.doc_id, r.bucket): (r.n_in_bucket, r.pct) for r in df.collect()}
+    assert rows == got
