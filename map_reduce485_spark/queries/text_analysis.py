@@ -661,7 +661,7 @@ WHERE NOT tok.is_eval
 """
 
 
-@query("decontaminate_eval_overlap", _DECON_ORACLE, tags=("text", "etl"))
+@query("decontaminate_eval_overlap", _DECON_ORACLE, tags=("text", "etl"), bench=True)
 def decontaminate_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: flag every training document sharing a
     contiguous 8-token n-gram with the eval set (the GPT-3/PaLM-style
@@ -770,7 +770,7 @@ s{k} AS (
     return "".join(parts) + "\n" + "\nUNION ALL ".join(selects)
 
 
-@query("bpe_train_merges", _bpe_oracle(_BPE_MERGES), tags=("text", "iterative"))
+@query("bpe_train_merges", _bpe_oracle(_BPE_MERGES), tags=("text", "iterative"), bench=True)
 def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer training, first `_BPE_MERGES` merge rules (see
     `operators/bpe.py` for the algorithm and the cross-engine replace
