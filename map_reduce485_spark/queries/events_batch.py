@@ -350,3 +350,100 @@ def streaming_sessionize_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"stream_gate_sessions_{landing.rsplit('_', 1)[-1]}"
     run_to_memory_sink(sess, name, mode="complete")
     return spark.table(name)
+
+
+_STREAM_CUSTOM_STATE_ORACLE = """
+SELECT user_id, COUNT(*) AS total_events,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS total_value_cents
+FROM events GROUP BY user_id
+"""
+
+
+@query(
+    "streaming_custom_state_gate",
+    _STREAM_CUSTOM_STATE_ORACLE,
+    tags=("events", "streaming"),
+)
+def streaming_custom_state_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM stateful streaming (`applyInPandasWithState`) under the hash
+    gate: per-user lifetime counters maintained in user-defined state
+    (`streaming/jobs.stream_user_running_totals`), drained through an
+    update-mode memory sink and compared against the batch groupBy oracle.
+
+    The update-mode sink holds one row per (user, micro-batch-appearance) —
+    each carrying that user's running total at that point.  Both counters
+    are MONOTONE non-decreasing, so `max` per user is exactly the final
+    state no matter how the file source batches the input; that is what
+    makes a custom state machine hash-checkable rather than rows-only.
+    Completes the streaming verification set: windowed aggregation state
+    (`streaming_tumbling_gate`), session-merge state
+    (`streaming_sessionize_gate`), and now arbitrary user-defined state."""
+    from map_reduce485_spark.streaming.jobs import (
+        read_events_stream,
+        run_to_memory_sink,
+        stream_user_running_totals,
+    )
+
+    (events,) = T(spark, sf_dir, "events")
+    landing = _land_events(events, sf_dir)  # shared with the other gates
+
+    totals = stream_user_running_totals(read_events_stream(spark, landing))
+    name = f"stream_gate_custom_state_{landing.rsplit('_', 1)[-1]}"
+    run_to_memory_sink(totals, name, mode="update")
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.max("total_events").alias("total_events"),
+            F.max("total_value_cents").alias("total_value_cents"),
+        )
+    )
+
+
+_CONT_AGG_ORACLE = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+FROM events GROUP BY date_trunc('hour', ts)
+"""
+
+
+@query(
+    "streaming_continuous_aggregate_gate",
+    _CONT_AGG_ORACLE,
+    tags=("events", "streaming"),
+)
+def streaming_continuous_aggregate_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous aggregate (incrementally-maintained materialized rollup)
+    under the hash gate: the landing files are drained ONE PER MICRO-BATCH
+    (`maxFilesPerTrigger=1`, 4 files -> 4 genuine incremental refreshes),
+    each batch's changed hour-buckets are merged into the parquet rollup by
+    `streaming/jobs.run_continuous_aggregate`, and the FINAL MATERIALIZED
+    TABLE — not a memory sink — is compared against the batch SQL rollup.
+    Witnesses the whole maintenance loop: update-mode emission of only
+    changed buckets, replace-by-key merge, atomic swap publication.
+
+    The test watermark is effectively infinite because the landing files
+    are randomly partitioned (a file's events can be arbitrarily older than
+    a previously-drained file's max ts — real backfills are time-ordered);
+    with time-ordered arrival the production default ('1 hour') bounds
+    state exactly as in `stream_tumbling_counts`."""
+    import tempfile
+
+    from map_reduce485_spark.streaming.jobs import (
+        read_events_stream,
+        run_continuous_aggregate,
+    )
+
+    (events,) = T(spark, sf_dir, "events")
+    landing = _land_events(events, sf_dir)  # shared with the other gates
+
+    work = tempfile.mkdtemp(prefix="mr485_cont_agg_")
+    q = run_continuous_aggregate(
+        read_events_stream(spark, landing, max_files_per_trigger=1),
+        agg_dir=f"{work}/rollup",
+        checkpoint_dir=f"{work}/ckpt",
+        watermark="3650 days",
+    )
+    q.awaitTermination()
+    return spark.read.parquet(f"{work}/rollup")

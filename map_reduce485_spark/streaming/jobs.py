@@ -35,11 +35,18 @@ EVENTS_SCHEMA = T.StructType(
 )
 
 
-def read_events_stream(spark: SparkSession, source_dir: str) -> DataFrame:
+def read_events_stream(
+    spark: SparkSession, source_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
     """File-source stream of events (parquet files appearing in a directory —
     the standard landing-zone ingestion pattern; swap for Kafka in prod
-    with the same downstream code)."""
-    return spark.readStream.schema(EVENTS_SCHEMA).parquet(source_dir)
+    with the same downstream code).  `max_files_per_trigger` throttles each
+    micro-batch (None = everything available at once) — set it to exercise
+    genuinely incremental multi-batch processing over a static landing dir."""
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(source_dir)
 
 
 def stream_tumbling_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
@@ -184,6 +191,34 @@ def stream_view_purchase_join(
     )
 
 
+def _merge_swap_parquet(spark, base: str, first: DataFrame, merge) -> None:
+    """Read-merge-swap a parquet state table (shared by the foreachBatch
+    sinks): write `first` if `base` doesn't exist yet, else `merge(prev)` to
+    a sibling ``.tmp`` dir (current state stays readable) and swap it in via
+    two renames.  First-batch detection is an explicit Hadoop FS existence
+    check (holds on HDFS/S3A), and an interrupted swap is rolled back from
+    ``.old`` before merging — see `run_foreach_batch_upsert` for the full
+    crash-safety story."""
+    tmp_dir, old_dir = base + ".tmp", base + ".old"
+    hpath = spark._jvm.org.apache.hadoop.fs.Path
+    state_p, tmp_p, old_p = hpath(base), hpath(tmp_dir), hpath(old_dir)
+    fs = state_p.getFileSystem(spark._jsc.hadoopConfiguration())
+
+    # roll back a swap interrupted between the two renames
+    if not fs.exists(state_p) and fs.exists(old_p):
+        fs.rename(old_p, state_p)
+
+    if not fs.exists(state_p):  # genuinely the first batch
+        first.write.mode("overwrite").parquet(base)
+        return
+
+    merge(spark.read.parquet(base)).write.mode("overwrite").parquet(tmp_dir)
+    fs.delete(old_p, True)
+    fs.rename(state_p, old_p)
+    fs.rename(tmp_p, state_p)
+    fs.delete(old_p, True)
+
+
 def run_foreach_batch_upsert(
     events: DataFrame, state_dir: str, checkpoint_dir: str
 ):
@@ -212,7 +247,6 @@ def run_foreach_batch_upsert(
     from pyspark.sql import Window as W
 
     base = state_dir.rstrip("/")
-    tmp_dir, old_dir = base + ".tmp", base + ".old"
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -225,34 +259,76 @@ def run_foreach_batch_upsert(
             .select("user_id", "event_id", "ts", "event_type", "value")
         )
 
-        jvm = spark._jvm
-        hpath = jvm.org.apache.hadoop.fs.Path
-        state_p, tmp_p, old_p = hpath(base), hpath(tmp_dir), hpath(old_dir)
-        fs = state_p.getFileSystem(spark._jsc.hadoopConfiguration())
+        def merge(prev: DataFrame) -> DataFrame:
+            return (
+                prev.unionByName(latest)
+                .withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .drop("rn")
+            )
 
-        # roll back a swap interrupted between the two renames (see docstring)
-        if not fs.exists(state_p) and fs.exists(old_p):
-            fs.rename(old_p, state_p)
-
-        if not fs.exists(state_p):  # genuinely the first batch
-            latest.write.mode("overwrite").parquet(base)
-            return
-
-        merged = (
-            spark.read.parquet(base)
-            .unionByName(latest)
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .drop("rn")
-        )
-        merged.write.mode("overwrite").parquet(tmp_dir)  # state still live
-        fs.delete(old_p, True)
-        fs.rename(state_p, old_p)
-        fs.rename(tmp_p, state_p)
-        fs.delete(old_p, True)
+        _merge_swap_parquet(spark, base, latest, merge)
 
     return (
         events.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def run_continuous_aggregate(
+    events: DataFrame,
+    agg_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "1 hour",
+):
+    """Hypertable-style CONTINUOUS AGGREGATE: an hourly rollup materialized
+    as a parquet table and incrementally maintained as data arrives —
+    the op TimescaleDB calls a continuous aggregate and lakehouses call
+    incremental materialized-view refresh; Spark has no native analog, so
+    it's composed here from update-mode windowed aggregation + a
+    foreachBatch replace-by-key merge.
+
+    Each micro-batch, the update-mode window agg emits ONLY the hour
+    buckets that batch touched, each row carrying the bucket's full
+    recomputed aggregate (Spark's window state holds the running values);
+    the sink then replaces exactly those buckets in the parquet table
+    (anti-join on window_start + union, swapped in atomically via
+    `_merge_swap_parquet`).  Refresh cost is therefore proportional to
+    CHANGED buckets, not table size — the property that makes a 100 TB
+    rollup maintainable.  Watermark bounds the window state exactly as in
+    `stream_tumbling_counts`; sums are integer cents so every refresh is
+    exact."""
+
+    def refresh(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        changed = batch_df.select("window_start", "n_events", "sum_value_cents")
+
+        def merge(prev: DataFrame) -> DataFrame:
+            keep = prev.join(
+                changed.select("window_start"), "window_start", "left_anti"
+            )
+            return keep.unionByName(changed)
+
+        _merge_swap_parquet(spark, agg_dir.rstrip("/"), changed, merge)
+
+    agg = (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_value_cents"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n_events",
+            "sum_value_cents",
+        )
+    )
+    return (
+        agg.writeStream.foreachBatch(refresh)
+        .outputMode("update")
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
