@@ -400,6 +400,66 @@ def streaming_custom_state_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STREAM_DEDUP_ORACLE = """
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+FROM events GROUP BY event_type
+"""
+
+
+@query("streaming_dedup_gate", _STREAM_DEDUP_ORACLE, tags=("events", "streaming"))
+def streaming_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact-dedup state under the hash gate: the landing dir
+    holds TWO copies of every event in DIFFERENT files, the stream drains
+    one file per micro-batch, and `dropDuplicates` must suppress each
+    event's second arrival from state built in an EARLIER batch — the
+    cross-batch seen-key memory that makes streaming dedup a stateful op
+    rather than a per-batch distinct.  The deduped append-mode output,
+    re-aggregated per event type, must equal the batch aggregate over the
+    ORIGINAL (unduplicated) table: any state miss doubles a count and
+    breaks the hash.
+
+    Test watermark is effectively infinite for the same reason as the
+    continuous-aggregate gate (randomly-partitioned files); production
+    bounds the seen-key state with a real horizon."""
+    import os
+    import shutil
+    from pathlib import Path
+
+    from map_reduce485_spark.streaming.jobs import (
+        read_events_stream,
+        run_to_memory_sink,
+        stream_dedup_exact,
+    )
+
+    (events,) = T(spark, sf_dir, "events")
+    landing = _land_events(events, sf_dir)
+    dup = Path(landing + ".dup2")
+    if not (dup / "_SUCCESS").exists():
+        tmp = dup.with_name(f"{dup.name}.tmp{os.getpid()}")
+        events.repartition(2).write.mode("overwrite").parquet(str(tmp))
+        events.repartition(2).write.mode("append").parquet(str(tmp))
+        try:
+            os.rename(tmp, dup)
+        except OSError:  # another process won the rename; keep theirs
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    deduped = stream_dedup_exact(
+        read_events_stream(spark, str(dup), max_files_per_trigger=1),
+        watermark="3650 days",
+    )
+    name = f"stream_gate_dedup_{landing.rsplit('_', 1)[-1]}"
+    run_to_memory_sink(deduped, name, mode="append")
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_value_cents"),
+        )
+    )
+
+
 _CONT_AGG_ORACLE = """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
        COUNT(*) AS n_events,

@@ -121,3 +121,37 @@ def test_pack_sequences_offsets_contiguous_and_bounded(spark):
             assert r.start_offset == expect, (shard, r.doc_id)
             assert r.pack_id == shard * 100000 + r.start_offset // _PACK_SEQ_LEN
             expect += r.n_tokens
+
+
+def test_winnowing_guarantee_shared_run(spark, tmp_path_factory):
+    """Winnowing's correctness property (Schleimer et al. §2): documents
+    sharing a run of at least w+2 consecutive words are guaranteed a shared
+    fingerprint — no probabilistic misses.  Plant a 12-word shared run
+    (two disjoint guarantee windows -> >= 2 shared fingerprints, meeting
+    the query's n_shared >= 2 cut) at several offsets of otherwise-disjoint
+    documents and require the pair to surface every time."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from map_reduce485_spark.queries.dedup import dedup_winnowing_pairs
+
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+    fillers_a = ["ay by cy dy ey", "one two", ""]
+    fillers_b = ["zz yy xx", "", "nine eight seven six five four"]
+    for fa, fb in zip(fillers_a, fillers_b):
+        tmp = tmp_path_factory.mktemp("winnow")
+        a_text = " ".join(x for x in (fa, shared) if x)
+        b_text = " ".join(x for x in (shared, fb) if x)
+        docs = pa.table(
+            {
+                "doc_id": [1, 2],
+                "text": [a_text, b_text],
+                "lang": ["en", "en"],
+                "source": ["s", "s"],
+                "n_chars": [len(a_text), len(b_text)],
+            }
+        )
+        pq.write_table(docs, tmp / "documents.parquet")
+        rows = dedup_winnowing_pairs(spark, str(tmp)).collect()
+        pairs = {(r.a_id, r.b_id): r.n_shared for r in rows}
+        assert (1, 2) in pairs and pairs[(1, 2)] >= 2, (fa, fb, pairs)

@@ -120,7 +120,10 @@ def main() -> int:
         "bpe_train_merges",
         "dedup_minhash_lsh",
         "dedup_simhash_banded",
+        "dedup_winnowing_pairs",
+        "multimodal_byte_histogram",
         "cosine_topk_bruteforce",
+        "ann_ivf_pq_topk",
     ]
     # scan-parallelism proof on the multi-file layout
     n_parts = load_table(spark, sf_dir, "lineitem").rdd.getNumPartitions()
