@@ -668,3 +668,27 @@ def pct_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         "revenue",
         (F.col("revenue") / F.sum("revenue").over(W.partitionBy())).alias("revenue_share"),
     )
+
+
+_LATERAL_ORACLE = """
+SELECT n.n_name, s.s_name, s.s_acctbal
+FROM nation n,
+LATERAL (SELECT s_name, s_acctbal FROM supplier
+         WHERE s_nationkey = n.n_nationkey
+         ORDER BY s_acctbal DESC, s_name LIMIT 2) s
+"""
+
+
+@query("lateral_topn_per_key", _LATERAL_ORACLE, tags=("advanced", "subquery"))
+def lateral_topn_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with per-row ORDER BY ... LIMIT — the
+    SQL-standard way to ask "top 2 suppliers for each nation" without a
+    window function, run verbatim on both engines.  Catalyst decorrelates
+    the lateral into a join + per-key limit (the same physical shape the
+    `window_topk_per_group` twin pins), so the surface differs but the
+    scale story is identical: one shuffle on the correlation key."""
+    from map_reduce485_spark.catalog import table_path
+
+    spark.read.parquet(table_path(sf_dir, "nation")).createOrReplaceTempView("nation")
+    spark.read.parquet(table_path(sf_dir, "supplier")).createOrReplaceTempView("supplier")
+    return spark.sql(_LATERAL_ORACLE)

@@ -246,3 +246,56 @@ def orc_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum(F.round(F.col("c_acctbal") * 100).cast("long")) / 100.0).alias("total_bal"),
         F.max("c_custkey").alias("max_key"),
     )
+
+
+@query(
+    "schema_evolution_scan",
+    """
+    WITH unioned AS (
+      SELECT s_suppkey, s_nationkey, s_acctbal, NULL AS s_tier
+      FROM supplier WHERE s_suppkey % 2 = 0
+      UNION ALL
+      SELECT s_suppkey, s_nationkey, s_acctbal,
+             CASE WHEN s_acctbal >= 0 THEN 'standard' ELSE 'watch' END AS s_tier
+      FROM supplier WHERE s_suppkey % 2 = 1
+    )
+    SELECT s_nationkey, COALESCE(s_tier, 'unknown') AS tier,
+           COUNT(*) AS n_suppliers,
+           SUM(CAST(ROUND(s_acctbal * 100) AS BIGINT)) / 100.0 AS total_bal
+    FROM unioned GROUP BY s_nationkey, COALESCE(s_tier, 'unknown')
+    """,
+    tags=("sources",),
+)
+def schema_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across parquet generations: an old writer emitted
+    supplier rows WITHOUT `s_tier`, a newer writer added it; one
+    `mergeSchema` scan reads both generations, null-filling the missing
+    column in old files — the drift pattern every long-lived 100 TB
+    dataset hits (column added mid-history, no rewrite of old partitions).
+
+    Written as two real parquet generations in one directory, read back
+    through a single merged-schema scan + aggregate; the oracle rebuilds
+    both generations with UNION ALL from the catalog table, so a dropped
+    generation, mis-merged column, or wrong null-fill breaks the hash.
+    `mergeSchema` costs a footer read per file, not a data pass — at scale
+    pin the canonical schema in a catalog and read with it explicitly."""
+    (supplier,) = tables(spark, sf_dir, "supplier")
+    path = _scratch("evolve", sf_dir)
+    old_gen = supplier.filter(F.col("s_suppkey") % 2 == 0).select(
+        "s_suppkey", "s_nationkey", "s_acctbal"
+    )
+    new_gen = supplier.filter(F.col("s_suppkey") % 2 == 1).select(
+        "s_suppkey",
+        "s_nationkey",
+        "s_acctbal",
+        F.when(F.col("s_acctbal") >= 0, "standard").otherwise("watch").alias("s_tier"),
+    )
+    old_gen.write.mode("overwrite").parquet(path)
+    new_gen.write.mode("append").parquet(path)
+    back = spark.read.option("mergeSchema", True).parquet(path)
+    return back.groupBy(
+        "s_nationkey", F.coalesce("s_tier", F.lit("unknown")).alias("tier")
+    ).agg(
+        F.count("*").alias("n_suppliers"),
+        (F.sum(F.round(F.col("s_acctbal") * 100).cast("long")) / 100.0).alias("total_bal"),
+    )
