@@ -507,3 +507,48 @@ def streaming_continuous_aggregate_gate(spark: SparkSession, sf_dir: str) -> Dat
     )
     q.awaitTermination()
     return spark.read.parquet(f"{work}/rollup")
+
+
+_RETENTION_ORACLE = """
+WITH first_seen AS (
+  SELECT user_id, MIN(date_trunc('day', ts)) AS cohort_day
+  FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+)
+SELECT strftime(f.cohort_day, '%Y-%m-%d') AS cohort_day,
+       date_diff('day', f.cohort_day, a.day) AS day_offset,
+       COUNT(*) AS n_active_users
+FROM first_seen f JOIN activity a ON a.user_id = f.user_id
+GROUP BY f.cohort_day, date_diff('day', f.cohort_day, a.day)
+"""
+
+
+@query("retention_cohorts", _RETENTION_ORACLE, tags=("events",))
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-seen day, counted
+    on each subsequent active day as an offset from their cohort — the
+    standard product-analytics retention matrix.
+
+    Plan: one groupBy(user) for first-seen, one distinct over (user, day)
+    for activity, one equi-join on user_id (both sides already hash-
+    partitioned on it, so AQE can reuse the exchange), and a final tiny
+    (cohort, offset) aggregate.  No window functions, no self-join over
+    raw events — at 100 TB both intermediate tables are user-cardinality,
+    not event-cardinality."""
+    (events,) = T(spark, sf_dir, "events")
+    first_seen = events.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", "ts")).alias("cohort_day")
+    )
+    activity = events.select(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).distinct()
+    return (
+        first_seen.join(activity, "user_id")
+        .groupBy(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            F.datediff("day", "cohort_day").alias("day_offset"),
+        )
+        .agg(F.count("*").alias("n_active_users"))
+    )
