@@ -552,3 +552,40 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n_active_users"))
     )
+
+
+_TRANSITION_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+)
+SELECT prev_type AS from_type, event_type AS to_type,
+       COUNT(*) AS n_transitions
+FROM seq WHERE prev_type IS NOT NULL
+GROUP BY prev_type, event_type
+"""
+
+
+@query("event_transition_matrix", _TRANSITION_ORACLE, tags=("events", "window"))
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts over each user's event
+    sequence: lag the event type within (user, time) order and count
+    (from, to) pairs — the behavioral-model input and the sequence twin of
+    `vocab_top_bigrams`.  One partition-by-user window shuffle, then a
+    tiny |types|^2 aggregate; the (ts, event_id) ordering makes ties
+    deterministic on both engines."""
+    from pyspark.sql import Window as W
+
+    (events,) = T(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        events.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy(
+            F.col("prev_type").alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .agg(F.count("*").alias("n_transitions"))
+    )

@@ -992,3 +992,58 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 10)
         .select("query_id", "neighbor_id", "rank", "pq_dist")
     )
+
+
+# ---------------------------------------------------------------------------
+# scalar quantization (int8): the third compression primitive
+# ---------------------------------------------------------------------------
+
+_SQ_ORACLE = """
+WITH emb AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+stats AS (
+  SELECT vec_id, v, list_min(v) AS mn, list_max(v) AS mx FROM emb
+)
+SELECT vec_id, i - 1 AS pos,
+       CASE WHEN mx = mn THEN 0
+            ELSE CAST(ROUND((v[i] - mn) * 255.0 / (mx - mn)) AS INTEGER) - 128
+       END AS code,
+       mn, mx
+FROM (SELECT vec_id, v, mn, mx, UNNEST(generate_series(1, len(v))) AS i
+      FROM stats)
+"""
+
+
+@query("embedding_scalar_quantize", _SQ_ORACLE, tags=("similarity",))
+def embedding_scalar_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8 scalar quantization — the third vector-compression
+    primitive next to LSH sign bits (`ann_lsh_buckets`) and PQ codes
+    (`ann_pq_topk`): each component maps to an 8-bit code against the
+    vector's own [min, max] range, a 4x memory cut with per-component
+    fidelity (what FAISS calls SQ8).
+
+    Entirely map-side (array min/max + transform per row, no shuffle
+    until the result), and exactly replayable: (v - mn) * 255 / (mx - mn)
+    is the same double expression tree on both engines, and ROUND ties
+    break half-away-from-zero in both Spark and DuckDB — the same
+    invariant every money sum here rides on."""
+    (emb,) = T(spark, sf_dir, "embeddings")
+    stats = emb.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+    ).select(
+        "vec_id", "v", F.array_min("v").alias("mn"), F.array_max("v").alias("mx")
+    )
+    return stats.select(
+        "vec_id",
+        F.posexplode(
+            F.expr(
+                "CASE WHEN mx = mn THEN transform(v, x -> 0)"
+                " ELSE transform(v, x ->"
+                " CAST(ROUND((x - mn) * 255.0 / (mx - mn)) AS INT) - 128) END"
+            )
+        ).alias("pos", "code"),
+        "mn",
+        "mx",
+    )
