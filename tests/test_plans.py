@@ -242,3 +242,27 @@ def test_plan_audit_green(spark):
 
     bad = audit(spark, SF_SMOKE)
     assert bad == [], "\n".join(bad)
+
+
+def test_join_strategy_hints_honored(spark):
+    """The engine exposes all three join-strategy escape hatches: Catalyst
+    picks broadcast for bounded dims by default (pinned above), but a
+    SHUFFLE_HASH hint must produce ShuffledHashJoin (the right call when
+    one side is small-ish yet over the broadcast threshold — builds a hash
+    map instead of sorting both sides) and MERGE must force SortMergeJoin.
+    At 100 TB choosing hash-vs-merge for mid-size dims is a real lever."""
+    from map_reduce485_spark.catalog import load_table
+    from map_reduce485_spark.plans import explain_str
+
+    orders = load_table(spark, SF_SMOKE, "orders")
+    lineitem = load_table(spark, SF_SMOKE, "lineitem")
+
+    shj = lineitem.join(
+        orders.hint("shuffle_hash"), lineitem.l_orderkey == orders.o_orderkey
+    )
+    assert "ShuffledHashJoin" in explain_str(shj, "simple")
+
+    smj = lineitem.join(
+        orders.hint("merge"), lineitem.l_orderkey == orders.o_orderkey
+    )
+    assert "SortMergeJoin" in explain_str(smj, "simple")
