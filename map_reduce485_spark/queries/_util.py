@@ -73,3 +73,37 @@ ORACLE_TS_FMT = "%Y-%m-%d %H:%M:%S"
 
 def oracle_fmt_ts(expr: str, alias: str) -> str:
     return f"strftime({expr}, '{ORACLE_TS_FMT}') AS {alias}"
+
+
+def land_parquet(df: DataFrame, sf_dir: str, table: str, n_files: int = 4) -> str:
+    """Land a catalog table as parquet files under /tmp for the streaming
+    gates (the landing-zone ingestion pattern their file sources read).
+
+    The dir tag fingerprints the SOURCE data (file names, sizes, mtimes),
+    not just the path — regenerated source data gets a fresh landing dir
+    instead of a stale replay.  The write goes to a process-unique temp dir
+    and is renamed into place: rename(2) is atomic, so two first-run
+    processes cannot race each other's half-written files (the loser
+    removes its own copy).
+    """
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    src = Path(sf_dir) / f"{table}.parquet"
+    files = sorted(p for p in src.rglob("*") if p.is_file()) if src.is_dir() else [src]
+    h = hashlib.md5(f"{sf_dir}:{table}".encode())
+    for f in files:
+        st = f.stat()
+        h.update(f"{f.name}:{st.st_size}:{st.st_mtime_ns}".encode())
+    landing = Path(tempfile.gettempdir()) / f"mr485_land_{table}_{h.hexdigest()[:12]}"
+    if not (landing / "_SUCCESS").exists():
+        tmp = landing.with_name(f"{landing.name}.tmp{os.getpid()}")
+        df.repartition(n_files).write.mode("overwrite").parquet(str(tmp))
+        try:
+            os.rename(tmp, landing)
+        except OSError:  # another process won the rename; keep theirs
+            shutil.rmtree(tmp, ignore_errors=True)
+    return str(landing)

@@ -240,37 +240,11 @@ FROM events GROUP BY date_trunc('hour', ts)
 
 
 def _land_events(events: DataFrame, sf_dir: str) -> str:
-    """Land the events table as parquet files for the streaming gates.
+    """Land the events table for the streaming gates (fingerprint-keyed,
+    atomically published — see `_util.land_parquet`)."""
+    from map_reduce485_spark.queries._util import land_parquet
 
-    The landing dir tag fingerprints the SOURCE data (file names, sizes,
-    mtimes), not just the sf_dir path — if the events table under the same
-    path is regenerated, the stale landing dir is abandoned and a fresh one
-    is built.  The write goes to a process-unique temp dir and is renamed
-    into place, so two first-run processes cannot race each other's
-    half-written files: rename(2) is atomic, and the loser just removes
-    its own copy.
-    """
-    import hashlib
-    import os
-    import shutil
-    import tempfile
-    from pathlib import Path
-
-    src = Path(sf_dir) / "events.parquet"
-    files = sorted(p for p in src.rglob("*") if p.is_file()) if src.is_dir() else [src]
-    h = hashlib.md5(sf_dir.encode())
-    for f in files:
-        st = f.stat()
-        h.update(f"{f.name}:{st.st_size}:{st.st_mtime_ns}".encode())
-    landing = Path(tempfile.gettempdir()) / f"mr485_stream_gate_{h.hexdigest()[:12]}"
-    if not (landing / "_SUCCESS").exists():
-        tmp = landing.with_name(f"{landing.name}.tmp{os.getpid()}")
-        events.repartition(4).write.mode("overwrite").parquet(str(tmp))
-        try:
-            os.rename(tmp, landing)
-        except OSError:  # another process won the rename; keep theirs
-            shutil.rmtree(tmp, ignore_errors=True)
-    return str(landing)
+    return land_parquet(events, sf_dir, "events")
 
 
 @query("streaming_tumbling_gate", _STREAM_GATE_ORACLE, tags=("events", "streaming"))

@@ -1047,3 +1047,106 @@ def embedding_scalar_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mn",
         "mx",
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming ANN index maintenance
+# ---------------------------------------------------------------------------
+
+_STREAM_ANN_INDEX_ORACLE = f"""
+WITH {_DUCK_EMB_CTE},
+{_DUCK_PLANES_CTE},
+{_DUCK_BUCKETS_CTE}
+SELECT bucket, COUNT(*) AS n_vectors, MIN(vec_id) AS min_vec_id
+FROM buckets GROUP BY bucket
+"""
+
+
+@query(
+    "streaming_ann_index_gate",
+    _STREAM_ANN_INDEX_ORACLE,
+    tags=("similarity", "streaming"),
+)
+def streaming_ann_index_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ANN INDEX MAINTENANCE under the hash gate: embeddings
+    arrive as a file stream (one file per micro-batch), each batch's
+    vectors are LSH-bucketed MAP-SIDE (the deterministic md5 hyperplanes
+    of `ann_lsh_buckets`), and a foreachBatch sink ADDITIVELY merges the
+    per-bucket statistics (count, min vec_id) into a parquet index-stats
+    table.  The final table must hash-match the batch bucketing of the
+    whole corpus.
+
+    This is the third merge class the streaming sinks witness — additive
+    (count += delta, min = least), next to replace-by-latest-key (upsert)
+    and replace-by-changed-bucket (continuous aggregate) — and it is how a
+    real vector index stays current at 100 TB: bucket membership is
+    immutable per vector, so ingestion appends bucket rows and folds
+    bucket stats; nothing global recomputes.  The stream itself is
+    STATELESS (pure map) — statefulness lives entirely in the sink merge,
+    the shape that scales to any throughput."""
+    import tempfile
+
+    from pyspark.sql import types as ST
+
+    from map_reduce485_spark.queries._util import land_parquet
+    from map_reduce485_spark.streaming.jobs import _merge_swap_parquet
+
+    (emb,) = T(spark, sf_dir, "embeddings")
+    landing = land_parquet(emb, sf_dir, "embeddings")
+
+    schema = ST.StructType(
+        [
+            ST.StructField("vec_id", ST.LongType()),
+            ST.StructField("embedding", ST.ArrayType(ST.FloatType())),
+            ST.StructField("label", ST.IntegerType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+        .withColumn("_planes", _planes_lit())
+        .select("vec_id", _bucket_expr().alias("bucket"))
+    )
+
+    work = tempfile.mkdtemp(prefix="mr485_ann_index_")
+    stats_dir = f"{work}/bucket_stats"
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        bspark = batch_df.sparkSession
+        delta = batch_df.groupBy("bucket").agg(
+            F.count("*").alias("n_vectors"), F.min("vec_id").alias("min_vec_id")
+        )
+
+        def merge(prev: DataFrame) -> DataFrame:
+            p = prev.select(
+                "bucket",
+                F.col("n_vectors").alias("p_n"),
+                F.col("min_vec_id").alias("p_min"),
+            )
+            d = delta.select(
+                "bucket",
+                F.col("n_vectors").alias("d_n"),
+                F.col("min_vec_id").alias("d_min"),
+            )
+            return p.join(d, "bucket", "full_outer").select(
+                "bucket",
+                (F.coalesce("p_n", F.lit(0)) + F.coalesce("d_n", F.lit(0))).alias(
+                    "n_vectors"
+                ),
+                F.least(
+                    F.coalesce("p_min", F.col("d_min")),
+                    F.coalesce("d_min", F.col("p_min")),
+                ).alias("min_vec_id"),
+            )
+
+        _merge_swap_parquet(bspark, stats_dir, delta, merge)
+
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", f"{work}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(stats_dir)
