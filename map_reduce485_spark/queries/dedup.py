@@ -620,9 +620,15 @@ def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines' plain MIN picks the identical (lowest-hash, rightmost) gram —
     no argmin/min_by cross-engine semantics in play.
     """
+    (docs,) = T(spark, sf_dir, "documents")
+    return _winnow_pairs(docs)
+
+
+def _winnow_pairs(docs: DataFrame) -> DataFrame:
+    """(a_id, b_id, n_shared) winnowing candidate pairs — the shared core
+    of `dedup_winnowing_pairs` and `dedup_graph_triangles`."""
     from pyspark.sql import Window as W
 
-    (docs,) = T(spark, sf_dir, "documents")
     words = docs.select(
         "doc_id", F.expr("filter(split(text, ' '), x -> x <> '')").alias("w")
     ).filter(F.size("w") >= 3)
@@ -658,4 +664,83 @@ def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("a_id", "b_id")
         .agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= _WINNOW_MIN_SHARED)
+    )
+
+
+# ---------------------------------------------------------------------------
+# triangle counting over the near-dup candidate graph
+# ---------------------------------------------------------------------------
+
+_TRIANGLES_ORACLE = f"""
+WITH pairs AS ({_WINNOW_ORACLE}),
+deg AS (
+  SELECT id, COUNT(*) AS deg FROM (
+    SELECT a_id AS id FROM pairs UNION ALL SELECT b_id FROM pairs
+  ) GROUP BY id
+),
+o AS (
+  SELECT CASE WHEN (da.deg, p.a_id) < (db.deg, p.b_id) THEN p.a_id ELSE p.b_id END AS u,
+         CASE WHEN (da.deg, p.a_id) < (db.deg, p.b_id) THEN p.b_id ELSE p.a_id END AS v,
+         CASE WHEN (da.deg, p.a_id) < (db.deg, p.b_id) THEN db.deg ELSE da.deg END AS dv
+  FROM pairs p JOIN deg da ON da.id = p.a_id JOIN deg db ON db.id = p.b_id
+)
+SELECT LEAST(x.u, x.v, y.v) AS a_id,
+       x.u + x.v + y.v - LEAST(x.u, x.v, y.v) - GREATEST(x.u, x.v, y.v) AS b_id,
+       GREATEST(x.u, x.v, y.v) AS c_id
+FROM o x
+JOIN o y ON x.u = y.u AND ((x.dv, x.v) < (y.dv, y.v))
+JOIN o z ON z.u = x.v AND z.v = y.v
+"""
+
+
+@query("dedup_graph_triangles", _TRIANGLES_ORACLE, tags=("dedup", "graph"))
+def dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangles in the near-dup candidate graph (winnowing pairs as
+    edges) via DEGREE-ORDERED edge orientation — the distributed triangle
+    algorithm that scales: orient every edge from its lower-(degree, id)
+    endpoint to the higher, so each triangle is found exactly once at its
+    lowest-order corner and the wedge join's fan-out per node is bounded
+    by out-degree, which degree-ordering caps at O(sqrt(|E|)) — a plain
+    id-ordering would let one high-degree hub generate degree^2 wedges.
+
+    Triangle density over candidate pairs is the standard diagnostic for
+    whether near-dup families are cliques (true duplicate groups) or
+    chains (shingle-collision noise).  Three joins, all on node keys; no
+    node ever sees more than its neighborhood.  Output triples are
+    id-sorted via least/sum/greatest — identical arithmetic on both
+    engines."""
+    (docs,) = T(spark, sf_dir, "documents")
+    pairs = _winnow_pairs(docs).select("a_id", "b_id").cache()
+    deg = (
+        pairs.select(F.col("a_id").alias("id"))
+        .unionAll(pairs.select(F.col("b_id").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("deg"))
+    )
+    e = (
+        pairs.join(deg.select(F.col("id").alias("a_id"), F.col("deg").alias("da")), "a_id")
+        .join(deg.select(F.col("id").alias("b_id"), F.col("deg").alias("db")), "b_id")
+    )
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a_id") < F.col("b_id"))
+    )
+    o = e.select(
+        F.when(a_first, F.col("a_id")).otherwise(F.col("b_id")).alias("u"),
+        F.when(a_first, F.col("b_id")).otherwise(F.col("a_id")).alias("v"),
+        F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
+    )
+    x = o.select(F.col("u"), F.col("v").alias("v1"), F.col("dv").alias("dv1"))
+    y = o.select(F.col("u"), F.col("v").alias("v2"), F.col("dv").alias("dv2"))
+    wedges = x.join(y, "u").filter(
+        (F.col("dv1") < F.col("dv2"))
+        | ((F.col("dv1") == F.col("dv2")) & (F.col("v1") < F.col("v2")))
+    )
+    closing = o.select(F.col("u").alias("v1"), F.col("v").alias("v2"))
+    tri = wedges.join(closing, ["v1", "v2"])
+    lo = F.least("u", "v1", "v2")
+    hi = F.greatest("u", "v1", "v2")
+    return tri.select(
+        lo.alias("a_id"),
+        (F.col("u") + F.col("v1") + F.col("v2") - lo - hi).alias("b_id"),
+        hi.alias("c_id"),
     )
