@@ -563,3 +563,49 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n_transitions"))
     )
+
+
+_STREAKS_ORACLE = """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day FROM events
+),
+numbered AS (
+  SELECT user_id, day,
+         CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS INTEGER) AS rn
+  FROM days
+),
+islands AS (
+  SELECT user_id, day - rn AS grp, COUNT(*) AS len
+  FROM numbered GROUP BY user_id, day - rn
+)
+SELECT user_id, MAX(len) AS longest_streak,
+       COUNT(*) AS n_streaks,
+       CAST(SUM(len) AS BIGINT) AS n_active_days
+FROM islands GROUP BY user_id
+"""
+
+
+@query("user_activity_streaks", _STREAKS_ORACLE, tags=("events", "window"))
+def user_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-active-day streak per user — gaps-and-islands
+    by the classic day-minus-row-number trick: within a user's ordered
+    distinct days, consecutive days share (day - rn), so islands fall out
+    of one groupBy.  One user-partitioned window over user-cardinality
+    distinct days (never raw events), then two cheap aggregates."""
+    from pyspark.sql import Window as W
+
+    (events,) = T(spark, sf_dir, "events")
+    days = events.select(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).distinct()
+    numbered = days.withColumn(
+        "rn", F.row_number().over(W.partitionBy("user_id").orderBy("day"))
+    )
+    islands = numbered.groupBy(
+        "user_id", F.date_sub("day", F.col("rn")).alias("grp")
+    ).agg(F.count("*").alias("len"))
+    return islands.groupBy("user_id").agg(
+        F.max("len").alias("longest_streak"),
+        F.count("*").alias("n_streaks"),
+        F.sum("len").alias("n_active_days"),
+    )
