@@ -692,3 +692,42 @@ def lateral_topn_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.read.parquet(table_path(sf_dir, "nation")).createOrReplaceTempView("nation")
     spark.read.parquet(table_path(sf_dir, "supplier")).createOrReplaceTempView("supplier")
     return spark.sql(_LATERAL_ORACLE)
+
+
+@query(
+    "weighted_sample_by_quality",
+    """
+    WITH scored AS (
+      SELECT doc_id, lang, n_chars,
+             CAST(LEAST(n_chars, 400) AS DOUBLE) / 400.0 AS keep_p,
+             CAST(
+               CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+               AS DOUBLE) / 4294967296.0 AS u
+      FROM documents
+    )
+    SELECT doc_id, lang, n_chars, keep_p FROM scored WHERE u < keep_p
+    """,
+    tags=("advanced", "sampling"),
+)
+def weighted_sample_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance sampling with PER-ROW keep probability — the curation
+    primitive behind quality-weighted corpus selection (keep long/high-
+    quality documents with higher probability), made deterministic and
+    auditable: u = first 4 md5 bytes of the doc id as a uniform [0,1),
+    keep iff u < p(doc).  Same decision on every engine and every rerun —
+    `rand() < p` is neither.  Here p ∝ min(n_chars, 400)/400, a stand-in
+    for any quality score already in the registry (`quality_score`).
+    Pure map-side filter: zero shuffle at any corpus size."""
+    (docs,) = T(spark, sf_dir, "documents")
+    keep_p = F.least(F.col("n_chars"), F.lit(400)).cast("double") / 400.0
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        .cast("double")
+        / F.lit(4294967296.0)
+    )
+    return (
+        docs.select("doc_id", "lang", "n_chars", keep_p.alias("keep_p"), u.alias("u"))
+        .filter(F.col("u") < F.col("keep_p"))
+        .select("doc_id", "lang", "n_chars", "keep_p")
+    )

@@ -609,3 +609,57 @@ def user_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_streaks"),
         F.sum("len").alias("n_active_days"),
     )
+
+
+_TIME_ROLLUP_ORACLE = """
+SELECT 'hour' AS grain,
+       strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+       event_type, COUNT(*) AS n_events,
+       SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 AS sum_value
+FROM events GROUP BY date_trunc('hour', ts), event_type
+UNION ALL
+SELECT 'day', strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S'),
+       event_type, COUNT(*),
+       SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0
+FROM events GROUP BY date_trunc('day', ts), event_type
+UNION ALL
+SELECT 'week', strftime(date_trunc('week', ts), '%Y-%m-%d %H:%M:%S'),
+       event_type, COUNT(*),
+       SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0
+FROM events GROUP BY date_trunc('week', ts), event_type
+"""
+
+
+@query("time_multi_rollup", _TIME_ROLLUP_ORACLE, tags=("events", "agg"))
+def time_multi_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-granularity rollup: hour, day, AND week
+    aggregates of the same measures in ONE pass via GROUPING SETS — the
+    batch form of maintaining several continuous-aggregate granularities
+    (`run_continuous_aggregate` is the incremental form of one level).
+    Spark's partial aggregation expands each row into its three grouping
+    sets map-side and combines before the single shuffle, vs three
+    separate scans for the UNION ALL formulation the oracle uses —
+    3x less scan at 100 TB for k granularities."""
+    (events,) = T(spark, sf_dir, "events")
+    base = events.select(
+        fmt_ts(F.date_trunc("hour", "ts"), "h"),
+        fmt_ts(F.date_trunc("day", "ts"), "d"),
+        fmt_ts(F.date_trunc("week", "ts"), "w"),
+        "event_type",
+        "value",
+    )
+    base.createOrReplaceTempView("_time_rollup_base")
+    return spark.sql(
+        """
+        SELECT CASE WHEN h IS NOT NULL THEN 'hour'
+                    WHEN d IS NOT NULL THEN 'day'
+                    ELSE 'week' END AS grain,
+               coalesce(h, d, w) AS bucket,
+               event_type, COUNT(*) AS n_events,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+                 AS sum_value
+        FROM _time_rollup_base
+        GROUP BY event_type, GROUPING SETS ((h, event_type), (d, event_type),
+                                            (w, event_type))
+        """
+    )
