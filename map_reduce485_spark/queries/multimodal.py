@@ -206,3 +206,57 @@ def multimodal_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         byte_histogram,
         schema="doc_id bigint, bucket int, n_in_bucket bigint, pct double",
     )
+
+
+@query(
+    "multimodal_audio_rms",
+    """
+    WITH p AS (
+      SELECT doc_id, hex(encode(text)) AS hx,
+             octet_length(encode(text)) // 2 AS n_samples
+      FROM documents WHERE octet_length(encode(text)) >= 2
+    ),
+    sm AS (
+      SELECT doc_id, n_samples,
+             (strpos('0123456789ABCDEF', substr(hx, 4 * i - 3, 1)) - 1) * 16
+               + strpos('0123456789ABCDEF', substr(hx, 4 * i - 2, 1)) - 1
+               + 256 * ((strpos('0123456789ABCDEF', substr(hx, 4 * i - 1, 1)) - 1) * 16
+                        + strpos('0123456789ABCDEF', substr(hx, 4 * i, 1)) - 1)
+               AS raw
+      FROM (SELECT doc_id, hx, n_samples, UNNEST(generate_series(1, n_samples)) AS i
+            FROM p)
+    ),
+    v AS (
+      SELECT doc_id, n_samples,
+             CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END AS s
+      FROM sm
+    )
+    SELECT doc_id, n_samples,
+           CAST(SUM(s * s) AS BIGINT) AS sum_squares,
+           CAST(MAX(ABS(s)) AS BIGINT) AS peak,
+           sqrt(CAST(CAST(SUM(s * s) AS BIGINT) AS DOUBLE) / n_samples) AS rms
+    FROM v GROUP BY doc_id, n_samples
+    """,
+    tags=("multimodal",),
+)
+def multimodal_audio_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio loudness features with REAL DSP math (the second genuine-math
+    extractor after `multimodal_byte_histogram`): payload bytes as
+    little-endian int16 PCM, per-payload sample count / exact square sum /
+    peak / RMS via numpy inside `mapInPandas`.  The oracle re-derives each
+    sample from the hex expansion (lo + 256*hi, two's complement), so the
+    integer features match exactly and RMS — two correctly-rounded IEEE
+    ops over exact integers — hash-matches as a double.  Swapping the PCM
+    interpretation for a real decoder changes one function body."""
+    from map_reduce485_spark.operators.multimodal import audio_rms_features
+
+    (docs,) = T(spark, sf_dir, "documents")
+    payloads = (
+        docs.select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
+        .filter(F.octet_length("payload") >= 2)
+    )
+    return payloads.mapInPandas(
+        audio_rms_features,
+        schema="doc_id bigint, n_samples bigint, sum_squares bigint,"
+        " peak bigint, rms double",
+    )

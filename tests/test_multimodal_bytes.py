@@ -117,3 +117,32 @@ def test_byte_histogram_known_payload(spark):
     )
     rows = {(r.doc_id, r.bucket): (r.n_in_bucket, r.pct) for r in df.collect()}
     assert rows == got
+
+
+def test_audio_rms_known_samples(spark):
+    """Pin audio_rms_features on hand-computed PCM: bytes 01 00 ff 7f 00 80
+    = little-endian int16 samples [1, 32767, -32768] (trailing odd byte
+    dropped when present)."""
+    import math
+
+    import pandas as pd
+
+    from map_reduce485_spark.operators.multimodal import audio_rms_features
+
+    payload = bytes([0x01, 0x00, 0xFF, 0x7F, 0x00, 0x80, 0xAA])  # 7 bytes
+    batch = pd.DataFrame({"doc_id": [3], "payload": [payload]})
+    (out,) = list(audio_rms_features(iter([batch])))
+    row = out.iloc[0]
+    ss = 1 + 32767**2 + 32768**2
+    assert row.n_samples == 3
+    assert row.sum_squares == ss
+    assert row.peak == 32768
+    assert row.rms == math.sqrt(ss / 3)
+
+    df = spark.createDataFrame(batch).mapInPandas(
+        audio_rms_features,
+        schema="doc_id bigint, n_samples bigint, sum_squares bigint,"
+        " peak bigint, rms double",
+    )
+    (r,) = df.collect()
+    assert (r.n_samples, r.sum_squares, r.peak, r.rms) == (3, ss, 32768, math.sqrt(ss / 3))
