@@ -663,3 +663,41 @@ def time_multi_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                                             (w, event_type))
         """
     )
+
+
+_DEBOUNCE_ORACLE = """
+WITH seq AS (
+  SELECT event_id, user_id, event_type, ts,
+         LAG(ts) OVER (PARTITION BY user_id, event_type
+                       ORDER BY ts, event_id) AS prev_ts
+  FROM events
+)
+SELECT event_id, user_id, event_type,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts
+FROM seq
+WHERE prev_ts IS NULL OR ts - prev_ts > INTERVAL 5 MINUTE
+"""
+
+
+@query("events_debounce", _DEBOUNCE_ORACLE, tags=("events", "window"))
+def events_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debounce repeated signals: keep an event only if the same user's
+    previous event OF THE SAME TYPE is more than 5 minutes older — the
+    standard cleaning pass for double-clicks, retry storms, and sensor
+    chatter.  NOTE this is lag-based (gap to the PREVIOUS KEPT-OR-DROPPED
+    event), the formulation that is one window pass; strict
+    leader-election debounce (gap to the previous KEPT event) is the
+    sessionize operator with first-per-session.  One (user, type)
+    partitioned window, deterministic (ts, event_id) order."""
+    from pyspark.sql import Window as W
+
+    (events,) = T(spark, sf_dir, "events")
+    w = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        events.withColumn("prev_ts", F.lag("ts").over(w))
+        .filter(
+            F.col("prev_ts").isNull()
+            | (F.col("ts").cast("long") - F.col("prev_ts").cast("long") > 300)
+        )
+        .select("event_id", "user_id", "event_type", fmt_ts(F.col("ts"), "ts"))
+    )

@@ -887,3 +887,68 @@ def source_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").alias("total_chars"),
         (F.sum("n_chars") / F.count("*").cast("double")).alias("avg_chars"),
     )
+
+
+_TRIGRAM_LM_ORACLE = """
+WITH words AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+  FROM documents
+),
+tri AS (
+  SELECT w[i] AS w1, w[i+1] AS w2, w[i+2] AS w3, COUNT(*) AS c3
+  FROM (SELECT doc_id, w, UNNEST(generate_series(1, len(w) - 2)) AS i
+        FROM words WHERE len(w) >= 3)
+  GROUP BY w[i], w[i+1], w[i+2]
+),
+ctx AS (
+  SELECT w1, w2, CAST(SUM(c3) AS BIGINT) AS c2 FROM tri GROUP BY w1, w2
+)
+SELECT t.w1, t.w2, t.w3, t.c3, c.c2,
+       CAST(t.c3 AS DOUBLE) / c.c2 AS p
+FROM tri t JOIN ctx c ON c.w1 = t.w1 AND c.w2 = t.w2
+WHERE t.c3 >= 5
+"""
+
+
+@query("trigram_lm_counts", _TRIGRAM_LM_ORACLE, tags=("text",))
+def trigram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram language-model statistics: corpus-wide (w1,w2,w3) counts,
+    their (w1,w2) context totals, and the conditional MLE probability
+    P(w3|w1,w2) = c3/c2 — the classic n-gram LM estimation pass (and the
+    data side of infini-gram-style corpus probes).
+
+    Scale shape: trigram explode is map-side; ONE shuffle aggregates
+    trigram counts; context totals derive from the (much smaller) trigram
+    table, not a second corpus pass; the final broadcast-size context join
+    attaches denominators.  P is an int/int division in double — exact on
+    both engines.  The c3 >= 5 floor is the standard LM count cutoff and
+    bounds output to frequent patterns."""
+    (docs,) = T(spark, sf_dir, "documents")
+    words = docs.select(
+        F.expr("filter(split(text, ' '), x -> x <> '')").alias("w")
+    ).filter(F.size("w") >= 3)
+    tri = (
+        words.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(w) - 2),"
+                    " i -> struct(element_at(w, i) AS w1,"
+                    " element_at(w, i + 1) AS w2, element_at(w, i + 2) AS w3))"
+                )
+            ).alias("t")
+        )
+        .select("t.w1", "t.w2", "t.w3")
+        .groupBy("w1", "w2", "w3")
+        .agg(F.count("*").alias("c3"))
+    )
+    ctx = tri.groupBy(F.col("w1").alias("x1"), F.col("w2").alias("x2")).agg(
+        F.sum("c3").alias("c2")
+    )
+    return (
+        tri.filter(F.col("c3") >= 5)
+        .join(ctx, (F.col("w1") == F.col("x1")) & (F.col("w2") == F.col("x2")))
+        .select(
+            "w1", "w2", "w3", "c3", "c2",
+            (F.col("c3").cast("double") / F.col("c2")).alias("p"),
+        )
+    )
