@@ -731,3 +731,71 @@ def weighted_sample_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("u") < F.col("keep_p"))
         .select("doc_id", "lang", "n_chars", "keep_p")
     )
+
+
+_EXACT_CORR_ORACLE = """
+WITH m AS (
+  SELECT l_returnflag,
+         CAST(ROUND(l_quantity * 100) AS BIGINT) AS q,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS p
+  FROM lineitem
+),
+agg AS (
+  SELECT l_returnflag, COUNT(*) AS n,
+         CAST(SUM(q) AS DOUBLE) AS sx, CAST(SUM(p) AS DOUBLE) AS sy,
+         CAST(SUM(q * q) AS DOUBLE) AS sxx, CAST(SUM(p * p) AS DOUBLE) AS syy,
+         CAST(SUM(q * p) AS DOUBLE) AS sxy
+  FROM m GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       (n * sxy - sx * sy) / (n * CAST(n AS DOUBLE)) / 10000.0 AS cov_pop,
+       (n * sxy - sx * sy)
+         / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr
+FROM agg
+"""
+
+
+@query("exact_corr_stats", _EXACT_CORR_ORACLE, tags=("advanced", "agg"))
+def exact_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation and population covariance of (quantity, price)
+    per return flag — computed EXACTLY in a distributed setting, which
+    builtin `corr`/`covar_pop` cannot promise: their running float moments
+    depend on partial-aggregation order, so two runs (or two engines) can
+    disagree in low bits.  Here every moment (Σx, Σy, Σx², Σy², Σxy) is an
+    exact integer-cent sum — associative, order-independent, combinable
+    map-side like every `dsum` — and the textbook moment formulas run once
+    per GROUP on scalar doubles, each operation correctly rounded and
+    identical on both engines.  The dsum discipline, generalized to second
+    moments; at 100 TB the shuffle still carries five longs per group."""
+    (li,) = T(spark, sf_dir, "lineitem")
+    q = F.round(F.col("l_quantity") * 100).cast("long")
+    p = F.round(F.col("l_extendedprice") * 100).cast("long")
+    agg = (
+        li.select("l_returnflag", q.alias("q"), p.alias("p"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            # second moments overflow a long sum at scale (p^2 ~ 1e14 x 6e5
+            # rows > 2^63 already at sf0.1) — sum in decimal(38,0), still
+            # exact/associative, then one rounding to double per group
+            F.sum(F.col("q").cast("decimal(38,0)")).cast("double").alias("sx"),
+            F.sum(F.col("p").cast("decimal(38,0)")).cast("double").alias("sy"),
+            F.sum((F.col("q") * F.col("q")).cast("decimal(38,0)")).cast("double").alias("sxx"),
+            F.sum((F.col("p") * F.col("p")).cast("decimal(38,0)")).cast("double").alias("syy"),
+            F.sum((F.col("q") * F.col("p")).cast("decimal(38,0)")).cast("double").alias("sxy"),
+        )
+    )
+    n = F.col("n")
+    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    return agg.select(
+        "l_returnflag",
+        "n",
+        (num / (n * n.cast("double")) / 10000.0).alias("cov_pop"),
+        (
+            num
+            / (
+                F.sqrt(n * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * F.sqrt(n * F.col("syy") - F.col("sy") * F.col("sy"))
+            )
+        ).alias("corr"),
+    )
