@@ -799,3 +799,54 @@ def exact_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("corr"),
     )
+
+
+_SKEW_REPORT_ORACLE = """
+WITH per_key AS (
+  SELECT l_orderkey, COUNT(*) AS c FROM lineitem GROUP BY l_orderkey
+),
+stats AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n_rows, COUNT(*) AS n_keys,
+         CAST(MAX(c) AS BIGINT) AS max_key_rows
+  FROM per_key
+)
+SELECT n_rows, n_keys, max_key_rows,
+       CAST(n_rows AS DOUBLE) / n_keys AS avg_rows_per_key,
+       CAST(max_key_rows AS DOUBLE) / n_rows AS top_key_share,
+       (SELECT COUNT(*) FROM per_key, stats
+        WHERE c > 2.0 * (CAST(n_rows AS DOUBLE) / n_keys)) AS n_hot_keys
+FROM stats
+"""
+
+
+@query("key_skew_report", _SKEW_REPORT_ORACLE, tags=("advanced", "etl"))
+def key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic for the fact table's shuffle key: row and
+    key counts, the heaviest key's row count and share, and how many keys
+    exceed 2x the mean — the numbers that decide whether a join needs
+    salting (`salted_join_revenue`) or AQE skew splitting before it runs.
+    Two cheap aggregations (per-key counts -> scalar stats); every ratio
+    is an int/int division in double, exact on both engines."""
+    (li,) = T(spark, sf_dir, "lineitem")
+    per_key = li.groupBy("l_orderkey").agg(F.count("*").alias("c"))
+    stats = per_key.agg(
+        F.sum("c").alias("n_rows"),
+        F.count("*").alias("n_keys"),
+        F.max("c").alias("max_key_rows"),
+    )
+    hot = (
+        per_key.join(F.broadcast(stats))
+        .filter(
+            F.col("c")
+            > 2.0 * (F.col("n_rows").cast("double") / F.col("n_keys"))
+        )
+        .agg(F.count("*").alias("n_hot_keys"))
+    )
+    return stats.join(F.broadcast(hot)).select(
+        "n_rows",
+        "n_keys",
+        "max_key_rows",
+        (F.col("n_rows").cast("double") / F.col("n_keys")).alias("avg_rows_per_key"),
+        (F.col("max_key_rows").cast("double") / F.col("n_rows")).alias("top_key_share"),
+        "n_hot_keys",
+    )

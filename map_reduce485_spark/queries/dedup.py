@@ -470,8 +470,9 @@ def dedup_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dedup clustering: pairs → connected components → keep/drop decisions
 # ---------------------------------------------------------------------------
 
-_CLUSTERS_ORACLE = f"""
-WITH RECURSIVE {_ORACLE_SHINGLES},
+# the recursive component CTEs, shared by dedup_clusters and the
+# quality-aware keep policy below
+_CLUSTERS_CTES = f"""{_ORACLE_SHINGLES},
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
 rawpairs AS (
   SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS intersection
@@ -493,7 +494,10 @@ reach(id, r) AS (
   SELECT src, src FROM edges
   UNION
   SELECT reach.id, edges.dst FROM reach JOIN edges ON edges.src = reach.r
-)
+)"""
+
+_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE {_CLUSTERS_CTES}
 SELECT id AS doc_id, MIN(r) AS cluster_id,
        CAST(id = MIN(r) AS INTEGER) AS is_kept
 FROM reach GROUP BY id
@@ -743,4 +747,54 @@ def dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         lo.alias("a_id"),
         (F.col("u") + F.col("v1") + F.col("v2") - lo - hi).alias("b_id"),
         hi.alias("c_id"),
+    )
+
+
+_KEEP_BEST_ORACLE = f"""
+WITH RECURSIVE {_CLUSTERS_CTES},
+clusters AS (
+  SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id
+),
+ranked AS (
+  SELECT c.cluster_id, c.doc_id, d.n_chars,
+         ROW_NUMBER() OVER (
+           PARTITION BY c.cluster_id ORDER BY d.n_chars DESC, c.doc_id
+         ) AS rn,
+         COUNT(*) OVER (PARTITION BY c.cluster_id) AS n_docs
+  FROM clusters c JOIN documents d ON d.doc_id = c.doc_id
+)
+SELECT cluster_id, doc_id AS keep_doc_id, n_chars AS keep_n_chars, n_docs
+FROM ranked WHERE rn = 1
+"""
+
+
+@query("dedup_keep_best_quality", _KEEP_BEST_ORACLE, tags=("dedup",))
+def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production keep POLICY on top of near-dup clusters: instead of
+    `dedup_clusters`' arbitrary lowest-id survivor, keep each cluster's
+    highest-QUALITY document (longest here, stand-in for any score;
+    ties -> lowest doc_id) — what an actual training-data pipeline ships:
+    duplicates differ by truncation/boilerplate and the survivor choice
+    decides what the model sees.
+
+    Composes the cluster operator with a per-cluster argmax (one window
+    over cluster-cardinality rows — clusters are tiny near-cliques, so
+    the partition key is never skewed).  The oracle extends the recursive
+    component CTE with the same ranked choice."""
+    from pyspark.sql import Window as W
+
+    (docs,) = T(spark, sf_dir, "documents")
+    clusters = dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    w = W.partitionBy("cluster_id").orderBy(F.col("n_chars").desc(), "doc_id")
+    return (
+        clusters.join(docs.select("doc_id", "n_chars"), "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n_docs", F.count("*").over(W.partitionBy("cluster_id")))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("keep_doc_id"),
+            F.col("n_chars").alias("keep_n_chars"),
+            "n_docs",
+        )
     )

@@ -43,6 +43,9 @@ KNOWN_BNLJ = {
     # corpus for cell assignment (emb.join(broadcast(cent)), same fan-out
     # as ann_ivf_topk) plus the 5-row query broadcast for scoring
     "ann_ivf_pq_topk",
+    # 1-row scalar-stats broadcasts (threshold + report assembly) — the
+    # q22_global_sales_opportunity class: free BNLJ probes of one row
+    "key_skew_report",
 }
 
 
