@@ -148,6 +148,7 @@ def _load_all() -> None:
         functions_surface,
         dedup,
         similarity,
+        sketches,
     )
 
     ordered: dict[str, QuerySpec] = {}

@@ -1,0 +1,198 @@
+"""Deterministic distributed sketches: an exactly-verifiable Bloom filter.
+
+Engine-native approximate sketches (HLL, t-digest) are algorithm-different
+across engines by design, so they can never sit under the hash gate (the
+round-3 decision that removed `sketch_approx_aggs`).  A BLOOM FILTER is
+different: its bit layout is a pure function of the key set once the hash
+functions are fixed, and md5 is available and identical everywhere — so
+both the filter's exact bitmap and its probe behavior (including which
+keys FALSE-POSITIVE) are deterministic and DuckDB-replayable.  This module
+puts the one classic sketch that CAN be hash-verified under the gate.
+
+Scale design: the build is one distinct + one explode + one `bit_or`
+groupBy over (m/64)-cardinality blocks — the bitmap OR is associative and
+combines map-side, so the shuffle carries at most `m/32` longs per
+partition regardless of key count.  The probe broadcasts the (tiny, fixed
+`m`-bit) filter and tests map-side.  At 100 TB this is exactly how a join
+prefilter is built and shipped (Spark's own runtime bloom pruning does the
+same dance internally).
+
+The reference has no sketch/filter capability (strings only, SURVEY.md
+§1.2); north-star surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from map_reduce485_spark.queries import query
+from map_reduce485_spark.queries._util import T
+
+_M_BITS = 65536  # filter width (2^16 bits, 2048 64-bit... stored as 32-bit-used blocks)
+_K = 4  # hash functions
+_PROBE_N = 60000  # candidate keys probed: 1.._PROBE_N
+
+
+def _spark_pos(i: int, key: str = "k") -> str:
+    """Hash position i of a key: first 15 md5 hex digits (< 2^60, exact in
+    a long on every engine) mod m.  Same literal recipe as the DuckDB
+    fragment below, so positions are bit-identical."""
+    return (
+        f"CAST(conv(substring(md5(concat(CAST({key} AS STRING), ':{i}')), 1, 15),"
+        f" 16, 10) AS BIGINT) % {_M_BITS}"
+    )
+
+
+def _duck_pos(i: int, key: str = "k") -> str:
+    return (
+        f"(CAST('0x' || substr(md5(CAST({key} AS VARCHAR) || ':{i}'), 1, 15)"
+        f" AS BIGINT) % {_M_BITS})"
+    )
+
+
+_BUILD_ORACLE = f"""
+WITH keys AS (SELECT DISTINCT o_orderkey AS k FROM orders),
+pos AS (
+  SELECT UNNEST([{', '.join(_duck_pos(i) for i in range(1, _K + 1))}]) AS p
+  FROM keys
+)
+SELECT p // 32 AS block,
+       CAST(BIT_OR(CAST(1 AS BIGINT) << CAST(p % 32 AS INTEGER)) AS BIGINT) AS bits,
+       CAST(BIT_COUNT(BIT_OR(CAST(1 AS BIGINT) << CAST(p % 32 AS INTEGER))) AS BIGINT)
+         AS n_bits_set
+FROM pos GROUP BY p // 32
+"""
+
+
+@query("bloom_filter_build", _BUILD_ORACLE, tags=("sketch",))
+def bloom_filter_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a {_M_BITS}-bit / k={_K} Bloom filter over the order keys as a
+    (block, bits) bitmap table — EXACTLY, on both engines: positions come
+    from md5, blocks hold 32 used bits in a long (no sign-bit edge), and
+    the block bitmap is an associative `bit_or` aggregate that partial-
+    aggregates map-side.  The gate hash-checks the literal bitmap."""
+    (orders,) = T(spark, sf_dir, "orders")
+    keys = orders.select(F.col("o_orderkey").alias("k")).distinct()
+    pos = keys.select(
+        F.explode(
+            F.array(*[F.expr(_spark_pos(i)) for i in range(1, _K + 1)])
+        ).alias("p")
+    )
+    return (
+        pos.select(
+            F.expr("p div 32").alias("block"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 32 AS INT))").alias("bv"),
+        )
+        .groupBy("block")
+        .agg(F.expr("bit_or(bv)").alias("bits"))
+        .select("block", "bits", F.expr("CAST(bit_count(bits) AS BIGINT)").alias("n_bits_set"))
+    )
+
+
+_PROBE_ORACLE = f"""
+WITH keys AS (SELECT DISTINCT o_orderkey AS k FROM orders),
+pos AS (
+  SELECT UNNEST([{', '.join(_duck_pos(i) for i in range(1, _K + 1))}]) AS p
+  FROM keys
+),
+filt AS (
+  SELECT p // 32 AS block,
+         BIT_OR(CAST(1 AS BIGINT) << CAST(p % 32 AS INTEGER)) AS bits
+  FROM pos GROUP BY p // 32
+),
+cand AS (SELECT UNNEST(generate_series(1, {_PROBE_N})) AS k),
+cand_pos AS (
+  SELECT k, UNNEST([{', '.join(_duck_pos(i) for i in range(1, _K + 1))}]) AS p
+  FROM cand
+),
+hits AS (
+  SELECT cp.k,
+         SUM(CASE WHEN f.block IS NOT NULL
+                   AND (f.bits >> CAST(cp.p % 32 AS INTEGER)) & 1 = 1
+              THEN 1 ELSE 0 END) AS n_hits
+  FROM cand_pos cp LEFT JOIN filt f ON f.block = cp.p // 32
+  GROUP BY cp.k
+),
+verdicts AS (
+  SELECT h.k, h.n_hits = {_K} AS maybe, keys.k IS NOT NULL AS actual
+  FROM hits h LEFT JOIN keys ON keys.k = h.k
+)
+SELECT COUNT(*) AS n_tested,
+       CAST(SUM(CASE WHEN maybe THEN 1 ELSE 0 END) AS BIGINT) AS n_maybe,
+       CAST(SUM(CASE WHEN actual THEN 1 ELSE 0 END) AS BIGINT) AS n_actual,
+       CAST(SUM(CASE WHEN maybe AND NOT actual THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_false_positives,
+       CAST(SUM(CASE WHEN actual AND NOT maybe THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_false_negatives
+FROM verdicts
+"""
+
+
+@query("bloom_filter_probe", _PROBE_ORACLE, tags=("sketch",))
+def bloom_filter_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe the Bloom filter with candidate keys 1..{_PROBE_N} and compare
+    against true membership: maybe-present / actually-present /
+    false-positive / false-negative counts.  Because the filter is
+    deterministic, even the FALSE POSITIVE count is exact and
+    hash-checked — and n_false_negatives = 0 witnesses the Bloom
+    guarantee itself.  The probe broadcasts the fixed-size bitmap and
+    tests map-side: the join-prefilter deployment shape."""
+    (orders,) = T(spark, sf_dir, "orders")
+    keys = orders.select(F.col("o_orderkey").alias("k")).distinct()
+    filt = (
+        keys.select(
+            F.explode(
+                F.array(*[F.expr(_spark_pos(i)) for i in range(1, _K + 1)])
+            ).alias("p")
+        )
+        .select(
+            F.expr("p div 32").alias("block"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 32 AS INT))").alias("bv"),
+        )
+        .groupBy("block")
+        .agg(F.expr("bit_or(bv)").alias("bits"))
+    )
+    cand = spark.range(1, _PROBE_N + 1).select(F.col("id").alias("k"))
+    cand_pos = cand.select(
+        "k",
+        F.explode(
+            F.array(*[F.expr(_spark_pos(i)) for i in range(1, _K + 1)])
+        ).alias("p"),
+    )
+    hits = (
+        cand_pos.join(F.broadcast(filt), F.expr("p div 32") == F.col("block"), "left")
+        .select(
+            "k",
+            F.when(
+                F.col("block").isNotNull()
+                & (
+                    F.expr("shiftright(bits, CAST(p % 32 AS INT))")
+                    .bitwiseAND(F.lit(1))
+                    == 1
+                ),
+                1,
+            )
+            .otherwise(0)
+            .alias("hit"),
+        )
+        .groupBy("k")
+        .agg(F.sum("hit").alias("n_hits"))
+    )
+    verdicts = hits.join(
+        keys.withColumn("actual", F.lit(True)), "k", "left"
+    ).select(
+        (F.col("n_hits") == _K).alias("maybe"),
+        F.coalesce("actual", F.lit(False)).alias("actual"),
+    )
+    return verdicts.agg(
+        F.count("*").alias("n_tested"),
+        F.sum(F.col("maybe").cast("long")).alias("n_maybe"),
+        F.sum(F.col("actual").cast("long")).alias("n_actual"),
+        F.sum((F.col("maybe") & ~F.col("actual")).cast("long")).alias(
+            "n_false_positives"
+        ),
+        F.sum((F.col("actual") & ~F.col("maybe")).cast("long")).alias(
+            "n_false_negatives"
+        ),
+    )
