@@ -196,3 +196,83 @@ def bloom_filter_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_false_negatives"
         ),
     )
+
+
+_PREFILTER_ORACLE = """
+SELECT o_orderpriority, COUNT(*) AS n_items,
+       SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) / 100.0 AS total_price
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderstatus = 'O'
+GROUP BY o_orderpriority
+"""
+
+
+@query("bloom_prefiltered_join", _PREFILTER_ORACLE, tags=("sketch", "join"))
+def bloom_prefiltered_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Bloom filter DEPLOYED: a selective join (open orders only)
+    where the fact side is pre-filtered MAP-SIDE through the broadcast
+    bitmap before any shuffle — the manual form of runtime bloom-filter
+    pruning, the single biggest shuffle-volume lever for selective
+    fact-dim joins at 100 TB (only ~maybe-positive rows ever enter the
+    exchange).  False positives survive the prefilter but are removed by
+    the real join, so the result is EXACT and the oracle is simply the
+    plain join — correctness is independent of the filter's error rate."""
+    li, orders = T(spark, sf_dir, "lineitem", "orders")
+    open_orders = orders.filter(F.col("o_orderstatus") == "O").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    filt = (
+        open_orders.select(F.col("o_orderkey").alias("k"))
+        .select(
+            F.explode(
+                F.array(*[F.expr(_spark_pos(i)) for i in range(1, _K + 1)])
+            ).alias("p")
+        )
+        .select(
+            F.expr("p div 32").alias("block"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 32 AS INT))").alias("bv"),
+        )
+        .groupBy("block")
+        .agg(F.expr("bit_or(bv)").alias("bits"))
+    )
+    fact = li.select("l_orderkey", "l_extendedprice")
+    fact_pos = fact.select(
+        "l_orderkey",
+        "l_extendedprice",
+        F.explode(
+            F.array(*[F.expr(_spark_pos(i, "l_orderkey")) for i in range(1, _K + 1)])
+        ).alias("p"),
+    )
+    # a row survives iff ALL k bits are set: count hits per row, keep == k
+    maybe = (
+        fact_pos.join(F.broadcast(filt), F.expr("p div 32") == F.col("block"), "left")
+        .select(
+            "l_orderkey",
+            "l_extendedprice",
+            F.when(
+                F.col("block").isNotNull()
+                & (
+                    F.expr("shiftright(bits, CAST(p % 32 AS INT))")
+                    .bitwiseAND(F.lit(1))
+                    == 1
+                ),
+                1,
+            )
+            .otherwise(0)
+            .alias("hit"),
+        )
+        .groupBy("l_orderkey", "l_extendedprice")
+        .agg(F.sum("hit").alias("n_hits"))
+        .filter(F.col("n_hits") == _K)
+        .drop("n_hits")
+    )
+    return (
+        maybe.join(open_orders, maybe.l_orderkey == open_orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            (F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")) / 100.0).alias(
+                "total_price"
+            ),
+        )
+    )
