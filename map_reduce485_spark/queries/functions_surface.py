@@ -262,3 +262,41 @@ def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at(doubled, F.lit("qty")).alias("qty_doubled"),
         )
     )
+
+
+_NESTED_ORACLE = """
+SELECT l_orderkey, COUNT(*) AS n_items,
+       CAST(MIN(l_linenumber) AS INTEGER) AS first_ln,
+       CAST(MAX(l_linenumber) AS INTEGER) AS last_ln,
+       CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents
+FROM lineitem GROUP BY l_orderkey
+"""
+
+
+@query("nested_collect_explode", _NESTED_ORACLE, tags=("functions", "nested"))
+def nested_collect_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-data roundtrip: each order's line items are collected into a
+    SORTED array<struct>, then exploded back to rows and re-aggregated —
+    the denormalize/renormalize cycle every document-shaped export (JSON,
+    protobuf, training examples) runs.  The oracle aggregates the flat
+    table directly, so a dropped/duplicated element, an unstable
+    collect_list, or a mis-sorted array (first_ln/last_ln pin the array
+    ORDER, not just its contents) all break the hash.  collect_list is
+    per-group bounded (an order's items) — never a global collect."""
+    (li,) = T(spark, sf_dir, "lineitem")
+    nested = li.groupBy("l_orderkey").agg(
+        F.array_sort(
+            F.collect_list(F.struct("l_linenumber", "l_quantity"))
+        ).alias("items")
+    )
+    exploded = nested.select(
+        "l_orderkey",
+        F.size("items").alias("n_arr"),
+        F.element_at("items", 1).getField("l_linenumber").alias("first_ln"),
+        F.element_at("items", -1).getField("l_linenumber").alias("last_ln"),
+        F.explode("items").alias("it"),
+    )
+    return exploded.groupBy("l_orderkey", "n_arr", "first_ln", "last_ln").agg(
+        F.count("*").alias("n_items"),
+        F.sum(F.round(F.col("it.l_quantity") * 100).cast("long")).alias("qty_cents"),
+    ).select("l_orderkey", "n_items", "first_ln", "last_ln", "qty_cents")

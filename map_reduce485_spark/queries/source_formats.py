@@ -299,3 +299,74 @@ def schema_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_suppliers"),
         (F.sum(F.round(F.col("s_acctbal") * 100).cast("long")) / 100.0).alias("total_bal"),
     )
+
+
+@query(
+    "csv_corrupt_records",
+    """
+    SELECT CASE WHEN n_nationkey % 3 = 0 THEN 'corrupt' ELSE 'good' END AS status,
+           COUNT(*) AS n_rows,
+           COALESCE(CAST(SUM(CASE WHEN n_nationkey % 3 <> 0 THEN n_regionkey END)
+                          AS BIGINT), 0) AS good_regionkey_sum
+    FROM nation
+    GROUP BY CASE WHEN n_nationkey % 3 = 0 THEN 'corrupt' ELSE 'good' END
+    """,
+    tags=("sources",),
+)
+def csv_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bad-record handling on ingestion: a CSV where every third row is
+    deliberately malformed (a non-numeric token in the int n_regionkey
+    column — unambiguous on any parser), read in PERMISSIVE mode
+    with a `_corrupt_record` column; good rows parse, corrupt rows land
+    intact in the quarantine column instead of killing the job — the
+    posture a 100 TB ingest MUST run with, because some file somewhere is
+    always broken.  The oracle derives the expected classification from
+    the catalog table and the corruption rule (not by parsing CSV), so
+    the gate checks that PERMISSIVE classified every row correctly and
+    parsed the good rows' values."""
+    (nation,) = tables(spark, sf_dir, "nation")
+    path = _scratch("corrupt", sf_dir)
+    # hand-format lines; every 3rd key gets a non-numeric n_regionkey
+    lines = nation.select(
+        F.concat_ws(
+            ",",
+            F.col("n_nationkey").cast("string"),
+            "n_name",
+            F.when(F.col("n_nationkey") % 3 == 0, F.lit("NOT_A_NUMBER")).otherwise(
+                F.col("n_regionkey").cast("string")
+            ),
+        ).alias("value")
+    )
+    lines.coalesce(1).write.mode("overwrite").text(path)
+
+    schema = T.StructType(
+        [
+            T.StructField("n_nationkey", T.IntegerType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.IntegerType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    back = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+    )
+    return (
+        back.select(
+            F.when(F.col("_corrupt_record").isNotNull(), "corrupt")
+            .otherwise("good")
+            .alias("status"),
+            F.when(F.col("_corrupt_record").isNull(), F.col("n_regionkey")).alias(
+                "good_rk"
+            ),
+        )
+        .groupBy("status")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.coalesce(F.sum("good_rk").cast("long"), F.lit(0)).alias(
+                "good_regionkey_sum"
+            ),
+        )
+    )
