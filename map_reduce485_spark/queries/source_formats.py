@@ -370,3 +370,64 @@ def csv_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "versioned_snapshot_read",
+    """
+    SELECT 1 AS version, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(ROUND(s_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents
+    FROM supplier WHERE s_suppkey % 2 = 0
+    UNION ALL
+    SELECT 2, COUNT(*),
+           CAST(SUM(CAST(ROUND(
+             CASE WHEN s_suppkey % 2 = 0 THEN s_acctbal * 2 ELSE s_acctbal END * 100
+           ) AS BIGINT)) AS BIGINT)
+    FROM supplier
+    """,
+    tags=("sources",),
+)
+def versioned_snapshot_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot isolation / time travel on plain parquet: each commit
+    writes an immutable `v{N}` directory plus an atomically-renamed
+    `_latest` pointer — the minimal form of the version-manifest scheme
+    Delta/Iceberg formalize.  Version 2 both UPDATES rows (doubles even
+    keys' balances) and INSERTS the odd-key rows; version 1 stays
+    byte-identical and readable AFTER the v2 commit, which is the whole
+    point: readers pin a snapshot while writers advance the pointer
+    (`_merge_swap_parquet` is the same idea for a single mutable table).
+    The gate reads BOTH versions after both commits and checks each
+    against its independently-derived oracle."""
+    import os
+    from pathlib import Path
+
+    (supplier,) = tables(spark, sf_dir, "supplier")
+    base = Path(_scratch("versions", sf_dir))
+    v1 = supplier.filter(F.col("s_suppkey") % 2 == 0).select(
+        "s_suppkey", "s_acctbal"
+    )
+    v2 = supplier.select(
+        "s_suppkey",
+        F.when(
+            F.col("s_suppkey") % 2 == 0, F.col("s_acctbal") * 2
+        ).otherwise(F.col("s_acctbal")).alias("s_acctbal"),
+    )
+    if not (base / "_latest").exists():
+        v1.write.mode("overwrite").parquet(str(base / "v1"))
+        v2.write.mode("overwrite").parquet(str(base / "v2"))
+        tmp = base / f"_latest.tmp{os.getpid()}"
+        tmp.write_text("v2")
+        os.replace(tmp, base / "_latest")  # atomic pointer swap
+
+    def read_version(v: int):
+        return spark.read.parquet(str(base / f"v{v}"))
+
+    out = None
+    for v in (1, 2):
+        agg = read_version(v).agg(
+            F.lit(v).alias("version"),
+            F.count("*").alias("n_rows"),
+            F.sum(F.round(F.col("s_acctbal") * 100).cast("long")).alias("bal_cents"),
+        ).select("version", "n_rows", "bal_cents")
+        out = agg if out is None else out.unionAll(agg)
+    return out
