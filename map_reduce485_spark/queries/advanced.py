@@ -850,3 +850,57 @@ def key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("max_key_rows").cast("double") / F.col("n_rows")).alias("top_key_share"),
         "n_hot_keys",
     )
+
+
+_ZSCORE_ORACLE = """
+WITH m AS (
+  SELECT event_id, event_type,
+         CAST(ROUND(value * 100) AS BIGINT) AS v
+  FROM events
+),
+stats AS (
+  SELECT event_type, COUNT(*) AS n,
+         CAST(SUM(v) AS DOUBLE) AS s1,
+         CAST(SUM(v * v) AS DOUBLE) AS s2
+  FROM m GROUP BY event_type
+)
+SELECT m.event_id, m.event_type,
+       (m.v - s.s1 / s.n)
+         / sqrt((s.n * s.s2 - s.s1 * s.s1) / (s.n * CAST(s.n AS DOUBLE)))
+         AS zscore
+FROM m JOIN stats s ON s.event_type = m.event_type
+"""
+
+
+@query("zscore_normalize_per_type", _ZSCORE_ORACLE, tags=("advanced", "agg"))
+def zscore_normalize_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-wise z-score normalization — the feature-engineering staple —
+    with HASH-STABLE float output: group mean/variance come from the same
+    exact integer moments as `exact_corr_stats` (not running float aggs),
+    the per-group scalars broadcast back, and each row's
+    (v - mean) / stddev is the identical sequence of correctly-rounded
+    IEEE ops on both engines.  One groupBy + one broadcast join; the big
+    side is touched twice but never re-shuffled by the join."""
+    (events,) = T(spark, sf_dir, "events")
+    m = events.select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+    stats = m.groupBy(F.col("event_type").alias("et")).agg(
+        F.count("*").alias("n"),
+        F.sum("v").cast("double").alias("s1"),
+        F.sum(F.col("v") * F.col("v")).cast("double").alias("s2"),
+    )
+    n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
+    return (
+        m.join(F.broadcast(stats), m.event_type == F.col("et"))
+        .select(
+            "event_id",
+            "event_type",
+            (
+                (F.col("v") - s1 / n)
+                / F.sqrt((n * s2 - s1 * s1) / (n * n.cast("double")))
+            ).alias("zscore"),
+        )
+    )

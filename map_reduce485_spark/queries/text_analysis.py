@@ -952,3 +952,45 @@ def trigram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("c3").cast("double") / F.col("c2")).alias("p"),
         )
     )
+
+
+_SPLIT_ORACLE = """
+WITH assigned AS (
+  SELECT source,
+         CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+                   % 100 < 80 THEN 'train'
+              WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+                   % 100 < 90 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+)
+SELECT source, split, COUNT(*) AS n_docs
+FROM assigned GROUP BY source, split
+"""
+
+
+@query("dataset_split_assign", _SPLIT_ORACLE, tags=("text", "etl"))
+def dataset_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (80/10/10) by content-hash
+    bucket — the split rule a training pipeline must be able to recompute
+    FOREVER: a document's split never changes as the corpus grows (hash
+    of the id, not row position), survives reshuffles and engine swaps,
+    and needs no stored assignment table.  Map-side expression, zero
+    shuffle before the reporting aggregate."""
+    (docs,) = T(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    return (
+        docs.select(
+            "source",
+            F.when(bucket < 80, "train")
+            .when(bucket < 90, "val")
+            .otherwise("test")
+            .alias("split"),
+        )
+        .groupBy("source", "split")
+        .agg(F.count("*").alias("n_docs"))
+    )
