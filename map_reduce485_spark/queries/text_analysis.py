@@ -994,3 +994,45 @@ def dataset_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "split")
         .agg(F.count("*").alias("n_docs"))
     )
+
+
+_CONFUSION_ORACLE = f"""
+WITH pred AS (
+  SELECT lang AS actual, {_pred_lang_sql('duckdb')} AS predicted FROM documents
+),
+cells AS (
+  SELECT actual, predicted, COUNT(*) AS n FROM pred GROUP BY actual, predicted
+),
+totals AS (SELECT actual, CAST(SUM(n) AS BIGINT) AS n_actual FROM cells GROUP BY actual)
+SELECT c.actual, c.predicted, c.n,
+       CAST(c.n AS DOUBLE) / t.n_actual AS recall_share
+FROM cells c JOIN totals t ON t.actual = c.actual
+"""
+
+
+@query("langid_confusion_matrix", _CONFUSION_ORACLE, tags=("text",))
+def langid_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the language-ID heuristic against the labeled
+    `lang` column, with per-actual-class recall shares — the evaluation
+    every classifier-shaped pipeline operator needs next to its
+    predictions (`lang_id` gives per-doc rows; this gives the quality
+    summary that decides thresholds).  Matrix cells are |langs|² — the
+    per-class totals attach via a broadcast join; shares are int/int
+    divisions."""
+    (docs,) = T(spark, sf_dir, "documents")
+    pred = docs.select(
+        F.col("lang").alias("actual"), F.expr(_pred_lang_sql()).alias("predicted")
+    )
+    cells = pred.groupBy("actual", "predicted").agg(F.count("*").alias("n"))
+    totals = cells.groupBy(F.col("actual").alias("a2")).agg(
+        F.sum("n").alias("n_actual")
+    )
+    return (
+        cells.join(F.broadcast(totals), cells.actual == F.col("a2"))
+        .select(
+            "actual",
+            "predicted",
+            "n",
+            (F.col("n").cast("double") / F.col("n_actual")).alias("recall_share"),
+        )
+    )
