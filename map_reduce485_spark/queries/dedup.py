@@ -798,3 +798,116 @@ def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_docs",
         )
     )
+
+
+_MH_QUALITY_ORACLE = f"""
+WITH {_ORACLE_SHINGLES},
+sig AS (
+  SELECT doc_id,
+         {_MINHASH_SIG_COLS_SQL}
+  FROM sh GROUP BY doc_id
+),
+bands AS ({_MINHASH_BANDS_SQL}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_id = b.band_id AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.a_id, c.b_id, COUNT(*) AS intersection
+  FROM cand c
+  JOIN sh x ON x.doc_id = c.a_id
+  JOIN sh y ON y.doc_id = c.b_id AND y.shingle = x.shingle
+  GROUP BY c.a_id, c.b_id
+)
+SELECT c.a_id, c.b_id,
+       ({' + '.join(f'CASE WHEN sa.h{j} = sb.h{j} THEN 1 ELSE 0 END' for j in range(_N_PERM))})
+         / {_N_PERM}.0 AS est_jaccard,
+       CAST(COALESCE(i.intersection, 0) AS DOUBLE)
+         / (za.n + zb.n - COALESCE(i.intersection, 0)) AS exact_jaccard
+FROM cand c
+JOIN sig sa ON sa.doc_id = c.a_id
+JOIN sig sb ON sb.doc_id = c.b_id
+JOIN sizes za ON za.doc_id = c.a_id
+JOIN sizes zb ON zb.doc_id = c.b_id
+LEFT JOIN inter i ON i.a_id = c.a_id AND i.b_id = c.b_id
+"""
+
+
+@query("minhash_estimate_quality", _MH_QUALITY_ORACLE, tags=("dedup",))
+def minhash_estimate_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimator evaluation for the MinHash sketch (the dedup analog of
+    `langid_confusion_matrix`): for every LSH candidate pair, the
+    signature-based Jaccard ESTIMATE (matching permutations / 8) side by
+    side with the EXACT shingle Jaccard — the report that justifies the
+    band/row configuration before trusting it at 100 TB.  Both columns
+    are int/int divisions; the estimate needs only the 8-column signature
+    table (what production keeps), the exact value only for the tiny
+    candidate set."""
+    (docs,) = T(spark, sf_dir, "documents")
+    sh = _spark_shingles(docs).cache()
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.col("shingle"), F.lit(f"#{j}")))).alias(f"h{j}")
+            for j in range(_N_PERM)
+        ]
+    )
+    bands = None
+    for bi, band in enumerate(_BANDS):
+        b = sig.select(
+            "doc_id",
+            F.lit(bi).alias("band_id"),
+            F.md5(F.concat(*[F.col(f"h{j}") for j in band])).alias("band"),
+        )
+        bands = b if bands is None else bands.unionAll(b)
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    inter = (
+        cand.join(sh.alias("x"), F.col("x.doc_id") == F.col("a_id"))
+        .join(
+            sh.alias("y"),
+            (F.col("y.doc_id") == F.col("b_id"))
+            & (F.col("y.shingle") == F.col("x.shingle")),
+        )
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("intersection"))
+    )
+    sa = sig.select(
+        F.col("doc_id").alias("_a"), *[F.col(f"h{j}").alias(f"a{j}") for j in range(_N_PERM)]
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("_b"), *[F.col(f"h{j}").alias(f"b{j}") for j in range(_N_PERM)]
+    )
+    za = sizes.select(F.col("doc_id").alias("_za"), F.col("n").alias("na"))
+    zb = sizes.select(F.col("doc_id").alias("_zb"), F.col("n").alias("nb"))
+    matches = sum(
+        F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0)
+        for j in range(_N_PERM)
+    )
+    return (
+        cand.join(sa, F.col("a_id") == F.col("_a"))
+        .join(sb, F.col("b_id") == F.col("_b"))
+        .join(za, F.col("a_id") == F.col("_za"))
+        .join(zb, F.col("b_id") == F.col("_zb"))
+        .join(inter, ["a_id", "b_id"], "left")
+        .select(
+            "a_id",
+            "b_id",
+            (matches / float(_N_PERM)).alias("est_jaccard"),
+            (
+                F.coalesce("intersection", F.lit(0)).cast("double")
+                / (F.col("na") + F.col("nb") - F.coalesce("intersection", F.lit(0)))
+            ).alias("exact_jaccard"),
+        )
+    )

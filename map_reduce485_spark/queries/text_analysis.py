@@ -1036,3 +1036,69 @@ def langid_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n").cast("double") / F.col("n_actual")).alias("recall_share"),
         )
     )
+
+
+_CHUNK_SIZE = 32  # words per chunk
+_CHUNK_STRIDE = 24  # 8-word overlap
+
+
+_CHUNK_ORACLE = f"""
+WITH words AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+  FROM documents
+),
+chunks AS (
+  SELECT doc_id,
+         CAST(i AS BIGINT) AS chunk_id,
+         list_slice(w, i * {_CHUNK_STRIDE} + 1,
+                    i * {_CHUNK_STRIDE} + {_CHUNK_SIZE}) AS cw
+  FROM (SELECT doc_id, w,
+               UNNEST(generate_series(0,
+                 CAST(CEIL(GREATEST(len(w) - {_CHUNK_SIZE}, 0)
+                           / {_CHUNK_STRIDE}.0) AS BIGINT))) AS i
+        FROM words WHERE len(w) >= 1)
+)
+SELECT doc_id, chunk_id, CAST(len(cw) AS INTEGER) AS n_words,
+       md5(list_aggregate(cw, 'string_agg', ' ')) AS chunk_hash
+FROM chunks
+"""
+
+
+@query("doc_chunking", _CHUNK_ORACLE, tags=("text", "etl"))
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping document chunking ({_CHUNK_SIZE}-word chunks, stride
+    {_CHUNK_STRIDE} = 8-word overlap) — the RAG / context-window prep
+    every retrieval and training pipeline runs before embedding.  Chunk
+    count per doc is ceil(max(n-{_CHUNK_SIZE},0)/{_CHUNK_STRIDE}) + 1, so
+    every word lands in >= 1 chunk and boundaries never split the overlap
+    guarantee.  Entirely map-side (slice over the in-row word array — the
+    document never explodes into per-word rows); each chunk is witnessed
+    by its md5, so the gate pins exact chunk CONTENT, not just counts."""
+    (docs,) = T(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.expr("filter(split(text, ' '), x -> x <> '')").alias("w")
+    ).filter(F.size("w") >= 1)
+    n_chunks = F.expr(
+        f"CAST(CEIL(GREATEST(size(w) - {_CHUNK_SIZE}, 0) / {_CHUNK_STRIDE}.0)"
+        " AS BIGINT) + 1"
+    )
+    return (
+        words.select(
+            "doc_id",
+            "w",
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.expr(
+                f"slice(w, CAST(chunk_id * {_CHUNK_STRIDE} + 1 AS INT), {_CHUNK_SIZE})"
+            ).alias("cw"),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.size("cw").alias("n_words"),
+            F.md5(F.concat_ws(" ", "cw")).alias("chunk_hash"),
+        )
+    )
