@@ -701,3 +701,91 @@ def events_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_id", "user_id", "event_type", fmt_ts(F.col("ts"), "ts"))
     )
+
+
+_ATTRIBUTION_ORACLE = """
+SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
+       strftime(v.ts, '%Y-%m-%d %H:%M:%S') AS view_ts,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts
+FROM events v JOIN events p
+  ON v.user_id = p.user_id
+ AND v.event_type = 'view' AND p.event_type = 'purchase'
+ AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+"""
+
+
+@query("interval_join_attribution", _ATTRIBUTION_ORACLE, tags=("events", "join"))
+def interval_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (time-bounded) join: every view matched to the same user's
+    purchases within the following hour — the attribution join, and the
+    BATCH twin of the stream-stream interval join
+    (`streaming/jobs.stream_view_purchase_join`, pytest-pinned): same
+    join expression, so this gate row witnesses the semantics the
+    streaming version relies on.  The equi-key (user_id) carries the
+    shuffle; the time bounds only filter within each key's partition —
+    never a cartesian stage (the audit would flag it)."""
+    (events,) = T(spark, sf_dir, "events")
+    v = events.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    p = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    return (
+        v.join(
+            p,
+            (F.col("v_user") == F.col("p_user"))
+            & (F.col("purchase_ts") >= F.col("view_ts"))
+            & (F.col("purchase_ts") <= F.col("view_ts") + F.expr("INTERVAL 1 HOUR")),
+        )
+        .select(
+            F.col("v_user").alias("user_id"),
+            "view_id",
+            "purchase_id",
+            fmt_ts("view_ts", "view_ts"),
+            fmt_ts("purchase_ts", "purchase_ts"),
+        )
+    )
+
+
+_BITMAP_DISTINCT_ORACLE = """
+WITH pos AS (
+  SELECT event_type, user_id // 32 AS block,
+         BIT_OR(CAST(1 AS BIGINT) << CAST(user_id % 32 AS INTEGER)) AS bits
+  FROM events GROUP BY event_type, user_id // 32
+)
+SELECT event_type,
+       CAST(SUM(BIT_COUNT(bits)) AS BIGINT) AS n_distinct_users,
+       COUNT(*) AS n_blocks
+FROM pos GROUP BY event_type
+"""
+
+
+@query("bitmap_distinct_users", _BITMAP_DISTINCT_ORACLE, tags=("events", "agg"))
+def bitmap_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting through bitmap indexes (the Druid/ClickHouse
+    groupBitmap pattern): each (group, id-block) folds to one long via an
+    associative `bit_or`, distinct count = popcount sum.  Unlike
+    `countDistinct` — whose distinct-shuffle carries every id — the
+    bitmap state is mergeable map-side and bounded by the id range, and
+    unlike HLL it is exact and engine-agnostic, so it sits under the hash
+    gate.  The same blocks are reusable state: tomorrow's events OR into
+    yesterday's bitmaps (the `streaming_ann_index_gate` merge class)."""
+    (events,) = T(spark, sf_dir, "events")
+    blocks = (
+        events.select(
+            "event_type",
+            F.expr("user_id div 32").alias("block"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 32 AS INT))").alias("bv"),
+        )
+        .groupBy("event_type", "block")
+        .agg(F.expr("bit_or(bv)").alias("bits"))
+    )
+    return blocks.groupBy("event_type").agg(
+        F.expr("CAST(SUM(bit_count(bits)) AS BIGINT)").alias("n_distinct_users"),
+        F.count("*").alias("n_blocks"),
+    )
