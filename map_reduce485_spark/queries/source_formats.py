@@ -431,3 +431,72 @@ def versioned_snapshot_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select("version", "n_rows", "bal_cents")
         out = agg if out is None else out.unionAll(agg)
     return out
+
+
+@query(
+    "snapshot_diff",
+    """
+    WITH v1 AS (
+      SELECT s_suppkey, s_acctbal FROM supplier WHERE s_suppkey % 2 = 0
+    ),
+    v2 AS (
+      SELECT s_suppkey,
+             CASE WHEN s_suppkey % 2 = 0 THEN s_acctbal * 2 ELSE s_acctbal END
+               AS s_acctbal
+      FROM supplier
+    ),
+    d AS (
+      SELECT CASE WHEN v1.s_suppkey IS NULL THEN 'insert'
+                  WHEN ROUND(v1.s_acctbal * 100) <> ROUND(v2.s_acctbal * 100)
+                    THEN 'update'
+                  ELSE 'unchanged' END AS change
+      FROM v1 FULL OUTER JOIN v2 ON v1.s_suppkey = v2.s_suppkey
+    )
+    SELECT change, COUNT(*) AS n_rows FROM d GROUP BY change
+    """,
+    tags=("sources", "etl"),
+)
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed DERIVATION between two table versions: a full
+    outer join of the v1/v2 snapshots (from `versioned_snapshot_read`'s
+    immutable version dirs) classified into insert/update/unchanged — how
+    a engine without a native change feed reconstructs one from
+    snapshots (`table_changes` for plain parquet).  Values compare in
+    integer cents so the classification is exact; the join key carries
+    the one shuffle and both sides prune to (key, value) columns."""
+    import os
+    from pathlib import Path
+
+    (supplier,) = tables(spark, sf_dir, "supplier")
+    base = Path(_scratch("versions", sf_dir))
+    if not (base / "_latest").exists():  # share versioned_snapshot_read's dirs
+        v1w = supplier.filter(F.col("s_suppkey") % 2 == 0).select(
+            "s_suppkey", "s_acctbal"
+        )
+        v2w = supplier.select(
+            "s_suppkey",
+            F.when(F.col("s_suppkey") % 2 == 0, F.col("s_acctbal") * 2)
+            .otherwise(F.col("s_acctbal"))
+            .alias("s_acctbal"),
+        )
+        v1w.write.mode("overwrite").parquet(str(base / "v1"))
+        v2w.write.mode("overwrite").parquet(str(base / "v2"))
+        tmp = base / f"_latest.tmp{os.getpid()}"
+        tmp.write_text("v2")
+        os.replace(tmp, base / "_latest")
+
+    v1 = spark.read.parquet(str(base / "v1")).select(
+        F.col("s_suppkey").alias("k1"), F.col("s_acctbal").alias("b1")
+    )
+    v2 = spark.read.parquet(str(base / "v2")).select(
+        F.col("s_suppkey").alias("k2"), F.col("s_acctbal").alias("b2")
+    )
+    d = v1.join(v2, F.col("k1") == F.col("k2"), "full_outer").select(
+        F.when(F.col("k1").isNull(), "insert")
+        .when(
+            F.round(F.col("b1") * 100) != F.round(F.col("b2") * 100), "update"
+        )
+        .otherwise("unchanged")
+        .alias("change")
+    )
+    return d.groupBy("change").agg(F.count("*").alias("n_rows"))
