@@ -789,3 +789,65 @@ def bitmap_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(SUM(bit_count(bits)) AS BIGINT)").alias("n_distinct_users"),
         F.count("*").alias("n_blocks"),
     )
+
+
+_ROLLING_DISTINCT_ORACLE = """
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, user_id // 32 AS block,
+         BIT_OR(CAST(1 AS BIGINT) << CAST(user_id % 32 AS INTEGER)) AS bits
+  FROM events GROUP BY CAST(date_trunc('day', ts) AS DATE), user_id // 32
+),
+contrib AS (
+  SELECT day + CAST(i AS INTEGER) AS target_day, block, bits
+  FROM daily, (SELECT UNNEST(generate_series(0, 6)) AS i)
+),
+rolled AS (
+  SELECT target_day, block, BIT_OR(bits) AS bits
+  FROM contrib GROUP BY target_day, block
+),
+observed AS (SELECT DISTINCT day FROM daily)
+SELECT strftime(r.target_day, '%Y-%m-%d') AS day,
+       CAST(SUM(BIT_COUNT(r.bits)) AS BIGINT) AS n_distinct_users_7d
+FROM rolled r JOIN observed o ON o.day = r.target_day
+GROUP BY r.target_day
+"""
+
+
+@query("rolling_7d_distinct_users", _ROLLING_DISTINCT_ORACLE, tags=("events", "window"))
+def rolling_7d_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT rolling 7-day distinct users per day — the op neither engine
+    has natively (COUNT(DISTINCT) OVER a range frame is unsupported, and
+    re-counting each window from raw events is 7x the scan).  Bitmaps
+    make it one pass: daily per-block user bitmaps, each contributing to
+    its 7 covered days (bounded fan-out of 7, map-side explode), OR-merge
+    per (day, block), popcount-sum per day.  Every step is associative
+    integer state — the same mergeable-bitmap discipline as
+    `bitmap_distinct_users`, lifted over a sliding window.  Partial-window
+    edge days are restricted to observed days, identically on both
+    engines."""
+    (events,) = T(spark, sf_dir, "events")
+    daily = (
+        events.select(
+            F.to_date(F.date_trunc("day", "ts")).alias("day"),
+            F.expr("user_id div 32").alias("block"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 32 AS INT))").alias("bv"),
+        )
+        .groupBy("day", "block")
+        .agg(F.expr("bit_or(bv)").alias("bits"))
+    )
+    contrib = daily.select(
+        "day", "block", "bits", F.explode(F.sequence(F.lit(0), F.lit(6))).alias("i")
+    ).select(F.expr("date_add(day, i)").alias("target_day"), "block", "bits")
+    rolled = contrib.groupBy("target_day", "block").agg(
+        F.expr("bit_or(bits)").alias("bits")
+    )
+    observed = daily.select("day").distinct()
+    return (
+        rolled.join(observed, rolled.target_day == observed.day, "left_semi")
+        .groupBy("target_day")
+        .agg(F.expr("CAST(SUM(bit_count(bits)) AS BIGINT)").alias("n_distinct_users_7d"))
+        .select(
+            F.date_format("target_day", "yyyy-MM-dd").alias("day"),
+            "n_distinct_users_7d",
+        )
+    )
