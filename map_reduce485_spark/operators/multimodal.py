@@ -218,10 +218,12 @@ def audio_rms_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
     features, with numpy doing the actual DSP arithmetic.
 
     Vectorized across the batch: one `np.frombuffer` over the (even-length
-    trimmed) concatenated payloads, `bincount`-by-row for the square sums,
-    `maximum.reduceat` for peaks.  sum_squares is exact in int64; RMS =
-    sqrt(sum_squares / n) is two correctly-rounded IEEE ops, so even the
-    float column hash-matches across engines.
+    trimmed) concatenated payloads, `add.reduceat` over the int64 squares
+    for the square sums (pure integer arithmetic — a float64-weighted
+    bincount would silently lose exactness once a per-doc sum passes 2^53,
+    ~8.4 M samples), `maximum.reduceat` for peaks.  sum_squares is exact in
+    int64; RMS = sqrt(sum_squares / n) is two correctly-rounded IEEE ops,
+    so even the float column hash-matches across engines.
 
     Input batches: (doc_id: int64, payload: bytes) with >= 2 bytes each.
     """
@@ -234,12 +236,9 @@ def audio_rms_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
         n_samples = (payloads.str.len() // 2).to_numpy(np.int64)
         joined = b"".join(p[: len(p) - (len(p) % 2)] for p in payloads.tolist())
         samples = np.frombuffer(joined, dtype="<i2").astype(np.int64)
-        row_of = np.repeat(np.arange(len(pdf)), n_samples)
         sq = samples * samples
-        sum_squares = np.bincount(
-            row_of, weights=sq.astype(np.float64), minlength=len(pdf)
-        ).astype(np.int64)
         starts = np.concatenate(([0], np.cumsum(n_samples)[:-1]))
+        sum_squares = np.add.reduceat(sq, starts)
         peak = np.maximum.reduceat(np.abs(samples), starts)
         yield pd.DataFrame(
             {

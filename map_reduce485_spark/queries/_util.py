@@ -100,10 +100,23 @@ def land_parquet(df: DataFrame, sf_dir: str, table: str, n_files: int = 4) -> st
         h.update(f"{f.name}:{st.st_size}:{st.st_mtime_ns}".encode())
     landing = Path(tempfile.gettempdir()) / f"mr485_land_{table}_{h.hexdigest()[:12]}"
     if not (landing / "_SUCCESS").exists():
+        # A landing dir WITHOUT _SUCCESS is a broken leftover (e.g. a crash
+        # mid-write): a good dir only ever appears via the atomic rename
+        # below, _SUCCESS included.  Clear it or the rename would fail
+        # ENOTEMPTY forever and the broken dir would be returned as-is.
+        if landing.exists():
+            shutil.rmtree(landing, ignore_errors=True)
         tmp = landing.with_name(f"{landing.name}.tmp{os.getpid()}")
         df.repartition(n_files).write.mode("overwrite").parquet(str(tmp))
         try:
             os.rename(tmp, landing)
-        except OSError:  # another process won the rename; keep theirs
+        except OSError:
+            # Either another process won the rename (fine — keep theirs) or
+            # the target is still broken; re-check instead of assuming.
             shutil.rmtree(tmp, ignore_errors=True)
+            if not (landing / "_SUCCESS").exists():
+                raise RuntimeError(
+                    f"landing dir {landing} unusable: rename failed and no "
+                    "complete copy exists (concurrent broken leftover?)"
+                )
     return str(landing)

@@ -345,10 +345,13 @@ def streaming_custom_state_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     update-mode memory sink and compared against the batch groupBy oracle.
 
     The update-mode sink holds one row per (user, micro-batch-appearance) —
-    each carrying that user's running total at that point.  Both counters
-    are MONOTONE non-decreasing, so `max` per user is exactly the final
-    state no matter how the file source batches the input; that is what
-    makes a custom state machine hash-checkable rather than rows-only.
+    each carrying that user's running totals at that point plus a per-user
+    STRICTLY increasing emission counter maintained in the state itself.
+    `max_by(counter)` per user is therefore exactly the final state no
+    matter how the file source batches the input — with no assumption
+    about the data columns (a max over total_value_cents would only be
+    final if values never went negative); that is what makes a custom
+    state machine hash-checkable rather than rows-only.
     Completes the streaming verification set: windowed aggregation state
     (`streaming_tumbling_gate`), session-merge state
     (`streaming_sessionize_gate`), and now arbitrary user-defined state."""
@@ -368,8 +371,10 @@ def streaming_custom_state_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.table(name)
         .groupBy("user_id")
         .agg(
-            F.max("total_events").alias("total_events"),
-            F.max("total_value_cents").alias("total_value_cents"),
+            F.expr("max_by(total_events, n_updates)").alias("total_events"),
+            F.expr("max_by(total_value_cents, n_updates)").alias(
+                "total_value_cents"
+            ),
         )
     )
 

@@ -207,22 +207,17 @@ GROUP BY o_orderpriority
 """
 
 
-@query("bloom_prefiltered_join", _PREFILTER_ORACLE, tags=("sketch", "join"))
-def bloom_prefiltered_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The Bloom filter DEPLOYED: a selective join (open orders only)
-    where the fact side is pre-filtered MAP-SIDE through the broadcast
-    bitmap before any shuffle — the manual form of runtime bloom-filter
-    pruning, the single biggest shuffle-volume lever for selective
-    fact-dim joins at 100 TB (only ~maybe-positive rows ever enter the
-    exchange).  False positives survive the prefilter but are removed by
-    the real join, so the result is EXACT and the oracle is simply the
-    plain join — correctness is independent of the filter's error rate."""
-    li, orders = T(spark, sf_dir, "lineitem", "orders")
-    open_orders = orders.filter(F.col("o_orderstatus") == "O").select(
-        "o_orderkey", "o_orderpriority"
-    )
-    filt = (
-        open_orders.select(F.col("o_orderkey").alias("k"))
+def bloom_dense_bitmap(keys_df: DataFrame, key_col: str = "k") -> list[int]:
+    """Aggregate a key set into the dense m-bit Bloom bitmap and bring it
+    to the driver as a list of (m/32) longs.
+
+    The collect is NOT a scale smell: the bitmap is O(m) — fixed 16 KB here
+    regardless of key count or data volume.  Spark's own runtime bloom
+    pruning (InjectRuntimeFilter) does exactly this dance: the filter
+    aggregate lands on the driver as a scalar-subquery result and is
+    re-shipped to every task inside the plan."""
+    rows = (
+        keys_df.select(F.col(key_col).alias("k"))
         .select(
             F.explode(
                 F.array(*[F.expr(_spark_pos(i)) for i in range(1, _K + 1)])
@@ -234,37 +229,66 @@ def bloom_prefiltered_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("block")
         .agg(F.expr("bit_or(bv)").alias("bits"))
+        .collect()
     )
-    fact = li.select("l_orderkey", "l_extendedprice")
-    fact_pos = fact.select(
-        "l_orderkey",
-        "l_extendedprice",
-        F.explode(
-            F.array(*[F.expr(_spark_pos(i, "l_orderkey")) for i in range(1, _K + 1)])
-        ).alias("p"),
+    dense = [0] * (_M_BITS // 32)
+    for r in rows:
+        dense[r["block"]] = r["bits"]
+    return dense
+
+
+def bloom_prefilter(df: DataFrame, key: str, dense: list[int]) -> DataFrame:
+    """Map-side Bloom prefilter: keep the rows whose `key` has ALL k bits
+    set in the dense bitmap — one boolean expression per row, no explode,
+    no shuffle, and (critically) no per-row identity needed: each input
+    row passes or fails independently, so duplicate rows survive as
+    duplicates."""
+    from functools import reduce
+
+    bf, cols = "_bf__", df.columns
+    staged = df.withColumn(bf, F.lit(dense)).select(
+        *cols,
+        bf,
+        *[
+            F.expr(_spark_pos(i, key)).alias(f"_bp{i}__")
+            for i in range(1, _K + 1)
+        ],
     )
-    # a row survives iff ALL k bits are set: count hits per row, keep == k
-    maybe = (
-        fact_pos.join(F.broadcast(filt), F.expr("p div 32") == F.col("block"), "left")
-        .select(
-            "l_orderkey",
-            "l_extendedprice",
-            F.when(
-                F.col("block").isNotNull()
-                & (
-                    F.expr("shiftright(bits, CAST(p % 32 AS INT))")
-                    .bitwiseAND(F.lit(1))
-                    == 1
-                ),
-                1,
-            )
-            .otherwise(0)
-            .alias("hit"),
+    tests = [
+        F.expr(
+            f"((shiftright(element_at({bf}, CAST(_bp{i}__ div 32 AS INT) + 1),"
+            f" CAST(_bp{i}__ % 32 AS INT)) & 1) = 1)"
         )
-        .groupBy("l_orderkey", "l_extendedprice")
-        .agg(F.sum("hit").alias("n_hits"))
-        .filter(F.col("n_hits") == _K)
-        .drop("n_hits")
+        for i in range(1, _K + 1)
+    ]
+    return staged.filter(reduce(lambda a, b: a & b, tests)).select(*cols)
+
+
+@query("bloom_prefiltered_join", _PREFILTER_ORACLE, tags=("sketch", "join"))
+def bloom_prefiltered_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Bloom filter DEPLOYED: a selective join (open orders only)
+    where the fact side is pre-filtered MAP-SIDE through the bitmap before
+    any shuffle — the manual form of runtime bloom-filter pruning, the
+    single biggest shuffle-volume lever for selective fact-dim joins at
+    100 TB (only maybe-positive rows ever enter the exchange).  False
+    positives survive the prefilter but are removed by the real join, so
+    the result is EXACT and the oracle is simply the plain join —
+    correctness is independent of the filter's error rate.
+
+    The prefilter is ONE boolean expression per fact row (all k bit-tests
+    ANDed against the driver-collected 16 KB bitmap literal) — earlier
+    rounds exploded k positions and re-grouped on (orderkey, price), which
+    both shuffled the whole fact table before the filter and silently
+    merged/dropped duplicate (orderkey, price) rows; per-row evaluation
+    has no identity problem at all (see tests/test_sketches.py duplicate
+    regression)."""
+    li, orders = T(spark, sf_dir, "lineitem", "orders")
+    open_orders = orders.filter(F.col("o_orderstatus") == "O").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    dense = bloom_dense_bitmap(open_orders.select(F.col("o_orderkey").alias("k")))
+    maybe = bloom_prefilter(
+        li.select("l_orderkey", "l_extendedprice"), "l_orderkey", dense
     )
     return (
         maybe.join(open_orders, maybe.l_orderkey == open_orders.o_orderkey)

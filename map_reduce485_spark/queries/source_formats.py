@@ -30,6 +30,55 @@ def _scratch(kind: str, sf_dir: str) -> str:
     return str(Path(tempfile.gettempdir()) / f"mr485_src_{kind}_{tag}")
 
 
+def _versions_base(spark: SparkSession, sf_dir: str) -> Path:
+    """Build (once) the immutable v1/v2 snapshot dirs used by
+    `versioned_snapshot_read` / `snapshot_diff`, with the same two
+    guarantees `_util.land_parquet` gives the streaming landing zones:
+
+    - the dir tag fingerprints the SOURCE supplier files (name, size,
+      mtime), not just the path — regenerated source data gets fresh
+      versions instead of replaying stale snapshots;
+    - v1, v2 and the `_latest` pointer are all written into a
+      process-unique tmp dir and published by ONE atomic rename(2), so two
+      concurrent first-run processes cannot interleave writes into the
+      same version dirs (the loser removes its own copy).
+    """
+    import os
+    import shutil
+
+    (supplier,) = tables(spark, sf_dir, "supplier")
+    src = Path(sf_dir) / "supplier.parquet"
+    files = sorted(p for p in src.rglob("*") if p.is_file()) if src.is_dir() else [src]
+    h = hashlib.md5(f"{sf_dir}:versions".encode())
+    for f in files:
+        st = f.stat()
+        h.update(f"{f.name}:{st.st_size}:{st.st_mtime_ns}".encode())
+    base = Path(tempfile.gettempdir()) / f"mr485_src_versions_{h.hexdigest()[:12]}"
+    if not (base / "_latest").exists():
+        if base.exists():  # broken leftover: complete dirs always have _latest
+            shutil.rmtree(base, ignore_errors=True)
+        v1 = supplier.filter(F.col("s_suppkey") % 2 == 0).select(
+            "s_suppkey", "s_acctbal"
+        )
+        v2 = supplier.select(
+            "s_suppkey",
+            F.when(F.col("s_suppkey") % 2 == 0, F.col("s_acctbal") * 2)
+            .otherwise(F.col("s_acctbal"))
+            .alias("s_acctbal"),
+        )
+        tmp = base.with_name(f"{base.name}.tmp{os.getpid()}")
+        v1.write.mode("overwrite").parquet(str(tmp / "v1"))
+        v2.write.mode("overwrite").parquet(str(tmp / "v2"))
+        (tmp / "_latest").write_text("v2")  # written last, inside tmp
+        try:
+            os.rename(tmp, base)
+        except OSError:  # another process won; keep theirs — but verify
+            shutil.rmtree(tmp, ignore_errors=True)
+            if not (base / "_latest").exists():
+                raise RuntimeError(f"versions dir {base} unusable after rename race")
+    return base
+
+
 _NATION_SCHEMA = T.StructType(
     [
         T.StructField("n_nationkey", T.IntegerType()),
@@ -397,27 +446,9 @@ def versioned_snapshot_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     point: readers pin a snapshot while writers advance the pointer
     (`_merge_swap_parquet` is the same idea for a single mutable table).
     The gate reads BOTH versions after both commits and checks each
-    against its independently-derived oracle."""
-    import os
-    from pathlib import Path
-
-    (supplier,) = tables(spark, sf_dir, "supplier")
-    base = Path(_scratch("versions", sf_dir))
-    v1 = supplier.filter(F.col("s_suppkey") % 2 == 0).select(
-        "s_suppkey", "s_acctbal"
-    )
-    v2 = supplier.select(
-        "s_suppkey",
-        F.when(
-            F.col("s_suppkey") % 2 == 0, F.col("s_acctbal") * 2
-        ).otherwise(F.col("s_acctbal")).alias("s_acctbal"),
-    )
-    if not (base / "_latest").exists():
-        v1.write.mode("overwrite").parquet(str(base / "v1"))
-        v2.write.mode("overwrite").parquet(str(base / "v2"))
-        tmp = base / f"_latest.tmp{os.getpid()}"
-        tmp.write_text("v2")
-        os.replace(tmp, base / "_latest")  # atomic pointer swap
+    against its independently-derived oracle.  The version dirs are
+    source-fingerprinted and atomically published (`_versions_base`)."""
+    base = _versions_base(spark, sf_dir)
 
     def read_version(v: int):
         return spark.read.parquet(str(base / f"v{v}"))
@@ -464,26 +495,7 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     snapshots (`table_changes` for plain parquet).  Values compare in
     integer cents so the classification is exact; the join key carries
     the one shuffle and both sides prune to (key, value) columns."""
-    import os
-    from pathlib import Path
-
-    (supplier,) = tables(spark, sf_dir, "supplier")
-    base = Path(_scratch("versions", sf_dir))
-    if not (base / "_latest").exists():  # share versioned_snapshot_read's dirs
-        v1w = supplier.filter(F.col("s_suppkey") % 2 == 0).select(
-            "s_suppkey", "s_acctbal"
-        )
-        v2w = supplier.select(
-            "s_suppkey",
-            F.when(F.col("s_suppkey") % 2 == 0, F.col("s_acctbal") * 2)
-            .otherwise(F.col("s_acctbal"))
-            .alias("s_acctbal"),
-        )
-        v1w.write.mode("overwrite").parquet(str(base / "v1"))
-        v2w.write.mode("overwrite").parquet(str(base / "v2"))
-        tmp = base / f"_latest.tmp{os.getpid()}"
-        tmp.write_text("v2")
-        os.replace(tmp, base / "_latest")
+    base = _versions_base(spark, sf_dir)  # share versioned_snapshot_read's dirs
 
     v1 = spark.read.parquet(str(base / "v1")).select(
         F.col("s_suppkey").alias("k1"), F.col("s_acctbal").alias("b1")

@@ -126,20 +126,34 @@ def stream_user_running_totals(events: DataFrame) -> DataFrame:
     def update(key, pdf_iter, state):
         import pandas as pd
 
-        total_n, total_v = state.get if state.exists else (0, 0.0)
+        total_n, total_v, n_updates = state.get if state.exists else (0, 0, 0)
         for pdf in pdf_iter:
             total_n += len(pdf)
             # per-row cents then integer sum — exact regardless of batch order
             total_v += int((pdf["value"] * 100).round().astype("int64").sum())
-        state.update((total_n, total_v))
+        # n_updates is a per-key STRICTLY increasing emission counter: the
+        # highest-counter row is the final state by construction, with no
+        # assumption that the data columns themselves are monotone (event
+        # values could be negative and max(total_value_cents) would then
+        # pick a non-final intermediate state).
+        n_updates += 1
+        state.update((total_n, total_v, n_updates))
         yield pd.DataFrame(
-            {"user_id": [key[0]], "total_events": [total_n], "total_value_cents": [total_v]}
+            {
+                "user_id": [key[0]],
+                "total_events": [total_n],
+                "total_value_cents": [total_v],
+                "n_updates": [n_updates],
+            }
         )
 
     return events.groupBy("user_id").applyInPandasWithState(
         update,
-        outputStructType="user_id bigint, total_events bigint, total_value_cents bigint",
-        stateStructType="total_n bigint, total_v bigint",
+        outputStructType=(
+            "user_id bigint, total_events bigint, total_value_cents bigint,"
+            " n_updates bigint"
+        ),
+        stateStructType="total_n bigint, total_v bigint, n_updates bigint",
         outputMode="update",
         timeoutConf="NoTimeout",
     )

@@ -146,3 +146,29 @@ def test_audio_rms_known_samples(spark):
     )
     (r,) = df.collect()
     assert (r.n_samples, r.sum_squares, r.peak, r.rms) == (3, ss, 32768, math.sqrt(ss / 3))
+
+
+def test_audio_rms_exact_past_float53():
+    """Regression (ADVICE r4): per-doc square sums above 2^53 must stay
+    exact.  8.6M max-amplitude samples push the running sum past 2^53
+    (where float64's ulp is 2) and the final sample of amplitude 1 adds an
+    odd unit that a float64 accumulator irrecoverably drops — integer
+    reduceat keeps it."""
+    import numpy as np
+    import pandas as pd
+
+    from map_reduce485_spark.operators.multimodal import audio_rms_features
+
+    n_big = 8_600_000
+    samples = np.full(n_big + 1, 32767, dtype="<i2")
+    samples[-1] = 1
+    payload = samples.tobytes()
+    exact = n_big * 32767**2 + 1
+    assert exact > 2**53 and float(exact) != exact  # premise of the test
+    batch = pd.DataFrame({"doc_id": [1], "payload": [payload]})
+    (out,) = list(audio_rms_features(iter([batch])))
+    assert out["n_samples"].iloc[0] == n_big + 1
+    # read the int64 column directly — a row-wise iloc[0] would upcast the
+    # mixed row to float64 and lose the very bit this test is about
+    assert out["sum_squares"].dtype.kind == "i"
+    assert int(out["sum_squares"].iloc[0]) == exact

@@ -1,0 +1,58 @@
+"""Bloom filter units beyond the driver gate — above all the duplicate-row
+regression for the prefiltered join (ADVICE r4): the prefilter must treat
+every fact row independently, so duplicate (key, payload) rows pass through
+as duplicates instead of being merged or dropped by a row-identity groupBy.
+"""
+
+from pyspark.sql import functions as F
+
+from map_reduce485_spark.queries.sketches import (
+    _K,
+    bloom_dense_bitmap,
+    bloom_prefilter,
+)
+
+
+def test_bloom_prefilter_keeps_duplicate_rows(spark):
+    """Two IDENTICAL fact rows (same key, same payload) must both survive
+    the prefilter — the explode+groupBy formulation collapsed them to one
+    and then DROPPED that one (n_hits == 2k != k)."""
+    keys = spark.createDataFrame([(10,), (20,)], "k bigint")
+    dense = bloom_dense_bitmap(keys)
+    fact = spark.createDataFrame(
+        [(10, 5.0), (10, 5.0), (10, 7.0), (20, 5.0), (99, 5.0)],
+        "k bigint, price double",
+    )
+    kept = bloom_prefilter(fact, "k", dense)
+    # member keys always pass (no false negatives); the duplicate pair
+    # stays a pair.  Key 99 may or may not pass (false positives allowed),
+    # so only assert on the member rows.
+    member_rows = kept.filter(F.col("k").isin(10, 20)).collect()
+    assert len(member_rows) == 4
+    assert sum(1 for r in member_rows if (r.k, r.price) == (10, 5.0)) == 2
+
+
+def test_bloom_prefilter_is_map_side(spark):
+    """The prefilter plan must contain no exchange/aggregate/join before
+    the filter: scan → project/filter only."""
+    keys = spark.createDataFrame([(1,), (2,), (3,)], "k bigint")
+    dense = bloom_dense_bitmap(keys)
+    fact = spark.range(0, 1000).select(F.col("id").alias("k"))
+    plan = (
+        bloom_prefilter(fact, "k", dense)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for bad in ("Exchange", "Aggregate", "Join"):
+        assert bad not in plan, f"prefilter plan contains {bad}:\n{plan}"
+
+
+def test_bloom_no_false_negatives_bulk(spark):
+    """Every inserted key passes its own filter (the Bloom guarantee),
+    checked over a few hundred keys in one pass."""
+    keys = spark.range(1, 400).select(F.col("id").alias("k"))
+    dense = bloom_dense_bitmap(keys)
+    n_pass = bloom_prefilter(keys, "k", dense).count()
+    assert n_pass == 399
+    assert len(dense) * 32 >= _K  # sanity: bitmap sized for k hashes

@@ -171,3 +171,49 @@ def test_read_json_permissive_corrupt_records(spark, tmp_path):
     # the unparseable line and the type-mismatched line are both quarantined
     assert bad.count() == 2
     df.unpersist()
+
+
+def test_land_parquet_recovers_broken_leftover(spark):
+    """Regression (ADVICE r4): a landing dir that exists WITHOUT _SUCCESS
+    (crash leftover) used to make the rename fail ENOTEMPTY forever and
+    return the broken dir; now it is cleared and rebuilt."""
+    import shutil
+    from pathlib import Path
+
+    from map_reduce485_spark.catalog import load_table
+    from map_reduce485_spark.queries._util import land_parquet
+
+    sf_dir = SF_SMOKE
+    nation = load_table(spark, sf_dir, "nation")
+    landing = Path(land_parquet(nation, sf_dir, "nation"))
+    assert (landing / "_SUCCESS").exists()
+    n = spark.read.parquet(str(landing)).count()
+
+    # simulate the crash: same dir, no _SUCCESS, stale content present
+    (landing / "_SUCCESS").unlink()
+    landing2 = Path(land_parquet(nation, sf_dir, "nation"))
+    assert landing2 == landing
+    assert (landing2 / "_SUCCESS").exists()
+    assert spark.read.parquet(str(landing2)).count() == n
+    shutil.rmtree(landing, ignore_errors=True)  # leave no cross-test state
+
+
+def test_versions_base_rebuilds_after_broken_leftover(spark):
+    """`_versions_base` shares land_parquet's contract: fingerprint-keyed,
+    atomically published, broken leftovers (no _latest) rebuilt."""
+    import shutil
+    from pathlib import Path
+
+    from map_reduce485_spark.queries.source_formats import _versions_base
+
+    sf_dir = SF_SMOKE
+    base = Path(_versions_base(spark, sf_dir))
+    assert (base / "_latest").read_text() == "v2"
+    v1_rows = spark.read.parquet(str(base / "v1")).count()
+    assert _versions_base(spark, sf_dir) == base  # idempotent, same dir
+
+    (base / "_latest").unlink()  # crash leftover: dir without the pointer
+    base2 = Path(_versions_base(spark, sf_dir))
+    assert base2 == base and (base2 / "_latest").exists()
+    assert spark.read.parquet(str(base2 / "v1")).count() == v1_rows
+    shutil.rmtree(base, ignore_errors=True)

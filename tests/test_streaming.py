@@ -77,14 +77,17 @@ def test_stream_stateful_running_totals(spark, events_landing):
     stream = stream_user_running_totals(read_events_stream(spark, events_landing))
     run_to_memory_sink(stream, "totals_t", mode="update")
     # update-mode memory sink may hold multiple rows per user (one per
-    # batch); the final state is the max total_events per user
+    # batch); the final state is the row with the highest per-user
+    # emission counter — final by construction, no data monotonicity needed
     got = {
         r.user_id: (r.total_events, r.total_value_cents)
         for r in spark.table("totals_t")
         .groupBy("user_id")
         .agg(
-            F.max("total_events").alias("total_events"),
-            F.max("total_value_cents").alias("total_value_cents"),
+            F.expr("max_by(total_events, n_updates)").alias("total_events"),
+            F.expr("max_by(total_value_cents, n_updates)").alias(
+                "total_value_cents"
+            ),
         )
         .collect()
     }
