@@ -326,6 +326,73 @@ def streaming_sessionize_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+@query(
+    "streaming_session_ttl_gate", _STREAM_SESSION_ORACLE, tags=("events", "streaming")
+)
+def streaming_session_ttl_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIMEOUT-DRIVEN state eviction under the hash gate: sessions built in
+    CUSTOM state (`streaming/jobs.stream_session_ttl`,
+    `applyInPandasWithState` + ``EventTimeTimeout``) are emitted ONLY when
+    the event-time watermark passes ``last_event + gap`` and the state
+    times out — the session-TTL lifecycle `session_window` implements
+    internally, here witnessed through user-controlled state (the shape
+    needed for custom session payloads).
+
+    Deterministic gate encoding: a single SENTINEL event far past the
+    stream's horizon lands in its own LAST file (later mtime, so the
+    file source orders it after every real batch); once it is processed
+    the watermark jumps beyond every real deadline, the final no-data
+    micro-batches fire each user's timeout, and every session flushes
+    through the eviction path.  Output rows are a pure function of each
+    user's event multiset, so they hash-match the same gaps-and-islands
+    oracle as `streaming_sessionize_gate` — same answer, opposite
+    mechanism (engine-managed merge state there, user-state TTL eviction
+    here)."""
+    import os
+    import shutil
+    from pathlib import Path
+
+    from map_reduce485_spark.streaming.jobs import (
+        read_events_stream,
+        run_to_memory_sink,
+        stream_session_ttl,
+    )
+
+    (events,) = T(spark, sf_dir, "events")
+    landing = _land_events(events, sf_dir)
+    ttl_dir = Path(landing + ".ttl")
+    if not (ttl_dir / "_SUCCESS").exists():
+        if ttl_dir.exists():
+            shutil.rmtree(ttl_dir, ignore_errors=True)
+        tmp = ttl_dir.with_name(f"{ttl_dir.name}.tmp{os.getpid()}")
+        events.repartition(4).write.mode("overwrite").parquet(str(tmp))
+        sentinel = events.agg(
+            F.lit(-1).cast("bigint").alias("event_id"),
+            (F.max("ts") + F.expr("INTERVAL 3700 DAYS")).alias("ts"),
+            F.lit(-1).cast("bigint").alias("user_id"),
+            F.lit("sentinel").alias("event_type"),
+            F.lit(0.0).alias("value"),
+            F.lit("{}").alias("props"),
+        )
+        # second write → strictly later mtimes → the file source processes
+        # the sentinel file after every real file
+        sentinel.coalesce(1).write.mode("append").parquet(str(tmp))
+        try:
+            os.rename(tmp, ttl_dir)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+            if not (ttl_dir / "_SUCCESS").exists():
+                raise RuntimeError(f"ttl landing dir {ttl_dir} unusable")
+
+    sessions = stream_session_ttl(
+        read_events_stream(spark, str(ttl_dir), max_files_per_trigger=2),
+        watermark="3650 days",
+    )
+    name = f"stream_gate_session_ttl_{landing.rsplit('_', 1)[-1]}"
+    run_to_memory_sink(sessions, name, mode="append")
+    return spark.table(name).filter(F.col("user_id") >= 0)
+
+
 _STREAM_CUSTOM_STATE_ORACLE = """
 SELECT user_id, COUNT(*) AS total_events,
        CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS total_value_cents

@@ -159,6 +159,107 @@ def stream_user_running_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def stream_session_ttl(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Session windows via CUSTOM state with TIMEOUT-DRIVEN EVICTION — the
+    one standard stateful-streaming shape `session_window` can't express
+    when you need your own session payload: `applyInPandasWithState` with
+    ``EventTimeTimeout``.
+
+    Each user's state buffers that user's event times (bounded in
+    production by the watermark horizon — late events beyond it are
+    dropped at the operator input).  NOTHING is emitted on data arrival;
+    when the event-time watermark passes ``last_buffered + gap`` the state
+    TIMES OUT, the update function runs with ``state.hasTimedOut`` and no
+    input rows, and only then are the closed sessions sessionized from the
+    buffer, emitted, and their events evicted.  Open-tail events (whose
+    session the watermark cannot prove closed) stay in state with a fresh
+    timeout deadline.  That is exactly `session_window`'s append-mode
+    lifecycle, re-expressed over user-controlled state — the template for
+    custom session payloads (funnels, per-session models).
+
+    Output rows are a pure function of each user's event multiset and the
+    gap — independent of how the file source batches arrivals — so the
+    result is hash-checkable against the batch gaps-and-islands oracle.
+    Buffered times are epoch MICROseconds: exact for parquet micro
+    timestamps, so gap comparisons match the oracle's full-precision
+    interval arithmetic."""
+    import pandas as pd  # noqa: F401  (needed on executors)
+
+    gap_us = int(pd.Timedelta(gap).total_seconds() * 1_000_000)
+
+    def update(key, pdf_iter, state):
+        import numpy as np
+        import pandas as pd
+
+        buffered = np.array(state.get[0], dtype=np.int64) if state.exists else np.array([], dtype=np.int64)
+        new = [
+            pdf["ts"].astype("int64").to_numpy() // 1000  # ns -> us
+            for pdf in pdf_iter
+            if len(pdf)
+        ]
+        if new:
+            buffered = np.sort(np.concatenate([buffered] + new))
+        wm_ms = state.getCurrentWatermarkMs()
+
+        out = []
+        if state.hasTimedOut and len(buffered):
+            # close every session the watermark has passed: break the
+            # sorted buffer at > gap silences, emit prefixes whose
+            # last + gap <= watermark, retain the open tail
+            breaks = np.nonzero(np.diff(buffered) > gap_us)[0] + 1
+            bounds = [0, *breaks.tolist(), len(buffered)]
+            keep_from = len(buffered)
+            for s, e in zip(bounds, bounds[1:]):
+                if (buffered[e - 1] + gap_us) // 1000 <= wm_ms:
+                    out.append((buffered[s], buffered[e - 1], e - s))
+                else:
+                    keep_from = s
+                    break
+            buffered = buffered[keep_from:]
+
+        if len(buffered):
+            state.update((buffered.tolist(),))
+            deadline_ms = (int(buffered[-1]) + gap_us) // 1000 + 1
+            state.setTimeoutTimestamp(max(deadline_ms, wm_ms + 1))
+        else:
+            state.remove()
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(out),
+                "session_start_us": [o[0] for o in out],
+                "session_last_us": [o[1] for o in out],
+                "n_events": [o[2] for o in out],
+            }
+        )
+
+    closed = (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=(
+                "user_id bigint, session_start_us bigint,"
+                " session_last_us bigint, n_events bigint"
+            ),
+            stateStructType="ts_list array<bigint>",
+            outputMode="append",
+            timeoutConf="EventTimeTimeout",
+        )
+    )
+    return closed.select(
+        "user_id",
+        F.date_format(
+            F.timestamp_micros(F.col("session_start_us")), "yyyy-MM-dd HH:mm:ss"
+        ).alias("session_start"),
+        F.date_format(
+            F.timestamp_micros(F.col("session_last_us")), "yyyy-MM-dd HH:mm:ss"
+        ).alias("session_last"),
+        "n_events",
+    )
+
+
 def stream_view_purchase_join(
     views: DataFrame, purchases: DataFrame, horizon: str = "1 hour"
 ) -> DataFrame:

@@ -317,3 +317,47 @@ def test_stream_static_enrichment_join(spark, events_landing):
     )
     exp = {r.segment: (r.n_events, r.cents) for r in batch.collect()}
     assert got == exp and len(got) == 3
+
+
+def test_stream_session_ttl_equals_sessionize(spark, events_landing, tmp_path):
+    """Timeout-eviction sessions (`stream_session_ttl`) must equal the
+    engine-native `session_window` sessions: same gap, same events,
+    opposite mechanism.  A far-future sentinel in a LAST file advances the
+    watermark so every session flushes through the TTL eviction path."""
+    import shutil
+    import time
+
+    from pyspark.sql import functions as F
+
+    from map_reduce485_spark.streaming.jobs import stream_session_ttl
+
+    d = tmp_path / "ttl"
+    d.mkdir()
+    for f in __import__("pathlib").Path(events_landing).glob("*.parquet"):
+        shutil.copy(f, d / f.name)
+    time.sleep(0.05)  # sentinel file must sort after the real files by mtime
+    events = spark.read.parquet(events_landing)
+    sentinel = events.agg(
+        F.lit(-1).cast("bigint").alias("event_id"),
+        (F.max("ts") + F.expr("INTERVAL 3700 DAYS")).alias("ts"),
+        F.lit(-1).cast("bigint").alias("user_id"),
+        F.lit("sentinel").alias("event_type"),
+        F.lit(0.0).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    sentinel.coalesce(1).write.mode("append").parquet(str(d))
+
+    stream = stream_session_ttl(
+        read_events_stream(spark, str(d), max_files_per_trigger=2),
+        watermark="3650 days",
+    )
+    run_to_memory_sink(stream, "ttl_sessions_t", mode="append")
+    got = {
+        (r.user_id, r.session_start): (r.n_events, r.session_last)
+        for r in spark.table("ttl_sessions_t").filter("user_id >= 0").collect()
+    }
+    exp = {
+        (r.user_id, r.session_start): (r.n_events, r.session_last)
+        for r in stream_sessionize(load_table(spark, SF_SMOKE, "events")).collect()
+    }
+    assert got == exp and len(got) > 0
