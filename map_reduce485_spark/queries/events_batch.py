@@ -923,3 +923,128 @@ def rolling_7d_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_distinct_users_7d",
         )
     )
+
+
+_FUNNEL_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+),
+sess AS (
+  SELECT user_id, ts, event_type,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM ordered
+),
+s1 AS (
+  SELECT user_id, sid, MIN(CASE WHEN event_type = 'view' THEN ts END) AS t1
+  FROM sess GROUP BY user_id, sid
+),
+s2 AS (
+  SELECT s.user_id, s.sid,
+         MIN(CASE WHEN s.event_type = 'click' AND s.ts >= s1.t1 THEN s.ts END) AS t2
+  FROM sess s JOIN s1 ON s.user_id = s1.user_id AND s.sid = s1.sid
+  GROUP BY s.user_id, s.sid
+),
+s3 AS (
+  SELECT s.user_id, s.sid,
+         MIN(CASE WHEN s.event_type = 'purchase' AND s.ts >= s2.t2 THEN s.ts END) AS t3
+  FROM sess s JOIN s2 ON s.user_id = s2.user_id AND s.sid = s2.sid
+  GROUP BY s.user_id, s.sid
+)
+SELECT COUNT(*) AS n_sessions,
+       CAST(SUM(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+       CAST(SUM(CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_view_click,
+       CAST(SUM(CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
+FROM s1 JOIN s2 ON s1.user_id = s2.user_id AND s1.sid = s2.sid
+        JOIN s3 ON s1.user_id = s3.user_id AND s1.sid = s3.sid
+"""
+
+
+@query("session_funnel", _FUNNEL_ORACLE, tags=("events", "window"))
+def session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDERED-SEQUENCE funnel within sessions: of every 30-min-gap
+    session, how many contain a view, a click AT OR AFTER the first view,
+    and a purchase at or after that click — the product-analytics shape
+    where step N's window depends on step N-1's timestamp, which no
+    single-pass conditional aggregate can express.
+
+    Three staged aggregations over the SAME (user_id, session) key:
+    sessionize (gaps-and-islands windows), then per-step min-timestamp
+    aggs, each joined back on the grouping key.  Because every stage
+    groups and joins on the identical key, Catalyst reuses one hash
+    partitioning across all three rounds — the multi-stage plan costs one
+    shuffle of the events, not three (the same co-partitioning argument
+    as `training_data_pipeline`).  Complements `funnel_conversion`, the
+    LIFETIME per-user funnel (single window, no session scoping): that one
+    answers "did the user ever convert", this one "in how many sessions"."""
+    from pyspark.sql import Window as W
+
+    (events,) = T(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    sess = (
+        events.select(
+            "user_id",
+            "ts",
+            "event_id",
+            "event_type",
+            F.when(
+                F.lag("ts").over(w).isNull()
+                | (
+                    F.col("ts").cast("double") - F.lag("ts").over(w).cast("double")
+                    > 1800
+                ),
+                1,
+            )
+            .otherwise(0)
+            .alias("is_new"),
+        )
+        .select(
+            "user_id",
+            "ts",
+            "event_type",
+            F.sum("is_new").over(w.rowsBetween(W.unboundedPreceding, 0)).alias("sid"),
+        )
+    )
+    keys = ["user_id", "sid"]
+    s1 = sess.groupBy(*keys).agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t1")
+    )
+    s2 = (
+        sess.join(s1, keys)
+        .groupBy(*keys)
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click") & (F.col("ts") >= F.col("t1")),
+                    F.col("ts"),
+                )
+            ).alias("t2")
+        )
+    )
+    s3 = (
+        sess.join(s2, keys)
+        .groupBy(*keys)
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("ts") >= F.col("t2")),
+                    F.col("ts"),
+                )
+            ).alias("t3")
+        )
+    )
+    return (
+        s1.join(s2, keys)
+        .join(s3, keys)
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.sum(F.col("t1").isNotNull().cast("long")).alias("n_view"),
+            F.sum(F.col("t2").isNotNull().cast("long")).alias("n_view_click"),
+            F.sum(F.col("t3").isNotNull().cast("long")).alias("n_full_funnel"),
+        )
+    )

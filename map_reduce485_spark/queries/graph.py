@@ -1,0 +1,110 @@
+"""Iterative graph algorithms, hash-verifiable: integer-arithmetic PageRank.
+
+The registry already witnesses one graph computation (`dedup_clusters`
+min-label propagation, an O(diameter) fixpoint) — this module adds the
+other canonical distributed-graph shape: a FIXED-ITERATION-COUNT power
+method, where every round is one join (ranks → out-edges) plus one
+aggregation (sum of incoming contributions), the textbook Pregel step
+expressed as DataFrame ops.
+
+Hash-gating an iterative float algorithm is normally impossible (float
+partial-sum order differs between engines), so ranks here live in SCALED
+INTEGER arithmetic end to end: rank is bigint micro-micro-units (1e12 =
+1.0), per-edge contributions are integer division rank // out_degree, the
+damping step is (85 * sum) // 100 — every operation exact, associative,
+and identical in Spark and DuckDB, so five unrolled iterations produce
+bit-equal bigint ranks on both engines.  (Same determinism move as
+`exact_corr_stats`' integer moments and the md5 sketches.)
+
+The reference has no iterative capability at all — each MapReduce job is a
+single map+reduce pass (SURVEY.md §1.3); multi-round algorithms require
+resubmitting jobs with the previous output as input (`mapreduce/job.py`
+queue).  This module is the Layer-B expression of that loop: the driver
+composes rounds as one lazy plan and Spark schedules them as consecutive
+shuffle stages.
+
+Scale design: the per-round shuffle is bounded by the edge list (messages)
+and the node list (rank state) — the standard distributed PageRank layout.
+Edges are cached once and reused by all rounds; partitioning on the join
+key carries across iterations, so each round is one shuffle of messages,
+not a re-scan of the fact tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from map_reduce485_spark.queries import query
+from map_reduce485_spark.queries._util import T
+
+_PR_ITERS = 5
+_PR_SCALE = 10**12  # rank 1.0 in scaled-integer units
+_PR_BASE = 15 * 10**10  # (1 - 0.85) * scale
+_TOP_N = 50
+
+
+def _oracle_pagerank() -> str:
+    """Unrolled fixed-iteration PageRank as chained CTEs — the literal
+    integer recurrence the Spark loop runs, replayed sequentially."""
+    ctes = [
+        "e0 AS (SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst"
+        " FROM orders JOIN lineitem ON l_orderkey = o_orderkey)",
+        "edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)",
+        "deg AS (SELECT src, COUNT(*) AS out_deg FROM edges GROUP BY src)",
+        f"r0 AS (SELECT src AS node, CAST({_PR_SCALE} AS BIGINT) AS pr FROM deg)",
+    ]
+    for it in range(1, _PR_ITERS + 1):
+        ctes.append(
+            f"r{it} AS (SELECT e.dst AS node, "
+            f"CAST({_PR_BASE} + (85 * SUM(r.pr // d.out_deg)) // 100 AS BIGINT) AS pr "
+            f"FROM r{it - 1} r JOIN deg d ON d.src = r.node "
+            f"JOIN edges e ON e.src = r.node GROUP BY e.dst)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + f"\nSELECT node, pr AS rank_scaled FROM r{_PR_ITERS} "
+        f"ORDER BY pr DESC, node LIMIT {_TOP_N}"
+    )
+
+
+@query("pagerank_trade_graph", _oracle_pagerank(), tags=("graph",), bench=True)
+def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the bipartite customer↔supplier trade graph (an edge
+    per distinct customer-supplier trading pair, both directions so the
+    chain is irreducible), {_PR_ITERS} power iterations, damping 0.85 —
+    all in scaled bigint arithmetic so the ranks are bit-equal across
+    engines (see module docstring).  Top-{_TOP_N} nodes by rank, node id
+    as total tiebreak.  Node encoding: customers 2k, suppliers 2k+1
+    (key spaces overlap numerically, so parity-tag them)."""
+    orders, lineitem = T(spark, sf_dir, "orders", "lineitem")
+    e0 = (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = e0.unionAll(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
+    # one frame carrying (src, dst, out_deg): cached once, joined every round
+    edges_deg = edges.join(deg, "src").cache()
+
+    rank = deg.select(F.col("src").alias("node"), F.lit(_PR_SCALE).alias("pr"))
+    for _ in range(_PR_ITERS):
+        rank = (
+            rank.join(edges_deg, rank.node == edges_deg.src)
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("pr div out_deg").alias("contrib"),
+            )
+            .groupBy("node")
+            .agg(
+                (F.lit(_PR_BASE) + F.expr("(85 * sum(contrib)) div 100")).alias("pr")
+            )
+        )
+    return (
+        rank.orderBy(F.col("pr").desc(), "node")
+        .limit(_TOP_N)
+        .select("node", F.col("pr").alias("rank_scaled"))
+    )

@@ -34,20 +34,20 @@ _K = 4  # hash functions
 _PROBE_N = 60000  # candidate keys probed: 1.._PROBE_N
 
 
-def _spark_pos(i: int, key: str = "k") -> str:
+def _spark_pos(i: int, key: str = "k", m: int = _M_BITS) -> str:
     """Hash position i of a key: first 15 md5 hex digits (< 2^60, exact in
     a long on every engine) mod m.  Same literal recipe as the DuckDB
     fragment below, so positions are bit-identical."""
     return (
         f"CAST(conv(substring(md5(concat(CAST({key} AS STRING), ':{i}')), 1, 15),"
-        f" 16, 10) AS BIGINT) % {_M_BITS}"
+        f" 16, 10) AS BIGINT) % {m}"
     )
 
 
-def _duck_pos(i: int, key: str = "k") -> str:
+def _duck_pos(i: int, key: str = "k", m: int = _M_BITS) -> str:
     return (
         f"(CAST('0x' || substr(md5(CAST({key} AS VARCHAR) || ':{i}'), 1, 15)"
-        f" AS BIGINT) % {_M_BITS})"
+        f" AS BIGINT) % {m})"
     )
 
 
@@ -298,5 +298,152 @@ def bloom_prefiltered_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")) / 100.0).alias(
                 "total_price"
             ),
+        )
+    )
+
+
+_CMS_W = 256  # counter columns per hash row (small on purpose: ~1.5k keys
+_CMS_D = 4    # into 256 counters forces real collisions, so the probe
+              # genuinely witnesses CMS overestimates, not a perfect table)
+
+
+def _cms_pos_spark(i: int, key: str) -> str:
+    return _spark_pos(i, key, m=_CMS_W)
+
+
+def _cms_pos_duck(i: int, key: str) -> str:
+    return _duck_pos(i, key, m=_CMS_W)
+
+
+_CMS_BUILD_ORACLE = f"""
+WITH pos AS (
+  SELECT i,
+         (CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR) || ':' ||
+                CAST(i AS VARCHAR)), 1, 15) AS BIGINT) % {_CMS_W}) AS p
+  FROM orders, UNNEST(generate_series(1, {_CMS_D})) AS t(i)
+)
+SELECT CAST(i AS BIGINT) AS row_i, p AS pos, COUNT(*) AS cnt
+FROM pos GROUP BY i, p
+"""
+
+
+@query("cms_build", _CMS_BUILD_ORACLE, tags=("sketch",))
+def cms_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch BUILD over order→customer frequencies, exactly on
+    both engines: like the Bloom filter (same md5 position recipe), a CMS
+    is a pure function of the key multiset once the hashes are fixed, so
+    the whole {_CMS_D}x{_CMS_W} counter table sits under the hash gate —
+    the second classic sketch that CAN be value-verified.
+
+    Scale design: counts are an associative SUM per (row, position) that
+    partial-aggregates map-side, so the shuffle carries at most d*w
+    counters per map partition regardless of input rows — the mergeable
+    sublinear frequency state used for heavy-hitter detection over
+    unbounded key domains (exact per-key counts at 100 TB would shuffle
+    the full key cardinality)."""
+    (orders,) = T(spark, sf_dir, "orders")
+    pos = orders.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).cast("long").alias("row_i"),
+                        F.expr(_cms_pos_spark(i, "o_custkey")).alias("pos"),
+                    )
+                    for i in range(1, _CMS_D + 1)
+                ]
+            )
+        ).alias("ip")
+    )
+    return (
+        pos.select("ip.row_i", "ip.pos")
+        .groupBy("row_i", "pos")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+_CMS_ESTIMATE_ORACLE = f"""
+WITH pos AS (
+  SELECT i,
+         (CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR) || ':' ||
+                CAST(i AS VARCHAR)), 1, 15) AS BIGINT) % {_CMS_W}) AS p
+  FROM orders, UNNEST(generate_series(1, {_CMS_D})) AS t(i)
+),
+cms AS (
+  SELECT i AS row_i, p AS pos, COUNT(*) AS cnt FROM pos GROUP BY i, p
+),
+actual AS (
+  SELECT o_custkey AS k, COUNT(*) AS n_actual FROM orders GROUP BY o_custkey
+),
+probe AS (
+  SELECT a.k, a.n_actual, t.i,
+         (CAST('0x' || substr(md5(CAST(a.k AS VARCHAR) || ':' ||
+                CAST(t.i AS VARCHAR)), 1, 15) AS BIGINT) % {_CMS_W}) AS p
+  FROM actual a, UNNEST(generate_series(1, {_CMS_D})) AS t(i)
+)
+SELECT probe.k AS k, MAX(probe.n_actual) AS n_actual,
+       MIN(cms.cnt) AS n_estimate,
+       MIN(cms.cnt) - MAX(probe.n_actual) AS overcount
+FROM probe JOIN cms ON cms.row_i = probe.i AND cms.pos = probe.p
+GROUP BY probe.k
+"""
+
+
+@query("cms_estimate_counts", _CMS_ESTIMATE_ORACLE, tags=("sketch",))
+def cms_estimate_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch PROBED: every customer's estimated order count
+    (min over the d counter rows) against its true count.  Because the
+    sketch is deterministic, the exact per-key OVERCOUNT — the collision
+    error itself — is hash-checked, and `overcount >= 0` for every key
+    witnesses the CMS one-sided-error guarantee the way
+    `n_false_negatives = 0` does for the Bloom filter.
+
+    The probe broadcasts the fixed d*w counter table and joins map-side —
+    the deployment shape for heavy-hitter screening before an exact
+    count of only the candidate keys."""
+    (orders,) = T(spark, sf_dir, "orders")
+    pos = orders.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).cast("long").alias("row_i"),
+                        F.expr(_cms_pos_spark(i, "o_custkey")).alias("pos"),
+                    )
+                    for i in range(1, _CMS_D + 1)
+                ]
+            )
+        ).alias("ip")
+    )
+    cms = (
+        pos.select("ip.row_i", "ip.pos")
+        .groupBy("row_i", "pos")
+        .agg(F.count("*").alias("cnt"))
+    )
+    actual = orders.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.count("*").alias("n_actual")
+    )
+    probe = actual.select(
+        "k",
+        "n_actual",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).cast("long").alias("row_i"),
+                        F.expr(_cms_pos_spark(i, "k")).alias("pos"),
+                    )
+                    for i in range(1, _CMS_D + 1)
+                ]
+            )
+        ).alias("ip"),
+    ).select("k", "n_actual", "ip.row_i", "ip.pos")
+    return (
+        probe.join(F.broadcast(cms), ["row_i", "pos"])
+        .groupBy("k")
+        .agg(
+            F.max("n_actual").alias("n_actual"),
+            F.min("cnt").alias("n_estimate"),
+            (F.min("cnt") - F.max("n_actual")).alias("overcount"),
         )
     )

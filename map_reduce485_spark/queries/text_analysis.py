@@ -1102,3 +1102,69 @@ def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(F.concat_ws(" ", "cw")).alias("chunk_hash"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# sensitive-term masking (the PII-scrub pipeline stage, denylist form)
+# ---------------------------------------------------------------------------
+
+_MASK_TERMS = ("customer", "value", "key")  # stand-in denylist: the synthetic
+# corpus has no real PII (no emails/digits), so the scrub is witnessed on
+# high-frequency content words — the mechanism (token-exact denylist
+# replacement + audit counts) is the production one.
+
+_MASK_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS w
+  FROM documents
+),
+masked AS (
+  SELECT doc_id,
+         len(w) AS n_tokens,
+         len(list_filter(w, x -> x IN ({', '.join(f"'{t}'" for t in _MASK_TERMS)})))
+           AS n_masked,
+         array_to_string(
+           list_transform(w, x -> CASE WHEN x IN
+             ({', '.join(f"'{t}'" for t in _MASK_TERMS)})
+             THEN '<MASKED>' ELSE x END), ' ') AS mt
+  FROM toks
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_masked AS BIGINT) AS n_masked,
+       md5(mt) AS masked_md5
+FROM masked
+"""
+
+
+@query("sensitive_term_mask", _MASK_ORACLE, tags=("text", "etl"))
+def sensitive_term_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-scrub pipeline stage: token-exact DENYLIST masking — every
+    denylisted token replaced by '<MASKED>', with per-doc audit counts and
+    an md5 of the scrubbed text so the gate pins the REPLACEMENT OUTPUT
+    itself, not just the counts.  Token-level transform (split → per-token
+    CASE → rejoin) instead of regex replacement: no word-boundary or
+    overlapping-match semantics to diverge between regex engines, and at
+    scale it is one map-side higher-order-function pass (JVM codegen, no
+    Python) that streams through the corpus with zero shuffle.
+
+    The production variant swaps the literal IN-list for a broadcast
+    denylist lookup plus pattern rules (emails, digit runs); this corpus
+    is synthetic word-soup with no such patterns, so the mechanism is
+    witnessed on content words (see `_MASK_TERMS`)."""
+    (docs,) = T(spark, sf_dir, "documents")
+    in_list = ", ".join(f"'{t}'" for t in _MASK_TERMS)
+    return docs.select(
+        "doc_id",
+        F.expr("filter(split(text, ' '), x -> x <> '')").alias("w"),
+    ).select(
+        "doc_id",
+        F.size("w").cast("long").alias("n_tokens"),
+        F.expr(f"size(filter(w, x -> x IN ({in_list})))").cast("long").alias("n_masked"),
+        F.md5(
+            F.expr(
+                f"array_join(transform(w, x -> CASE WHEN x IN ({in_list})"
+                f" THEN '<MASKED>' ELSE x END), ' ')"
+            )
+        ).alias("masked_md5"),
+    )

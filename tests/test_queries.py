@@ -203,3 +203,32 @@ def test_kmeans_deterministic_and_converges(spark):
     for rows in by_q.values():
         ranks = sorted(r.rank for r in rows)
         assert ranks == list(range(1, len(ranks) + 1)) and len(ranks) <= 10
+
+
+def test_cms_one_sided_error(spark):
+    """The count-min guarantee: every estimate >= the true count."""
+    rows = REGISTRY["cms_estimate_counts"].fn(spark, SF_SMOKE).collect()
+    assert len(rows) > 0
+    assert all(r.n_estimate >= r.n_actual for r in rows)
+    assert all(r.overcount == r.n_estimate - r.n_actual for r in rows)
+
+
+def test_pagerank_ranks_positive_and_ordered(spark):
+    """Scaled-integer PageRank: every rank above the damping floor and the
+    top-k emitted in strictly usable (rank desc, node) order."""
+    rows = REGISTRY["pagerank_trade_graph"].fn(spark, SF_SMOKE).collect()
+    assert len(rows) == 50
+    base = 15 * 10**10
+    assert all(r.rank_scaled >= base for r in rows)
+    ranks = [(r.rank_scaled, r.node) for r in rows]
+    assert ranks == sorted(ranks, key=lambda t: (-t[0], t[1]))
+
+
+def test_incremental_dedup_subset_of_full(spark):
+    """Arrival-vs-corpus incremental pairs must be a subset of the full
+    corpus LSH pairs (same bands, same threshold, restricted candidates)."""
+    incr = REGISTRY["dedup_incremental_arrivals"].fn(spark, SF_SMOKE).collect()
+    full = REGISTRY["dedup_minhash_lsh"].fn(spark, SF_SMOKE).collect()
+    full_pairs = {(min(r.a_id, r.b_id), max(r.a_id, r.b_id)) for r in full}
+    for r in incr:
+        assert (min(r.new_id, r.dup_of), max(r.new_id, r.dup_of)) in full_pairs
