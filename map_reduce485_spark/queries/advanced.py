@@ -1051,3 +1051,83 @@ def data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionAll(p)
     return out
+
+
+# ---------------------------------------------------------------------------
+# chi-square independence test (exact cell arithmetic, sequential-fold total)
+# ---------------------------------------------------------------------------
+
+_CHI2_ORACLE = """
+WITH cells AS (
+  SELECT event_type, isodow(ts) AS weekday, COUNT(*) AS o
+  FROM events GROUP BY event_type, isodow(ts)
+),
+rt AS (SELECT event_type, SUM(o) AS r FROM cells GROUP BY event_type),
+ct AS (SELECT weekday, SUM(o) AS c FROM cells GROUP BY weekday),
+n AS (SELECT SUM(o) AS n FROM cells),
+contrib AS (
+  SELECT cells.event_type, cells.weekday, cells.o,
+         CAST(CAST(cells.o * n.n - rt.r * ct.c AS HUGEINT)
+              * CAST(cells.o * n.n - rt.r * ct.c AS HUGEINT) AS DOUBLE)
+           / CAST(n.n * rt.r * ct.c AS DOUBLE) AS x
+  FROM cells JOIN rt ON rt.event_type = cells.event_type
+             JOIN ct ON ct.weekday = cells.weekday
+             CROSS JOIN n
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST((COUNT(DISTINCT event_type) - 1) * (COUNT(DISTINCT weekday) - 1)
+            AS BIGINT) AS dof,
+       list_reduce(list(x ORDER BY event_type, weekday), (a, b) -> a + b)
+         AS chi2
+FROM contrib
+"""
+
+
+@query("chi_square_independence", _CHI2_ORACLE, tags=("advanced", "agg"))
+def chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square independence test of event_type × ISO weekday —
+    distributed hypothesis testing with every number value-checked.  Two
+    determinism moves: (1) each cell's (O-E)^2/E is restated over INTEGER
+    moments — (o*N - r*c)^2 / (N*r*c), numerator squared in 128-bit
+    (decimal38 / hugeint, up to ~10^23), so the only float op per cell is
+    one correctly-rounded division; (2) the statistic sums those cell
+    doubles in a SORTED SEQUENTIAL FOLD ((event_type, weekday) order) on
+    both engines — the same left-fold trick the similarity module uses —
+    because a parallel SUM(double) would depend on partial-agg order.
+
+    The row/col totals and N are tiny aggregates broadcast back onto the
+    cells; the whole test costs one scan plus exchanges of ~|types|×7
+    rows.  (`exact_corr_stats` is the continuous-variable sibling.)"""
+    (events,) = T(spark, sf_dir, "events")
+    cells = events.groupBy(
+        "event_type", (F.expr("weekday(ts)") + 1).alias("weekday")
+    ).agg(F.count("*").alias("o"))
+    rt = cells.groupBy("event_type").agg(F.sum("o").alias("r"))
+    ct = cells.groupBy("weekday").agg(F.sum("o").alias("c"))
+    n = cells.agg(F.sum("o").alias("n"))
+    contrib = (
+        cells.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "weekday")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "event_type",
+            "weekday",
+            (
+                F.expr(
+                    "CAST(CAST(o * n - r * c AS DECIMAL(19,0))"
+                    " * CAST(o * n - r * c AS DECIMAL(19,0)) AS DOUBLE)"
+                )
+                / F.expr("CAST(n * r * c AS DOUBLE)")
+            ).alias("x"),
+        )
+    )
+    return contrib.agg(
+        F.count("*").alias("n_cells"),
+        (
+            (F.countDistinct("event_type") - 1) * (F.countDistinct("weekday") - 1)
+        ).cast("long").alias("dof"),
+        F.expr(
+            "aggregate(transform(array_sort(collect_list(struct(event_type,"
+            " weekday, x))), s -> s.x), CAST(0.0 AS DOUBLE), (a, v) -> a + v)"
+        ).alias("chi2"),
+    )

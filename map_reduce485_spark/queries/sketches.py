@@ -447,3 +447,135 @@ def cms_estimate_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.min("cnt") - F.max("n_actual")).alias("overcount"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# deterministic HyperLogLog (registers + raw estimate, both hash-checked)
+# ---------------------------------------------------------------------------
+
+_HLL_M = 64       # registers (b = 6 index bits)
+_HLL_ALPHA = 0.709  # bias constant for m = 64 (Flajolet et al. 2007)
+
+
+_HLL_REG_ORACLE = f"""
+WITH h AS (
+  SELECT DISTINCT CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15)
+         AS BIGINT) AS hv
+  FROM orders
+),
+parts AS (SELECT hv % {_HLL_M} AS j, hv // {_HLL_M} AS w FROM h),
+regs AS (
+  SELECT j, MAX(CASE WHEN w = 0 THEN 55 ELSE 55 - length(bin(w)) END) AS rho
+  FROM parts GROUP BY j
+)
+SELECT g.j AS j, CAST(COALESCE(regs.rho, 0) AS BIGINT) AS reg
+FROM (SELECT UNNEST(generate_series(0, {_HLL_M - 1})) AS j) g
+LEFT JOIN regs ON regs.j = g.j
+"""
+
+
+@query("hll_registers", _HLL_REG_ORACLE, tags=("sketch",))
+def hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog register table over the order keys, EXACTLY on both
+    engines — reviving the sketch family the round-3 decision dropped
+    (`sketch_approx_aggs`): engine-NATIVE approx_count_distinct is
+    algorithm-different across engines, but HLL's state is a pure
+    function of the key set once the hash is fixed.  h = first 60 md5
+    bits; register index j = h mod m, payload w = h div m; rho(w) =
+    leading-zero count of w in its 54-bit field + 1, computed as
+    55 - len(bin(w)) — string-length of the binary rendering, exact
+    integer logic, no log2 float anywhere.
+
+    Scale design: MAX per register is associative and combines map-side,
+    so the shuffle carries at most m=64 (j, rho) pairs per partition
+    regardless of key count — the textbook mergeable-state cardinality
+    sketch (HLL state from disjoint shards unions by register-wise max)."""
+    (orders,) = T(spark, sf_dir, "orders")
+    h = orders.select(
+        F.expr(
+            "CAST(conv(substring(md5(CAST(o_orderkey AS STRING)), 1, 15),"
+            " 16, 10) AS BIGINT)"
+        ).alias("hv")
+    ).distinct()
+    regs = (
+        h.select(
+            (F.col("hv") % _HLL_M).alias("j"),
+            F.expr(f"hv div {_HLL_M}").alias("w"),
+        )
+        .select(
+            "j",
+            F.expr("CASE WHEN w = 0 THEN 55 ELSE 55 - length(bin(w)) END").alias(
+                "rho"
+            ),
+        )
+        .groupBy("j")
+        .agg(F.max("rho").alias("rho"))
+    )
+    allj = spark.range(0, _HLL_M).select(F.col("id").alias("j"))
+    return allj.join(regs, "j", "left").select(
+        "j", F.coalesce("rho", F.lit(0)).cast("long").alias("reg")
+    )
+
+
+_HLL_EST_ORACLE = f"""
+WITH h AS (
+  SELECT DISTINCT CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15)
+         AS BIGINT) AS hv
+  FROM orders
+),
+parts AS (SELECT hv % {_HLL_M} AS j, hv // {_HLL_M} AS w FROM h),
+regs0 AS (
+  SELECT j, MAX(CASE WHEN w = 0 THEN 55 ELSE 55 - length(bin(w)) END) AS rho
+  FROM parts GROUP BY j
+),
+regs AS (
+  SELECT g.j, COALESCE(regs0.rho, 0) AS reg
+  FROM (SELECT UNNEST(generate_series(0, {_HLL_M - 1})) AS j) g
+  LEFT JOIN regs0 ON regs0.j = g.j
+),
+s AS (
+  SELECT CAST(SUM(CAST(1 AS BIGINT) << CAST(55 - reg AS INTEGER)) AS BIGINT)
+           AS harmonic_scaled,
+         CAST(SUM(CASE WHEN reg = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_regs
+  FROM regs
+),
+truth AS (SELECT COUNT(DISTINCT o_orderkey) AS n_true FROM orders)
+SELECT {_HLL_M} AS m, truth.n_true AS n_true, s.harmonic_scaled, s.n_zero_regs,
+       {_HLL_ALPHA * _HLL_M * _HLL_M!r}e0
+         * CAST({1 << 55} AS DOUBLE)
+         / CAST(s.harmonic_scaled AS DOUBLE) AS estimate_raw
+FROM s, truth
+"""
+
+
+@query("hll_estimate_distinct", _HLL_EST_ORACLE, tags=("sketch",))
+def hll_estimate_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HLL ESTIMATE itself under the hash gate.  The harmonic term
+    sum(2^-reg) is kept EXACT by scaling to integers — sum(2^(55-reg)) as
+    bigint (reg <= 55, m = 64 → max 64 * 2^55 < 2^62, no overflow) — so
+    the only float math is three scalar IEEE ops on deterministic inputs:
+    alpha*m^2 (exact literal product), times 2^55, divided by the bigint
+    harmonic sum.  The raw estimate, the scaled harmonic sum, the zero
+    register count, and the true distinct are all value-checked; accuracy
+    itself (estimate within the ~1.04/sqrt(m) band) is pinned in pytest
+    where a tolerance belongs, not in the exact gate."""
+    (orders,) = T(spark, sf_dir, "orders")
+    regs = hll_registers(spark, sf_dir)
+    s = regs.agg(
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(55 - reg AS INT))")).alias(
+            "harmonic_scaled"
+        ),
+        F.sum((F.col("reg") == 0).cast("long")).alias("n_zero_regs"),
+    )
+    truth = orders.agg(F.countDistinct("o_orderkey").alias("n_true"))
+    return s.crossJoin(truth).select(
+        F.lit(_HLL_M).cast("int").alias("m"),
+        "n_true",
+        "harmonic_scaled",
+        "n_zero_regs",
+        (
+            F.lit(_HLL_ALPHA * _HLL_M * _HLL_M)
+            * F.lit(float(1 << 55))
+            / F.col("harmonic_scaled").cast("double")
+        ).alias("estimate_raw"),
+    )

@@ -232,3 +232,20 @@ def test_incremental_dedup_subset_of_full(spark):
     full_pairs = {(min(r.a_id, r.b_id), max(r.a_id, r.b_id)) for r in full}
     for r in incr:
         assert (min(r.new_id, r.dup_of), max(r.new_id, r.dup_of)) in full_pairs
+
+
+def test_hll_estimate_accuracy(spark):
+    """The gate pins exactness of the registers/estimate; ACCURACY (the
+    ~1.04/sqrt(64) = 13% standard error band) belongs here.  Allow 3
+    sigma."""
+    (row,) = REGISTRY["hll_estimate_distinct"].fn(spark, SF_CORRECT).collect()
+    assert row.n_true > 1000  # enough keys that the asymptotics apply
+    rel_err = abs(row.estimate_raw - row.n_true) / row.n_true
+    assert rel_err < 3 * 1.04 / (64**0.5), (row.estimate_raw, row.n_true)
+
+
+def test_chi_square_sanity(spark):
+    (row,) = REGISTRY["chi_square_independence"].fn(spark, SF_SMOKE).collect()
+    assert row.chi2 >= 0.0
+    assert row.dof >= 1
+    assert row.n_cells <= (row.dof // 1 + 100)  # cells bounded: 5 types x 7 days

@@ -46,6 +46,11 @@ KNOWN_BNLJ = {
     # 1-row scalar-stats broadcasts (threshold + report assembly) — the
     # q22_global_sales_opportunity class: free BNLJ probes of one row
     "key_skew_report",
+    # 1-row broadcast of the grand total N onto the ~|types|x7 cell table
+    # (crossJoin(broadcast(n))) — same free 1-row probe class
+    "chi_square_independence",
+    # 1-row x 1-row final assembly: harmonic-sum row x true-count row
+    "hll_estimate_distinct",
 }
 
 
