@@ -87,13 +87,20 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = e0.unionAll(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
-    # one frame carrying (src, dst, out_deg): cached once, joined every round
-    edges_deg = edges.join(deg, "src").cache()
+    # one frame carrying (src, dst, out_deg): cached once, PRE-PARTITIONED
+    # on dst so every round's message aggregation reuses the partitioning —
+    # with the rank table broadcast, an iteration moves ZERO edge bytes
+    # (broadcast-join map-side, then an exchange-free HashAggregate).  The
+    # broadcast is right while the node table is small relative to the
+    # edge list (here ~16k nodes vs ~1M directed edges at sf0.1); past the
+    # broadcast threshold the same loop runs as a shuffle join co-
+    # partitioned with this edge layout.
+    edges_deg = edges.join(deg, "src").repartition("dst").cache()
 
     rank = deg.select(F.col("src").alias("node"), F.lit(_PR_SCALE).alias("pr"))
     for _ in range(_PR_ITERS):
         rank = (
-            rank.join(edges_deg, rank.node == edges_deg.src)
+            edges_deg.join(F.broadcast(rank), edges_deg.src == rank.node)
             .select(
                 F.col("dst").alias("node"),
                 F.expr("pr div out_deg").alias("contrib"),
