@@ -1048,3 +1048,166 @@ def session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("t3").isNotNull().cast("long")).alias("n_full_funnel"),
         )
     )
+
+
+_GAPFILL_ORACLE = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS n
+  FROM events GROUP BY event_type, date_trunc('hour', ts)
+),
+span AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM hourly),
+spine AS (
+  SELECT t.event_type, g.h
+  FROM (SELECT DISTINCT event_type FROM hourly) t
+  CROSS JOIN (SELECT UNNEST(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+              FROM span) g
+),
+joined AS (
+  SELECT s.event_type, s.h, hourly.n, CAST(hourly.n AS DOUBLE) AS v
+  FROM spine s LEFT JOIN hourly
+    ON hourly.event_type = s.event_type AND hourly.h = s.h
+),
+anchored AS (
+  SELECT event_type, h, n, v,
+         LAST_VALUE(v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY h
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+         LAST_VALUE(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS)
+           OVER (PARTITION BY event_type ORDER BY h
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph,
+         FIRST_VALUE(v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY h
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+         FIRST_VALUE(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS)
+           OVER (PARTITION BY event_type ORDER BY h
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh
+  FROM joined
+)
+SELECT event_type, strftime(h, '%Y-%m-%d %H:%M:%S') AS hour_s,
+       n AS n_actual,
+       CASE WHEN v IS NOT NULL THEN 0 ELSE 1 END AS is_gap,
+       CASE WHEN v IS NOT NULL THEN v
+            WHEN pv IS NULL THEN nv
+            WHEN nv IS NULL THEN pv
+            ELSE pv + (nv - pv)
+                 * (CAST(epoch_us(h) - epoch_us(ph) AS DOUBLE)
+                    / CAST(epoch_us(nh) - epoch_us(ph) AS DOUBLE))
+       END AS filled
+FROM anchored
+"""
+
+
+@query("time_gapfill_interpolate", _GAPFILL_ORACLE, tags=("events", "window"))
+def time_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series GAP FILLING with linear interpolation (the TimescaleDB
+    `time_bucket_gapfill` + `interpolate` shape): a dense (event_type ×
+    hour) spine over the observed span, LEFT-joined to the hourly counts;
+    missing cells take pv + (nv-pv)·frac between the nearest present
+    neighbors (IGNORE NULLS window anchors both directions), clamping to
+    the nearest value at series edges.  frac is an int-microsecond ratio
+    → one exact double division, so even interpolated floats hash-match.
+
+    The spine is generated, not stored — sequence() over the span — and
+    joins via an equi-key so the plan stays hash-join (no cartesian); the
+    four anchor windows share one (event_type, h) sort."""
+    from pyspark.sql import Window as W
+
+    (events,) = T(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count("*").alias("n"))
+    span = hourly.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    hours = span.select(
+        F.explode(F.expr("sequence(h0, h1, interval 1 hour)")).alias("h"),
+        F.lit(1).alias("dummy"),
+    )
+    types = hourly.select("event_type").distinct().withColumn("dummy", F.lit(1))
+    spine = types.join(hours, "dummy").drop("dummy")
+    joined = spine.join(hourly, ["event_type", "h"], "left").select(
+        "event_type", "h", "n", F.col("n").cast("double").alias("v")
+    )
+    wp = (
+        W.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    wf = (
+        W.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(0, W.unboundedFollowing)
+    )
+    hcase = F.when(F.col("v").isNotNull(), F.col("h"))
+    anchored = joined.select(
+        "event_type",
+        "h",
+        "n",
+        "v",
+        F.last("v", ignorenulls=True).over(wp).alias("pv"),
+        F.last(hcase, ignorenulls=True).over(wp).alias("ph"),
+        F.first("v", ignorenulls=True).over(wf).alias("nv"),
+        F.first(hcase, ignorenulls=True).over(wf).alias("nh"),
+    )
+    frac = F.expr(
+        "CAST(unix_micros(h) - unix_micros(ph) AS DOUBLE)"
+        " / CAST(unix_micros(nh) - unix_micros(ph) AS DOUBLE)"
+    )
+    return anchored.select(
+        "event_type",
+        fmt_ts("h", "hour_s"),
+        F.col("n").alias("n_actual"),
+        F.col("v").isNull().cast("int").alias("is_gap"),
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("pv").isNull(), F.col("nv"))
+        .when(F.col("nv").isNull(), F.col("pv"))
+        .otherwise(F.col("pv") + (F.col("nv") - F.col("pv")) * frac)
+        .alias("filled"),
+    )
+
+
+_EWMA_ORACLE = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS v
+  FROM events GROUP BY event_type, date_trunc('hour', ts)
+)
+SELECT event_type, COUNT(*) AS n_hours,
+       list_reduce(list(v ORDER BY h), (acc, x) -> 3e-1 * x + 7e-1 * acc)
+         AS ewma
+FROM hourly GROUP BY event_type
+"""
+
+
+@query("ewma_hourly_value", _EWMA_ORACLE, tags=("events", "agg"))
+def ewma_hourly_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average (alpha = 0.3) of each type's
+    hourly value series — the sequential recurrence s_t = a·x_t +
+    (1-a)·s_{t-1} that NO parallel aggregate can legally reorder, so both
+    engines evaluate it as an explicit SORTED LEFT FOLD over the
+    collected series (first element seeds the accumulator; every step is
+    two multiplies and an add on deterministic inputs → the final double
+    hash-matches).  The same fold pattern as `chi_square_independence`'s
+    statistic, here with an order-SENSITIVE recurrence — the strongest
+    form of the sequential-fold determinism trick.
+
+    Scale note: the fold runs per group after an exact hourly pre-
+    aggregation, so the array length is the series length (hours), not
+    the event count — the standard two-level shape for sequence models
+    over massive logs."""
+    (events,) = T(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(
+        (F.sum(F.round(F.col("value") * 100).cast("long")).cast("double") / 100.0).alias("v")
+    )
+    arrs = hourly.groupBy("event_type").agg(
+        F.count("*").alias("n_hours"),
+        F.expr(
+            "transform(array_sort(collect_list(struct(h, v))), s -> s.v)"
+        ).alias("vs"),
+    )
+    return arrs.select(
+        "event_type",
+        "n_hours",
+        F.expr(
+            "aggregate(slice(vs, 2, size(vs) - 1), element_at(vs, 1),"
+            " (acc, x) -> 3E-1 * x + 7E-1 * acc)"
+        ).alias("ewma"),
+    )

@@ -207,20 +207,17 @@ GROUP BY o_orderpriority
 """
 
 
-def bloom_dense_bitmap(keys_df: DataFrame, key_col: str = "k") -> list[int]:
-    """Aggregate a key set into the dense m-bit Bloom bitmap and bring it
-    to the driver as a list of (m/32) longs.
-
-    The collect is NOT a scale smell: the bitmap is O(m) — fixed 16 KB here
-    regardless of key count or data volume.  Spark's own runtime bloom
-    pruning (InjectRuntimeFilter) does exactly this dance: the filter
-    aggregate lands on the driver as a scalar-subquery result and is
-    re-shipped to every task inside the plan."""
-    rows = (
+def bloom_block_bitmap(keys_df: DataFrame, key_col: str = "k", m: int = _M_BITS) -> DataFrame:
+    """Aggregate a key set into the m-bit Bloom bitmap as a DISTRIBUTED
+    (block, bits) table — m/32 rows, built by one explode + one
+    associative `bit_or` groupBy that partial-aggregates map-side.  The
+    table never touches the driver: the probe broadcasts it (a hash map
+    of at most m/32 longs per executor)."""
+    return (
         keys_df.select(F.col(key_col).alias("k"))
         .select(
             F.explode(
-                F.array(*[F.expr(_spark_pos(i)) for i in range(1, _K + 1)])
+                F.array(*[F.expr(_spark_pos(i, "k", m)) for i in range(1, _K + 1)])
             ).alias("p")
         )
         .select(
@@ -229,34 +226,48 @@ def bloom_dense_bitmap(keys_df: DataFrame, key_col: str = "k") -> list[int]:
         )
         .groupBy("block")
         .agg(F.expr("bit_or(bv)").alias("bits"))
-        .collect()
     )
-    dense = [0] * (_M_BITS // 32)
-    for r in rows:
-        dense[r["block"]] = r["bits"]
-    return dense
 
 
-def bloom_prefilter(df: DataFrame, key: str, dense: list[int]) -> DataFrame:
+def bloom_prefilter(
+    df: DataFrame, key: str, filt: DataFrame, m: int = _M_BITS
+) -> DataFrame:
     """Map-side Bloom prefilter: keep the rows whose `key` has ALL k bits
-    set in the dense bitmap — one boolean expression per row, no explode,
-    no shuffle, and (critically) no per-row identity needed: each input
-    row passes or fails independently, so duplicate rows survive as
-    duplicates."""
+    set in the bitmap — k BROADCAST hash joins on the block id (one per
+    hash function), then one boolean conjunction.  No shuffle of the fact
+    side, no explode, and (critically) no per-row identity needed: each
+    input row passes or fails independently, so duplicate rows survive as
+    duplicates.
+
+    Why joins and not a bitmap literal: a large constant has no cheap
+    random access in SQL expressions — `lit(list)` builds a CreateArray
+    whose m/32 child expressions evaluate PER ROW, and probing a hex
+    string with substr() is O(position) per access (UTF8 char counting);
+    both measured minutes over the 10x fact table where the broadcast
+    probe takes seconds.  A broadcast hash lookup is O(1) per row and is
+    exactly how Spark's own runtime bloom pruning ships its filter."""
     from functools import reduce
 
-    bf, cols = "_bf__", df.columns
-    staged = df.withColumn(bf, F.lit(dense)).select(
+    cols = df.columns
+    staged = df.select(
         *cols,
-        bf,
         *[
-            F.expr(_spark_pos(i, key)).alias(f"_bp{i}__")
+            F.expr(_spark_pos(i, key, m)).alias(f"_bp{i}__")
             for i in range(1, _K + 1)
         ],
     )
+    for i in range(1, _K + 1):
+        fi = F.broadcast(
+            filt.select(
+                F.col("block").alias(f"_blk{i}__"), F.col("bits").alias(f"_bits{i}__")
+            )
+        )
+        staged = staged.join(
+            fi, F.expr(f"_bp{i}__ div 32") == F.col(f"_blk{i}__"), "left"
+        )
     tests = [
         F.expr(
-            f"((shiftright(element_at({bf}, CAST(_bp{i}__ div 32 AS INT) + 1),"
+            f"((shiftright(coalesce(_bits{i}__, CAST(0 AS BIGINT)),"
             f" CAST(_bp{i}__ % 32 AS INT)) & 1) = 1)"
         )
         for i in range(1, _K + 1)
@@ -273,10 +284,16 @@ def bloom_prefiltered_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB (only maybe-positive rows ever enter the exchange).  False
     positives survive the prefilter but are removed by the real join, so
     the result is EXACT and the oracle is simply the plain join —
-    correctness is independent of the filter's error rate.
+    correctness is independent of the filter's error rate (which is what
+    lets the filter SIZE adapt to the key count without touching the
+    oracle: ~8 bits/key, next power of two, capped at 2^24 bits = a
+    2 MB broadcast; the fixed-m build/probe queries above stay
+    oracle-pinned).  An undersized filter saturates into a no-op — the
+    10x smoke caught exactly that with the original fixed 65536 bits
+    against 750k keys, every row passing.
 
     The prefilter is ONE boolean expression per fact row (all k bit-tests
-    ANDed against the driver-collected 16 KB bitmap literal) — earlier
+    ANDed after k broadcast block lookups) — earlier
     rounds exploded k positions and re-grouped on (orderkey, price), which
     both shuffled the whole fact table before the filter and silently
     merged/dropped duplicate (orderkey, price) rows; per-row evaluation
@@ -286,9 +303,15 @@ def bloom_prefiltered_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     open_orders = orders.filter(F.col("o_orderstatus") == "O").select(
         "o_orderkey", "o_orderpriority"
     )
-    dense = bloom_dense_bitmap(open_orders.select(F.col("o_orderkey").alias("k")))
+    n_keys = open_orders.count()
+    m = _M_BITS
+    while m < 8 * n_keys and m < (1 << 24):
+        m *= 2
+    filt = bloom_block_bitmap(
+        open_orders.select(F.col("o_orderkey").alias("k")), m=m
+    )
     maybe = bloom_prefilter(
-        li.select("l_orderkey", "l_extendedprice"), "l_orderkey", dense
+        li.select("l_orderkey", "l_extendedprice"), "l_orderkey", filt, m=m
     )
     return (
         maybe.join(open_orders, maybe.l_orderkey == open_orders.o_orderkey)
@@ -301,6 +324,10 @@ def bloom_prefiltered_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+
+# ---------------------------------------------------------------------------
+# count-min sketch
+# ---------------------------------------------------------------------------
 
 _CMS_W = 256  # counter columns per hash row (small on purpose: ~1.5k keys
 _CMS_D = 4    # into 256 counters forces real collisions, so the probe

@@ -363,3 +363,37 @@ def window_time_range_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").over(w).alias("n_7d"),
         F.sum(F.round(F.col("value") * 100).cast("long")).over(w).alias("cents_7d"),
     )
+
+
+_RANK_SURFACE_ORACLE = """
+SELECT s_suppkey,
+       RANK() OVER w AS rnk,
+       DENSE_RANK() OVER w AS drnk,
+       NTILE(4) OVER w AS quartile,
+       PERCENT_RANK() OVER w AS prank,
+       CUME_DIST() OVER w AS cdist
+FROM supplier
+WINDOW w AS (ORDER BY s_acctbal DESC, s_suppkey)
+"""
+
+
+@query("window_rank_surface", _RANK_SURFACE_ORACLE, tags=("window",))
+def window_rank_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining ranking-function surface in one pass: rank,
+    dense_rank, ntile(4), percent_rank, cume_dist over one total order
+    (acctbal desc, suppkey tiebreak — the tiebreak is what makes every
+    one of these deterministic; without it ntile boundaries are
+    engine-dependent).  percent_rank and cume_dist emit doubles but are
+    int/int ratios of rank positions — one exact division each, so they
+    hash-match.  All five share a single sort: one window frame, one
+    exchange."""
+    supplier, = T(spark, sf_dir, "supplier")
+    w = W.orderBy(F.col("s_acctbal").desc(), "s_suppkey")
+    return supplier.select(
+        "s_suppkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("prank"),
+        F.cume_dist().over(w).alias("cdist"),
+    )

@@ -249,3 +249,56 @@ def test_chi_square_sanity(spark):
     assert row.chi2 >= 0.0
     assert row.dof >= 1
     assert row.n_cells <= (row.dof // 1 + 100)  # cells bounded: 5 types x 7 days
+
+
+def test_gapfill_dense_and_interpolated(spark):
+    """Gap filling: the spine is dense (|types| x |hours| rows), actual
+    cells keep their counts, gap cells get a finite interpolation."""
+    rows = REGISTRY["time_gapfill_interpolate"].fn(spark, SF_SMOKE).collect()
+    types = {r.event_type for r in rows}
+    hours = {r.hour_s for r in rows}
+    assert len(rows) == len(types) * len(hours)  # dense grid
+    for r in rows:
+        if r.is_gap == 0:
+            assert r.filled == float(r.n_actual)
+        else:
+            assert r.n_actual is None and r.filled is not None and r.filled >= 0.0
+
+
+def test_ewma_matches_sequential_python(spark):
+    """The folded EWMA must equal a plain Python left fold over the same
+    hourly series — same order, same arithmetic."""
+    import pyspark.sql.functions as F
+
+    from map_reduce485_spark.catalog import load_table
+
+    got = {
+        r.event_type: (r.n_hours, r.ewma)
+        for r in REGISTRY["ewma_hourly_value"].fn(spark, SF_SMOKE).collect()
+    }
+    hourly = (
+        load_table(spark, SF_SMOKE, "events")
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
+        .agg((F.sum(F.round(F.col("value") * 100).cast("long")).cast("double") / 100.0).alias("v"))
+        .collect()
+    )
+    series: dict = {}
+    for r in hourly:
+        series.setdefault(r.event_type, []).append((r.h, r.v))
+    for et, pts in series.items():
+        pts.sort()
+        acc = pts[0][1]
+        for _, x in pts[1:]:
+            acc = 0.3 * x + 0.7 * acc
+        assert got[et][0] == len(pts)
+        assert got[et][1] == acc, et
+
+
+def test_window_rank_surface_invariants(spark):
+    rows = REGISTRY["window_rank_surface"].fn(spark, SF_SMOKE).collect()
+    n = len(rows)
+    by_rank = sorted(rows, key=lambda r: r.rnk)
+    assert by_rank[0].prank == 0.0
+    assert max(r.cdist for r in rows) == 1.0
+    assert {r.quartile for r in rows} <= {1, 2, 3, 4}
+    assert all(1 <= r.rnk <= n for r in rows)

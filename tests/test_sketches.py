@@ -8,7 +8,7 @@ from pyspark.sql import functions as F
 
 from map_reduce485_spark.queries.sketches import (
     _K,
-    bloom_dense_bitmap,
+    bloom_block_bitmap,
     bloom_prefilter,
 )
 
@@ -18,7 +18,7 @@ def test_bloom_prefilter_keeps_duplicate_rows(spark):
     the prefilter — the explode+groupBy formulation collapsed them to one
     and then DROPPED that one (n_hits == 2k != k)."""
     keys = spark.createDataFrame([(10,), (20,)], "k bigint")
-    dense = bloom_dense_bitmap(keys)
+    dense = bloom_block_bitmap(keys)
     fact = spark.createDataFrame(
         [(10, 5.0), (10, 5.0), (10, 7.0), (20, 5.0), (99, 5.0)],
         "k bigint, price double",
@@ -33,10 +33,12 @@ def test_bloom_prefilter_keeps_duplicate_rows(spark):
 
 
 def test_bloom_prefilter_is_map_side(spark):
-    """The prefilter plan must contain no exchange/aggregate/join before
-    the filter: scan → project/filter only."""
+    """The prefilter must probe via BROADCAST hash joins only — one per
+    hash function; the fact side is never shuffled or sort-merge-joined
+    (the bitmap build's own block aggregation is the one allowed
+    exchange)."""
     keys = spark.createDataFrame([(1,), (2,), (3,)], "k bigint")
-    dense = bloom_dense_bitmap(keys)
+    dense = bloom_block_bitmap(keys)
     fact = spark.range(0, 1000).select(F.col("id").alias("k"))
     plan = (
         bloom_prefilter(fact, "k", dense)
@@ -44,15 +46,22 @@ def test_bloom_prefilter_is_map_side(spark):
         .executedPlan()
         .toString()
     )
-    for bad in ("Exchange", "Aggregate", "Join"):
+    assert plan.count("BroadcastHashJoin") == _K
+    for bad in ("SortMergeJoin", "CartesianProduct"):
         assert bad not in plan, f"prefilter plan contains {bad}:\n{plan}"
+    # the only shuffles allowed are the bitmap BUILD's block aggregation
+    # (inside the broadcast subtree) — the fact side must never shuffle
+    import re
+
+    for mt in re.finditer(r"Exchange hashpartitioning\((\w+)", plan):
+        assert mt.group(1).startswith("block"), f"fact-side shuffle:\n{plan}"
 
 
 def test_bloom_no_false_negatives_bulk(spark):
     """Every inserted key passes its own filter (the Bloom guarantee),
     checked over a few hundred keys in one pass."""
     keys = spark.range(1, 400).select(F.col("id").alias("k"))
-    dense = bloom_dense_bitmap(keys)
+    dense = bloom_block_bitmap(keys)
     n_pass = bloom_prefilter(keys, "k", dense).count()
     assert n_pass == 399
-    assert len(dense) * 32 >= _K  # sanity: bitmap sized for k hashes
+    assert dense.count() >= 1  # sanity: bitmap has set blocks

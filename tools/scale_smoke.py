@@ -53,6 +53,9 @@ _SCALE_KEYS = {
     "part": ["p_partkey"],
     "documents": ["doc_id"],
     "embeddings": ["vec_id"],
+    # 10x the user population over the same time range: sessions/funnels
+    # scale in count, not in length (the realistic growth axis)
+    "events": ["event_id", "user_id"],
 }
 _SMALL = ("region", "nation")  # fixed-size dims: copy, don't scale
 
@@ -82,10 +85,6 @@ def build(spark, mult: int) -> str:
         load_table(spark, BASE_SF, name).write.mode("overwrite").parquet(
             str(dest / f"{name}.parquet")
         )
-    # events: copy through the catalog (nanos ts already converted)
-    load_table(spark, BASE_SF, "events").write.mode("overwrite").parquet(
-        str(dest / "events.parquet")
-    )
     return str(dest)
 
 
@@ -121,9 +120,15 @@ def main() -> int:
         "dedup_minhash_lsh",
         "dedup_simhash_banded",
         "dedup_winnowing_pairs",
+        "dedup_incremental_arrivals",
         "multimodal_byte_histogram",
         "cosine_topk_bruteforce",
         "ann_ivf_pq_topk",
+        "pagerank_trade_graph",
+        "bloom_prefiltered_join",
+        "cms_estimate_counts",
+        "hll_estimate_distinct",
+        "session_funnel",
     ]
     # scan-parallelism proof on the multi-file layout
     n_parts = load_table(spark, sf_dir, "lineitem").rdd.getNumPartitions()
