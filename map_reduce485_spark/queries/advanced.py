@@ -1131,3 +1131,81 @@ def chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
             " weekday, x))), s -> s.x), CAST(0.0 AS DOUBLE), (a, v) -> a + v)"
         ).alias("chi2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# market-basket association lift
+# ---------------------------------------------------------------------------
+
+_LIFT_ORACLE = """
+WITH baskets AS (
+  SELECT DISTINCT l_orderkey AS basket, p_brand AS item
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+),
+n AS (SELECT COUNT(DISTINCT basket) AS n_baskets FROM baskets),
+item_n AS (SELECT item, COUNT(*) AS cnt FROM baskets GROUP BY item),
+pair_n AS (
+  SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS n_both
+  FROM baskets a JOIN baskets b ON a.basket = b.basket AND a.item < b.item
+  GROUP BY a.item, b.item
+)
+SELECT p.item_a, p.item_b, p.n_both,
+       CAST(p.n_both * n.n_baskets AS DOUBLE)
+         / CAST(ia.cnt * ib.cnt AS DOUBLE) AS lift
+FROM pair_n p
+JOIN item_n ia ON ia.item = p.item_a
+JOIN item_n ib ON ib.item = p.item_b
+CROSS JOIN n
+WHERE p.n_both >= 5
+"""
+
+
+@query("basket_brand_lift", _LIFT_ORACLE, tags=("advanced", "agg"))
+def basket_brand_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association mining: LIFT of brand co-purchase within
+    an order — support(a,b)·N / (support(a)·support(b)), the classic
+    recommender statistic, as exact integer ratios in one double
+    division (no log-based PMI, which would hit non-correctly-rounded
+    libm differences across engines).
+
+    Shape: distinct (basket, item) pairs self-join ON the basket key —
+    the fan-out is items-per-basket squared (~7² here, bounded by order
+    size), shuffled on the basket key once; item totals and the basket
+    count are tiny broadcast sides.  Support floor n_both >= 5 keeps the
+    output the statistically meaningful pairs."""
+    li, part = T(spark, sf_dir, "lineitem", "part")
+    baskets = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .select(F.col("l_orderkey").alias("basket"), F.col("p_brand").alias("item"))
+        .distinct()
+    )
+    n = baskets.agg(F.countDistinct("basket").alias("n_baskets"))
+    item_n = baskets.groupBy("item").agg(F.count("*").alias("cnt"))
+    a = baskets.alias("a")
+    b = baskets.alias("b")
+    pair_n = (
+        a.join(
+            b,
+            (F.col("a.basket") == F.col("b.basket"))
+            & (F.col("a.item") < F.col("b.item")),
+        )
+        .groupBy(F.col("a.item").alias("item_a"), F.col("b.item").alias("item_b"))
+        .agg(F.count("*").alias("n_both"))
+        .filter(F.col("n_both") >= 5)
+    )
+    ia = item_n.alias("ia")
+    ib = item_n.alias("ib")
+    return (
+        pair_n.join(F.broadcast(ia), F.col("item_a") == F.col("ia.item"))
+        .join(F.broadcast(ib), F.col("item_b") == F.col("ib.item"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "item_a",
+            "item_b",
+            "n_both",
+            (
+                (F.col("n_both") * F.col("n_baskets")).cast("double")
+                / (F.col("ia.cnt") * F.col("ib.cnt")).cast("double")
+            ).alias("lift"),
+        )
+    )

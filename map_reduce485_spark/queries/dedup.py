@@ -1032,3 +1032,93 @@ def dedup_incremental_arrivals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("jaccard") >= _NGRAM_THRESHOLD)
     )
+
+
+# ---------------------------------------------------------------------------
+# prefix-filtered EXACT similarity join (AllPairs/PPJoin family)
+# ---------------------------------------------------------------------------
+
+
+@query("dedup_prefix_filter_join", _NGRAM_ORACLE, tags=("dedup",))
+def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Jaccard similarity join via PREFIX FILTERING (the
+    AllPairs/PPJoin family) — the third point in the design space next to
+    the quadratic baseline and MinHash LSH: same EXACT output as
+    `dedup_ngram_jaccard` (the oracle is literally that query's SQL, and
+    a pytest pins set-equality), near-linear candidate generation like
+    LSH, but with NO recall loss — the prefix-filter lemma guarantees
+    every qualifying pair collides.
+
+    Mechanics: each doc's shingles are ranked in one GLOBAL canonical
+    order (the hash value); with threshold t, a pair at Jaccard >= t must
+    overlap in >= ceil(t*|d|) shingles, so the first
+    |d| - ceil(t*|d|) + 1 ranked shingles of each doc (its PREFIX) must
+    share at least one token with the other side's prefix (pigeonhole).
+    Candidates = prefix-token equi-join + the size filter
+    t*|a| <= |b| <= |a|/t, then exact verification.  Prefix lengths use
+    INTEGER arithmetic — n - ((n + 1) div 2) + 1 for t = 1/2 — because
+    ceil(0.5 * n) through float multiplication is off-by-one at exact
+    boundaries.
+
+    Scale: candidates shuffle on shingle hashes exactly like the LSH
+    band join, but only prefix tokens (about half the index volume at
+    t = 1/2, and the RAREST tokens first under frequency ordering — the
+    classic production refinement) ever enter the join."""
+    (docs,) = T(spark, sf_dir, "documents")
+    from pyspark.sql import Window as W
+
+    sh = _spark_shingles(docs).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    ranked = sh.join(sizes, "doc_id").select(
+        "doc_id",
+        "shingle",
+        "n",
+        F.row_number()
+        .over(W.partitionBy("doc_id").orderBy("shingle"))
+        .alias("rk"),
+    )
+    # t = _NGRAM_THRESHOLD = 0.5: prefix_len = n - ceil(n/2) + 1, all-integer
+    prefix = ranked.filter(
+        F.col("rk") <= F.col("n") - F.expr("(n + 1) div 2") + 1
+    )
+    a = prefix.alias("a")
+    b = prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # size filter: nb >= t*na and na >= t*nb  (t = 1/2, integers)
+            & (F.col("b.n") * 2 >= F.col("a.n"))
+            & (F.col("a.n") * 2 >= F.col("b.n")),
+        )
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .distinct()
+    )
+    x = sh.alias("x")
+    y = sh.alias("y")
+    verified = (
+        cand.join(x, F.col("x.doc_id") == F.col("a_id"))
+        .join(
+            y,
+            (F.col("y.doc_id") == F.col("b_id"))
+            & (F.col("y.shingle") == F.col("x.shingle")),
+        )
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("intersection"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        verified.join(sa, F.col("a_id") == F.col("sa.doc_id"))
+        .join(sb, F.col("b_id") == F.col("sb.doc_id"))
+        .select(
+            "a_id",
+            "b_id",
+            (
+                F.col("intersection").cast("double")
+                / (F.col("sa.n") + F.col("sb.n") - F.col("intersection"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= _NGRAM_THRESHOLD)
+    )

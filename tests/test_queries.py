@@ -302,3 +302,24 @@ def test_window_rank_surface_invariants(spark):
     assert max(r.cdist for r in rows) == 1.0
     assert {r.quartile for r in rows} <= {1, 2, 3, 4}
     assert all(1 <= r.rnk <= n for r in rows)
+
+
+def test_prefix_filter_join_equals_all_pairs(spark):
+    """The prefix-filtered similarity join must return EXACTLY the
+    all-pairs n-gram Jaccard result — the no-recall-loss guarantee of the
+    AllPairs/PPJoin family (LSH, by contrast, may miss pairs)."""
+    pp = {
+        (r.a_id, r.b_id): round(r.jaccard, 9)
+        for r in REGISTRY["dedup_prefix_filter_join"].fn(spark, SF_SMOKE).collect()
+    }
+    ap = {
+        (r.a_id, r.b_id): round(r.jaccard, 9)
+        for r in REGISTRY["dedup_ngram_jaccard"].fn(spark, SF_SMOKE).collect()
+    }
+    assert pp == ap and len(pp) > 0
+
+
+def test_basket_lift_sanity(spark):
+    rows = REGISTRY["basket_brand_lift"].fn(spark, SF_SMOKE).collect()
+    assert all(r.n_both >= 5 and r.lift > 0 for r in rows)
+    assert all(r.item_a < r.item_b for r in rows)

@@ -55,6 +55,9 @@ KNOWN_BNLJ = {
     # (|event types| x |hours| = 5 x 720; the hour list is the broadcast
     # side) — the constant dummy join key folds away into a BNLJ
     "time_gapfill_interpolate",
+    # 1-row broadcast of the basket grand total onto the brand-pair table
+    # — the q22_global_sales_opportunity class: free 1-row BNLJ probe
+    "basket_brand_lift",
 }
 
 
