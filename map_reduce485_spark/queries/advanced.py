@@ -1209,3 +1209,121 @@ def basket_brand_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# recursive CTE: hierarchical subtree rollup (same SQL text on both engines)
+# ---------------------------------------------------------------------------
+
+_RCTE_SQL = """
+WITH RECURSIVE walk(node, cents) AS (
+  SELECT s_suppkey AS node, CAST(ROUND(s_acctbal * 100) AS BIGINT) AS cents
+  FROM supplier
+  UNION ALL
+  SELECT CAST(FLOOR(node / 2.0) AS BIGINT), cents FROM walk WHERE node > 1
+)
+SELECT node, COUNT(*) AS n_contribs, CAST(SUM(cents) AS BIGINT) AS subtree_cents
+FROM walk GROUP BY node
+"""
+
+
+@query("recursive_subtree_rollup", _RCTE_SQL, tags=("advanced", "subquery"))
+def recursive_subtree_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE on the Spark side too (new in Spark 4): every
+    supplier's balance propagates up an implicit binary tree (parent =
+    node div 2, floor() so both engines truncate identically — a bare
+    CAST of the double division would ROUND in DuckDB and TRUNCATE in
+    Spark), then one GROUP BY turns the walk into per-node SUBTREE
+    totals — the BOM-explosion / org-rollup shape.  The oracle is the
+    IDENTICAL SQL text: the strongest SQL-surface parity statement in
+    the registry (`dedup_clusters` runs recursion only oracle-side).
+
+    Scale: each recursion step is a self-union join bounded by the
+    previous frontier; depth is log2(max key) ~ 14-24 — the iterative
+    plan Spark executes is the same loop `pagerank_trade_graph` writes
+    by hand, here fully declarative."""
+    T(spark, sf_dir, "supplier")[0].createOrReplaceTempView("supplier")
+    return spark.sql(_RCTE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# winsorized robust statistics (explicit integer order-statistic bounds)
+# ---------------------------------------------------------------------------
+
+_WINSOR_ORACLE = """
+WITH ranked AS (
+  SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS cents,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY CAST(ROUND(value * 100) AS BIGINT), event_id)
+           AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+),
+bounds AS (
+  SELECT event_type,
+         MAX(CASE WHEN rn = (n * 5 + 99) // 100 THEN cents END) AS lo,
+         MAX(CASE WHEN rn = (n * 95 + 99) // 100 THEN cents END) AS hi
+  FROM ranked GROUP BY event_type
+)
+SELECT r.event_type, b.lo AS p05_cents, b.hi AS p95_cents,
+       COUNT(*) AS n,
+       CAST(SUM(CASE WHEN r.cents < b.lo THEN b.lo
+                     WHEN r.cents > b.hi THEN b.hi
+                     ELSE r.cents END) AS DOUBLE) / COUNT(*) / 100.0
+         AS winsorized_mean
+FROM ranked r JOIN bounds b ON b.event_type = r.event_type
+GROUP BY r.event_type, b.lo, b.hi
+"""
+
+
+@query("winsorized_stats_per_type", _WINSOR_ORACLE, tags=("advanced", "agg"))
+def winsorized_stats_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (outlier-clamped) mean per event type — the robust
+    statistic a quality pipeline uses when raw means are hostage to tail
+    junk.  The p05/p95 bounds are EXPLICIT order statistics at ranks
+    ceil(0.05 n) / ceil(0.95 n) computed in integer arithmetic
+    ((n*5+99) div 100) — NOT the engines' percentile functions, whose
+    index-rounding conventions differ (`percentiles_per_type` papers
+    over that with ROUND(6); a clamp threshold cannot, because one ulp
+    of difference moves whole rows between clamped and unclamped).
+    Values clamp in integer cents, so the mean is an exact bigint sum
+    with two scalar float divisions.
+
+    One shuffle on event_type serves the rank window, the bounds
+    aggregate, and the clamped mean (co-partitioned join back)."""
+    (events,) = T(spark, sf_dir, "events")
+    ranked = events.select(
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    ).select(
+        "event_type",
+        "cents",
+        F.row_number()
+        .over(W.partitionBy("event_type").orderBy("cents", "event_id"))
+        .alias("rn"),
+        F.count("*").over(W.partitionBy("event_type")).alias("n"),
+    )
+    bounds = ranked.groupBy("event_type").agg(
+        F.max(F.when(F.col("rn") == F.expr("(n * 5 + 99) div 100"), F.col("cents"))).alias("lo"),
+        F.max(F.when(F.col("rn") == F.expr("(n * 95 + 99) div 100"), F.col("cents"))).alias("hi"),
+    )
+    clamped = ranked.join(bounds, "event_type").select(
+        "event_type",
+        "lo",
+        "hi",
+        F.when(F.col("cents") < F.col("lo"), F.col("lo"))
+        .when(F.col("cents") > F.col("hi"), F.col("hi"))
+        .otherwise(F.col("cents"))
+        .alias("w"),
+    )
+    return clamped.groupBy("event_type", "lo", "hi").agg(
+        F.count("*").alias("n"),
+        (F.sum("w").cast("double") / F.count("*") / 100.0).alias("winsorized_mean"),
+    ).select(
+        "event_type",
+        F.col("lo").alias("p05_cents"),
+        F.col("hi").alias("p95_cents"),
+        "n",
+        "winsorized_mean",
+    )

@@ -1122,3 +1122,124 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("jaccard") >= _NGRAM_THRESHOLD)
     )
+
+
+# ---------------------------------------------------------------------------
+# sorted-neighborhood blocking (the windowed-scan member of the family)
+# ---------------------------------------------------------------------------
+
+_SNM_W = 8  # neighborhood width: pairs within w-1 rank positions are compared
+
+_SNM_ORACLE = f"""
+WITH {_ORACLE_SHINGLES},
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+keyed AS (
+  SELECT doc_id, substr(text, 1, 24) AS bk FROM documents
+),
+ranked AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bk, doc_id) AS rk FROM keyed
+),
+cand AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM ranked a JOIN ranked b
+    ON b.rk - a.rk BETWEEN 1 AND {_SNM_W - 1} AND a.doc_id < b.doc_id
+  UNION
+  SELECT b.doc_id, a.doc_id
+  FROM ranked a JOIN ranked b
+    ON b.rk - a.rk BETWEEN 1 AND {_SNM_W - 1} AND b.doc_id < a.doc_id
+),
+verified AS (
+  SELECT c.a_id, c.b_id, COUNT(*) AS intersection
+  FROM cand c
+  JOIN sh x ON x.doc_id = c.a_id
+  JOIN sh y ON y.doc_id = c.b_id AND y.shingle = x.shingle
+  GROUP BY c.a_id, c.b_id
+)
+SELECT a_id, b_id,
+       CAST(intersection AS DOUBLE) / (sa.n + sb.n - intersection) AS jaccard
+FROM verified
+JOIN sizes sa ON sa.doc_id = a_id
+JOIN sizes sb ON sb.doc_id = b_id
+WHERE CAST(intersection AS DOUBLE) / (sa.n + sb.n - intersection)
+      >= {_NGRAM_THRESHOLD}
+"""
+
+
+@query("dedup_sorted_neighborhood", _SNM_ORACLE, tags=("dedup",))
+def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SORTED-NEIGHBORHOOD blocking (Hernandez/Stolfo) — the fourth
+    candidate-generation strategy in the dedup family, next to all-pairs
+    (exact, quadratic), LSH (probabilistic recall), and prefix filtering
+    (exact recall, token join): sort the corpus once by a blocking key
+    (first 24 chars here) and compare only records within a fixed window
+    of w={_SNM_W} rank positions.  Candidates are LINEAR in corpus size
+    (w-1 per record) with DETERMINISTIC recall limits — near-dups whose
+    keys sort far apart are missed by design, which is the documented
+    trade (production systems run multiple passes with different keys).
+    Survivors verify with exact Jaccard, so emitted pairs are exact.
+
+    The window self-join is expressed as an EQUI-join on rank div w
+    buckets (each record lands in its bucket and the previous one, so any
+    pair within w-1 positions shares a bucket) — hash join, no band BNLJ;
+    the distance predicate then trims to the true neighborhood.  Scale
+    path for the global rank: range-partitioned sort (Spark's global
+    orderBy), rank = partition offset + local row_number."""
+    (docs,) = T(spark, sf_dir, "documents")
+    from pyspark.sql import Window as W
+
+    ranked = docs.select(
+        "doc_id", F.substring("text", 1, 24).alias("bk")
+    ).select(
+        "doc_id",
+        F.row_number().over(W.orderBy("bk", "doc_id")).alias("rk"),
+    )
+    tagged = ranked.select(
+        "doc_id",
+        "rk",
+        F.explode(
+            F.array(F.expr(f"rk div {_SNM_W}"), F.expr(f"rk div {_SNM_W} - 1"))
+        ).alias("bucket"),
+    )
+    a = tagged.alias("a")
+    b = tagged.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("b.rk") - F.col("a.rk")).between(1, _SNM_W - 1),
+        )
+        .select(
+            F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("a_id"),
+            F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("b_id"),
+        )
+        .distinct()
+    )
+    sh = _spark_shingles(docs).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    x = sh.alias("x")
+    y = sh.alias("y")
+    verified = (
+        cand.join(x, F.col("x.doc_id") == F.col("a_id"))
+        .join(
+            y,
+            (F.col("y.doc_id") == F.col("b_id"))
+            & (F.col("y.shingle") == F.col("x.shingle")),
+        )
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("intersection"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        verified.join(sa, F.col("a_id") == F.col("sa.doc_id"))
+        .join(sb, F.col("b_id") == F.col("sb.doc_id"))
+        .select(
+            "a_id",
+            "b_id",
+            (
+                F.col("intersection").cast("double")
+                / (F.col("sa.n") + F.col("sb.n") - F.col("intersection"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= _NGRAM_THRESHOLD)
+    )

@@ -512,3 +512,76 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("change")
     )
     return d.groupBy("change").agg(F.count("*").alias("n_rows"))
+
+
+_SCD2_ORACLE = """
+WITH v1 AS (
+  SELECT s_suppkey, CAST(ROUND(s_acctbal * 100) AS BIGINT) AS c1
+  FROM supplier WHERE s_suppkey % 2 = 0
+),
+v2 AS (
+  SELECT s_suppkey,
+         CAST(ROUND(CASE WHEN s_suppkey % 2 = 0 THEN s_acctbal * 2
+                         ELSE s_acctbal END * 100) AS BIGINT) AS c2
+  FROM supplier
+)
+SELECT v1.s_suppkey, v1.c1 AS bal_cents,
+       CAST(1 AS BIGINT) AS version_start,
+       CAST(2 AS BIGINT) AS version_end,
+       0 AS is_current
+FROM v1 JOIN v2 ON v1.s_suppkey = v2.s_suppkey AND v1.c1 <> v2.c2
+UNION ALL
+SELECT v2.s_suppkey, v2.c2,
+       CAST(CASE WHEN v1.s_suppkey IS NULL OR v1.c1 <> v2.c2 THEN 2 ELSE 1 END
+            AS BIGINT),
+       CAST(NULL AS BIGINT),
+       1
+FROM v2 LEFT JOIN v1 ON v1.s_suppkey = v2.s_suppkey
+"""
+
+
+@query("scd2_dimension_build", _SCD2_ORACLE, tags=("sources", "etl"))
+def scd2_dimension_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension TYPE 2 derivation from the v1/v2
+    snapshots (`_versions_base`): changed keys get a CLOSED row
+    (version_start=1, version_end=2, is_current=0) plus a new current
+    row; inserted keys get a current row starting at v2; unchanged keys
+    (possible when a balance is exactly 0 — doubling changes nothing)
+    keep ONE current row starting at v1.  This is the dimension-table
+    maintenance pattern every warehouse ETL runs; `snapshot_diff` is its
+    change-feed sibling, this materializes the full validity-interval
+    history.  Values compare in integer cents so change detection is
+    exact; one full-outer-shaped join on the key carries the shuffle."""
+    base = _versions_base(spark, sf_dir)
+    v1 = spark.read.parquet(str(base / "v1")).select(
+        F.col("s_suppkey").alias("k1"),
+        F.round(F.col("s_acctbal") * 100).cast("long").alias("c1"),
+    )
+    v2 = spark.read.parquet(str(base / "v2")).select(
+        F.col("s_suppkey").alias("k2"),
+        F.round(F.col("s_acctbal") * 100).cast("long").alias("c2"),
+    )
+    closed = (
+        v1.join(v2, (F.col("k1") == F.col("k2")) & (F.col("c1") != F.col("c2")))
+        .select(
+            F.col("k1").alias("s_suppkey"),
+            F.col("c1").alias("bal_cents"),
+            F.lit(1).cast("long").alias("version_start"),
+            F.lit(2).cast("long").alias("version_end"),
+            F.lit(0).cast("int").alias("is_current"),
+        )
+    )
+    current = (
+        v2.join(v1, F.col("k1") == F.col("k2"), "left")
+        .select(
+            F.col("k2").alias("s_suppkey"),
+            F.col("c2").alias("bal_cents"),
+            F.when(F.col("k1").isNull() | (F.col("c1") != F.col("c2")), 2)
+            .otherwise(1)
+            .cast("long")
+            .alias("version_start"),
+            F.lit(None).cast("long").alias("version_end"),
+            F.lit(1).cast("int").alias("is_current"),
+        )
+    )
+    return closed.unionAll(current)

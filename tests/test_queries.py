@@ -323,3 +323,61 @@ def test_basket_lift_sanity(spark):
     rows = REGISTRY["basket_brand_lift"].fn(spark, SF_SMOKE).collect()
     assert all(r.n_both >= 5 and r.lift > 0 for r in rows)
     assert all(r.item_a < r.item_b for r in rows)
+
+
+def test_sorted_neighborhood_subset_of_all_pairs(spark):
+    """SNM candidates are recall-limited by design: every emitted pair
+    must exist in the all-pairs result with the identical jaccard."""
+    snm = {
+        (r.a_id, r.b_id): round(r.jaccard, 9)
+        for r in REGISTRY["dedup_sorted_neighborhood"].fn(spark, SF_SMOKE).collect()
+    }
+    ap = {
+        (r.a_id, r.b_id): round(r.jaccard, 9)
+        for r in REGISTRY["dedup_ngram_jaccard"].fn(spark, SF_SMOKE).collect()
+    }
+    assert len(snm) > 0
+    assert all(ap.get(k) == v for k, v in snm.items())
+
+
+def test_scd2_invariants(spark):
+    """Every key has exactly one current row; closed rows only for keys
+    whose value actually changed; validity intervals are well-formed."""
+    rows = REGISTRY["scd2_dimension_build"].fn(spark, SF_SMOKE).collect()
+    current = [r for r in rows if r.is_current == 1]
+    closed = [r for r in rows if r.is_current == 0]
+    assert len({r.s_suppkey for r in current}) == len(current)  # one current/key
+    closed_keys = {r.s_suppkey for r in closed}
+    for r in closed:
+        assert r.version_start == 1 and r.version_end == 2
+    for r in current:
+        assert r.version_end is None
+        if r.s_suppkey in closed_keys:
+            assert r.version_start == 2
+
+
+def test_recursive_rollup_root_holds_total(spark):
+    """Node 1 accumulates every supplier with key >= 1 (key 0 is its own
+    root: floor(0/2) never reaches 1 — found the hard way: suppkeys start
+    at 0 in this dataset)."""
+    from pyspark.sql import functions as F
+
+    from map_reduce485_spark.catalog import load_table
+
+    rows = {r.node: r.subtree_cents for r in
+            REGISTRY["recursive_subtree_rollup"].fn(spark, SF_SMOKE).collect()}
+    sup = load_table(spark, SF_SMOKE, "supplier").select(
+        "s_suppkey", F.round(F.col("s_acctbal") * 100).cast("long").alias("c")
+    ).collect()
+    assert rows[1] == sum(r.c for r in sup if r.s_suppkey >= 1)
+    zero = [r.c for r in sup if r.s_suppkey == 0]
+    if zero:
+        assert rows[0] == zero[0]
+
+
+def test_winsorized_mean_bounded(spark):
+    """The winsorized mean lies within [p05, p95] and the bounds are
+    genuine order statistics (lo <= hi, both present in the data range)."""
+    for r in REGISTRY["winsorized_stats_per_type"].fn(spark, SF_SMOKE).collect():
+        assert r.p05_cents <= r.p95_cents
+        assert r.p05_cents / 100.0 <= r.winsorized_mean <= r.p95_cents / 100.0
