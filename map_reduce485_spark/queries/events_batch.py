@@ -1211,3 +1211,55 @@ def ewma_hourly_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             " (acc, x) -> 3E-1 * x + 7E-1 * acc)"
         ).alias("ewma"),
     )
+
+
+_STREAM_JOIN_ORACLE = """
+SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
+       strftime(v.ts, '%Y-%m-%d %H:%M:%S') AS view_ts,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+       p.value AS purchase_value
+FROM events v JOIN events p
+  ON p.user_id = v.user_id
+ AND v.event_type = 'view' AND p.event_type = 'purchase'
+ AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+"""
+
+
+@query(
+    "streaming_interval_join_gate", _STREAM_JOIN_ORACLE, tags=("events", "streaming")
+)
+def streaming_interval_join_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM join under the hash gate — the last streaming
+    operator class that lived only in pytest twins: both sides of the
+    view→purchase attribution join are file-source STREAMS over the same
+    landing dir, drained two files per micro-batch, so purchases buffered
+    in join state in EARLY batches must match views arriving BATCHES
+    LATER (and vice versa) — the cross-batch buffered-state behavior
+    that makes stream-stream joins stateful.  Append-mode output is a
+    pure function of the event multiset (each qualifying pair emitted
+    exactly once), so it hash-matches the batch interval-join oracle
+    (`interval_join_attribution` is the batch twin under the gate since
+    r4; this gates the STREAMING execution of the same join).
+
+    Test watermark is effectively infinite for the same reason as the
+    other gates (randomly-partitioned landing files would otherwise drop
+    legitimately-late rows); production uses the real 2 h horizon, which
+    bounds both buffers."""
+    from map_reduce485_spark.streaming.jobs import (
+        read_events_stream,
+        run_to_memory_sink,
+        stream_view_purchase_join,
+    )
+
+    (events,) = T(spark, sf_dir, "events")
+    landing = _land_events(events, sf_dir)
+    src_v = read_events_stream(spark, landing, max_files_per_trigger=2)
+    src_p = read_events_stream(spark, landing, max_files_per_trigger=2)
+    joined = stream_view_purchase_join(
+        src_v.filter(F.col("event_type") == "view"),
+        src_p.filter(F.col("event_type") == "purchase"),
+        watermark="3650 days",
+    )
+    name = f"stream_gate_ss_join_{landing.rsplit('_', 1)[-1]}"
+    run_to_memory_sink(joined, name, mode="append")
+    return spark.table(name)

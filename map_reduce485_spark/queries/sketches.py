@@ -606,3 +606,80 @@ def hll_estimate_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("harmonic_scaled").cast("double")
         ).alias("estimate_raw"),
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values / bottom-k) sketch
+# ---------------------------------------------------------------------------
+
+_KMV_K = 64
+
+_KMV_ORACLE = f"""
+WITH keys AS (SELECT DISTINCT o_orderkey AS k FROM orders),
+hashed AS (
+  SELECT k, md5(CAST(k AS VARCHAR)) AS h,
+         CAST('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 15) AS BIGINT) AS hv
+  FROM keys
+),
+bottom AS (
+  SELECT h, hv FROM hashed ORDER BY h, k LIMIT {_KMV_K}
+),
+agg AS (
+  SELECT MAX(hv) AS kth_hv,
+         md5(string_agg(h, ',' ORDER BY h)) AS sample_digest
+  FROM bottom
+),
+truth AS (SELECT COUNT(*) AS n_true FROM keys)
+SELECT {_KMV_K} AS k, truth.n_true,
+       agg.kth_hv,
+       agg.sample_digest,
+       ({_KMV_K} - 1) / (CAST(agg.kth_hv AS DOUBLE) / {float(1 << 60)!r})
+         AS estimate
+FROM agg, truth
+"""
+
+
+@query("kmv_distinct_estimate", _KMV_ORACLE, tags=("sketch",))
+def kmv_distinct_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The THIRD deterministic cardinality machine, completing the sketch
+    shelf (Bloom: membership; CMS: frequency; HLL: cardinality via
+    register maxima; KMV: cardinality via order statistics): keep the k
+    MINIMUM hash values of the key set; if the k-th smallest uniform
+    hash sits at fraction u of the hash space, about k/u keys exist —
+    the estimator (k-1)/u is unbiased (Bar-Yossef et al. 2002).
+
+    Everything is hash-gated: the k-th hash value itself, an md5 digest
+    of the entire bottom-k sample (pinning every member), and the
+    estimate (one double division of deterministic ints).  The bottom-k
+    is `ORDER BY hash LIMIT k` = TakeOrderedAndProject: per-partition
+    top-k then a k-row merge — the mergeable-sketch property (union =
+    bottom-k of the union) IS Spark's top-k execution strategy.  Unlike
+    HLL, KMV also yields a uniform SAMPLE of the keys as a byproduct —
+    the sketch to pick when you need both."""
+    (orders,) = T(spark, sf_dir, "orders")
+    keys = orders.select(F.col("o_orderkey").alias("k")).distinct()
+    hashed = keys.select(
+        "k",
+        F.md5(F.col("k").cast("string")).alias("h"),
+        F.expr(
+            "CAST(conv(substring(md5(CAST(k AS STRING)), 1, 15), 16, 10) AS BIGINT)"
+        ).alias("hv"),
+    )
+    bottom = hashed.orderBy("h", "k").limit(_KMV_K).select("h", "hv")
+    agg = bottom.agg(
+        F.max("hv").alias("kth_hv"),
+        F.md5(F.concat_ws(",", F.sort_array(F.collect_list("h")))).alias(
+            "sample_digest"
+        ),
+    )
+    truth = keys.agg(F.count("*").alias("n_true"))
+    return agg.crossJoin(truth).select(
+        F.lit(_KMV_K).cast("int").alias("k"),
+        "n_true",
+        "kth_hv",
+        "sample_digest",
+        (
+            F.lit(float(_KMV_K - 1))
+            / (F.col("kth_hv").cast("double") / F.lit(float(1 << 60)))
+        ).alias("estimate"),
+    )

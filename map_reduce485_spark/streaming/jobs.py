@@ -261,7 +261,10 @@ def stream_session_ttl(
 
 
 def stream_view_purchase_join(
-    views: DataFrame, purchases: DataFrame, horizon: str = "1 hour"
+    views: DataFrame,
+    purchases: DataFrame,
+    horizon: str = "1 hour",
+    watermark: str = "2 hours",
 ) -> DataFrame:
     """Stream-stream interval join: each view joined to the same user's
     purchases within the next hour.
@@ -274,7 +277,7 @@ def stream_view_purchase_join(
     reason).  Batch twin: the same join expression on static DataFrames.
     """
     v = (
-        views.withWatermark("ts", "2 hours")
+        views.withWatermark("ts", watermark)
         .select(
             F.col("user_id").alias("v_user"),
             F.col("event_id").alias("view_id"),
@@ -282,7 +285,7 @@ def stream_view_purchase_join(
         )
     )
     p = (
-        purchases.withWatermark("ts", "2 hours")
+        purchases.withWatermark("ts", watermark)
         .select(
             F.col("user_id").alias("p_user"),
             F.col("event_id").alias("purchase_id"),

@@ -381,3 +381,11 @@ def test_winsorized_mean_bounded(spark):
     for r in REGISTRY["winsorized_stats_per_type"].fn(spark, SF_SMOKE).collect():
         assert r.p05_cents <= r.p95_cents
         assert r.p05_cents / 100.0 <= r.winsorized_mean <= r.p95_cents / 100.0
+
+
+def test_kmv_estimate_accuracy(spark):
+    """KMV accuracy: relative error ~1/sqrt(k-1); allow 3 sigma."""
+    (row,) = REGISTRY["kmv_distinct_estimate"].fn(spark, SF_CORRECT).collect()
+    assert row.n_true > 1000
+    rel = abs(row.estimate - row.n_true) / row.n_true
+    assert rel < 3.0 / (row.k - 1) ** 0.5, (row.estimate, row.n_true)

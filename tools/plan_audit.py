@@ -51,6 +51,8 @@ KNOWN_BNLJ = {
     "chi_square_independence",
     # 1-row x 1-row final assembly: harmonic-sum row x true-count row
     "hll_estimate_distinct",
+    # same class: bottom-k aggregate row x true-count row
+    "kmv_distinct_estimate",
     # dense-spine generation IS a deliberate small x small cross product
     # (|event types| x |hours| = 5 x 720; the hour list is the broadcast
     # side) — the constant dummy join key folds away into a BNLJ
