@@ -300,3 +300,39 @@ def nested_collect_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_items"),
         F.sum(F.round(F.col("it.l_quantity") * 100).cast("long")).alias("qty_cents"),
     ).select("l_orderkey", "n_items", "first_ln", "last_ln", "qty_cents")
+
+
+_MODERN_SQL = """
+SELECT event_type,
+       strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events
+GROUP BY ALL
+"""
+
+
+@query("modern_sql_group_by_all", _MODERN_SQL, tags=("functions", "sql"))
+def modern_sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modern-SQL surface parity: ``GROUP BY ALL`` (group on every
+    non-aggregate select item — the DuckDB-originated convenience Spark
+    adopted in 3.4) runs as the IDENTICAL SQL text on both engines,
+    like `recursive_subtree_rollup`.  Spark-side caveat folded in:
+    Spark has no `strftime`, so the one non-portable scalar is aliased
+    through `date_format` in a view-level projection before the shared
+    text would run — instead the whole statement is expressed with
+    per-engine date formatting but the SAME grouping semantics, and the
+    gate hash-checks they agree."""
+    (events,) = T(spark, sf_dir, "events")
+    events.createOrReplaceTempView("events")
+    return spark.sql(
+        """
+        SELECT event_type,
+               date_format(date_trunc('day', ts), 'yyyy-MM-dd') AS day,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                 AS value_cents
+        FROM events
+        GROUP BY ALL
+        """
+    )
