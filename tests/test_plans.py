@@ -266,3 +266,43 @@ def test_join_strategy_hints_honored(spark):
         orders.hint("merge"), lineitem.l_orderkey == orders.o_orderkey
     )
     assert "SortMergeJoin" in explain_str(smj, "simple")
+
+
+def test_pagerank_iterations_broadcast_ranks(spark):
+    """Every PageRank round must broadcast-join the rank table against the
+    cached edges — a sort-merge join would shuffle the edge list once per
+    iteration (5x the edge volume in exchanges)."""
+    plan = _q(spark, "pagerank_trade_graph")._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 5  # one per iteration
+    # the only allowed shuffle join is the ONE cached edges⋈degrees build
+    # (textually inlined under every iteration's broadcast subtree, so it
+    # may appear repeatedly — but always keyed on src, never on node)
+    for line in plan.splitlines():
+        if "SortMergeJoin" in line:
+            assert "[src#" in line, f"rank-side shuffle join: {line.strip()}"
+
+
+def test_prefix_filter_join_no_cartesian(spark):
+    """Prefix filtering must generate candidates through the shingle
+    equi-join — never an all-pairs product."""
+    plan = _q(spark, "dedup_prefix_filter_join")._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_session_funnel_reuses_partitioning(spark):
+    """The three funnel stages group and join on the same (user_id, sid)
+    key: AQE must REUSE the stage exchanges instead of re-shuffling per
+    stage (ReusedExchange nodes in the final adaptive plan are the
+    witness)."""
+    df = _q(spark, "session_funnel")
+    df.collect()  # AQE: reuse is visible only in the final plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ReusedExchange") >= 3
+
+
+def test_data_quality_audit_anti_joins_broadcast(spark):
+    """Referential orphan checks must broadcast the dimension key column,
+    not shuffle the fact table."""
+    plan = _q(spark, "data_quality_audit")._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
