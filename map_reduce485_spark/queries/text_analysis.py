@@ -1168,3 +1168,68 @@ def sensitive_term_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("masked_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# batching efficiency: padding waste by length bucket
+# ---------------------------------------------------------------------------
+
+_PADDING_ORACLE = """
+WITH toks AS (
+  SELECT doc_id,
+         len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens
+  FROM documents
+),
+bucketed AS (
+  SELECT doc_id, n_tokens,
+         CAST(CASE WHEN n_tokens <= 1 THEN 0
+              ELSE len(bin(CAST(n_tokens - 1 AS BIGINT))) END AS BIGINT)
+           AS bucket
+  FROM toks
+)
+SELECT bucket,
+       CAST(POWER(2, bucket) AS BIGINT) AS bucket_cap,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+       CAST(MAX(n_tokens) AS BIGINT) AS max_tokens,
+       CAST(COUNT(*) * MAX(n_tokens) - SUM(n_tokens) AS BIGINT)
+         AS waste_tokens,
+       CAST(COUNT(*) * MAX(n_tokens) - SUM(n_tokens) AS DOUBLE)
+         / (COUNT(*) * MAX(n_tokens)) AS waste_pct
+FROM bucketed GROUP BY bucket
+"""
+
+
+@query("padding_waste_report", _PADDING_ORACLE, tags=("text", "etl"))
+def padding_waste_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batching-efficiency report: docs grouped into power-of-two length
+    buckets (bucket = ceil(log2(n_tokens)), computed as the BIT LENGTH of
+    n_tokens - 1 — pure integer logic, no float log2), with the padding
+    waste a pad-to-longest batcher pays inside each bucket: n·max − Σlen
+    tokens and its fraction.  This is the number that justifies
+    length-bucketed batching in a training pipeline (`pack_sequences` is
+    the alternative strategy; this query quantifies what bucketing alone
+    leaves on the table).  One scan, one small aggregate."""
+    (docs,) = T(spark, sf_dir, "documents")
+    bucketed = docs.select(
+        F.size(F.expr("filter(split(text, ' '), x -> x <> '')")).alias("n_tokens")
+    ).select(
+        "n_tokens",
+        F.expr(
+            "CAST(CASE WHEN n_tokens <= 1 THEN 0"
+            " ELSE length(bin(CAST(n_tokens - 1 AS BIGINT))) END AS BIGINT)"
+        ).alias("bucket"),
+    )
+    return bucketed.groupBy("bucket").agg(
+        F.expr("CAST(POWER(2, bucket) AS BIGINT)").alias("bucket_cap"),
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("sum_tokens"),
+        F.max("n_tokens").cast("long").alias("max_tokens"),
+        (F.count("*") * F.max("n_tokens") - F.sum("n_tokens"))
+        .cast("long")
+        .alias("waste_tokens"),
+        (
+            (F.count("*") * F.max("n_tokens") - F.sum("n_tokens")).cast("double")
+            / (F.count("*") * F.max("n_tokens"))
+        ).alias("waste_pct"),
+    )
