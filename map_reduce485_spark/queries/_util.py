@@ -17,6 +17,62 @@ def T(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
     return [load_table(spark, sf_dir, n) for n in names]
 
 
+# DataFrames cached by query builders in this process, awaiting release.
+# Query-scoped caches can't unpersist inside the builder (the caller hasn't
+# collected the returned plan yet), so multi-query sessions — the driver gate,
+# verify_local, plan_audit, bench, pytest — call release_scoped_caches()
+# BETWEEN queries instead (round-4 verdict item 7: a 187-query session must
+# not accumulate executor storage).
+_SCOPED_CACHES: list[DataFrame] = []
+
+
+def _plan_is_cached(df: DataFrame) -> bool:
+    """True if df's ANALYZED PLAN is in the session CacheManager.
+
+    ``df.is_cached`` only remembers whether .cache() was called on this very
+    Python object; a rebuilt identical plan reports False even though Spark
+    would (a) serve it from the existing cache and (b) log "Asked to cache
+    already cached data" if cached again.  The CacheManager lookup answers
+    the real question.
+    """
+    try:
+        cm = df.sparkSession._jsparkSession.sharedState().cacheManager()
+        return cm.lookupCachedData(df._jdf).isDefined()
+    except Exception:  # Connect mode / API drift — fall back, worst case re-cache
+        return df.is_cached
+
+
+def cache_scoped(df: DataFrame) -> DataFrame:
+    """Cache ``df`` for intra-query reuse and register it for later release.
+
+    Idempotent per plan: re-invoking a query in one session finds the plan
+    already cached (CacheManager lookup) and neither re-caches nor re-logs —
+    execution still uses the existing cache because Spark substitutes cached
+    plans at analysis time regardless of which DataFrame object built them.
+    """
+    if not _plan_is_cached(df):
+        df.cache()
+        _SCOPED_CACHES.append(df)
+    return df
+
+
+def release_scoped_caches() -> int:
+    """Unpersist every query-scoped cache registered since the last release.
+
+    Returns the number released.  Blocking=False: eviction proceeds async so
+    the next query isn't stalled behind storage cleanup.
+    """
+    n = 0
+    while _SCOPED_CACHES:
+        df = _SCOPED_CACHES.pop()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:  # session already stopped — nothing to release
+            pass
+    return n
+
+
 def dsum(expr: str, alias: str, scale: int = 2, precision: int = 24) -> Column:
     """Exact, order-independent SUM of a double expression, surfaced as DOUBLE.
 

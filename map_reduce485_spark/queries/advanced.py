@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from map_reduce485_spark.queries import query
-from map_reduce485_spark.queries._util import T, dsum, fmt_ts, oracle_dsum
+from map_reduce485_spark.queries._util import T, cache_scoped, dsum, fmt_ts, oracle_dsum
 
 # ---------------------------------------------------------------------------
 # as-of join
@@ -1024,7 +1024,8 @@ def data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("rows"),
         F.sum(((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)).cast("long")).alias("qty_bad"),
         F.sum((F.col("l_extendedprice") < 0).cast("long")).alias("neg_price"),
-    ).cache()
+    )
+    li_counts = cache_scoped(li_counts)
     li_orphan = (
         lineitem.join(
             orders.select("o_orderkey"),
@@ -1035,7 +1036,8 @@ def data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust_counts = customer.agg(
         F.count("*").alias("rows"),
         F.sum(F.col("c_name").isNull().cast("long")).alias("null_name"),
-    ).cache()
+    )
+    cust_counts = cache_scoped(cust_counts)
     parts = [
         one("orders_rows", orders_agg),
         one("orders_orphan_custkey", orphan_cust),

@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from map_reduce485_spark.queries import query
-from map_reduce485_spark.queries._util import T
+from map_reduce485_spark.queries._util import T, cache_scoped
 
 # ---------------------------------------------------------------------------
 # shared shingle fragments
@@ -160,8 +160,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("shingle"),
         )
-        .cache()
     )
+    sh = cache_scoped(sh)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -253,7 +253,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs stage anywhere — this is the 100 TB dedup path.
     """
     (docs,) = T(spark, sf_dir, "documents")
-    sh = _spark_shingles(docs).cache()
+    sh = cache_scoped(_spark_shingles(docs))
     sig = sh.groupBy("doc_id").agg(
         *[
             F.min(F.md5(F.concat(F.col("shingle"), F.lit(f"#{j}")))).alias(f"h{j}")
@@ -429,7 +429,7 @@ def dedup_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprint in production), never by corpus².  This is the plan that
     survives 100 TB; `dedup_simhash_pairs` is its brute-force twin for
     test-SF cross-checking."""
-    fp = simhash_fingerprints(spark, sf_dir).cache()
+    fp = cache_scoped(simhash_fingerprints(spark, sf_dir))
     chunks = None
     for c in range(4):
         ch = fp.select(
@@ -524,7 +524,8 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup_ngram_jaccard(spark, sf_dir).select("a_id", "b_id")
     edges = pairs.unionAll(
         pairs.select(F.col("b_id").alias("a_id"), F.col("a_id").alias("b_id"))
-    ).cache()
+    )
+    edges = cache_scoped(edges)
     labels = (
         edges.select(F.col("a_id").alias("id"))
         .distinct()
@@ -549,12 +550,39 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
                 ).alias("label"),
             )
-            .cache()
         )
+        step = cache_scoped(step)
         changed = step.filter(F.col("label") != F.col("old_label")).limit(1).count()
         labels = step.select("id", "label")
         if changed == 0:
             break
+    return labels.select(
+        F.col("id").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        (F.col("id") == F.col("label")).cast("int").alias("is_kept"),
+    )
+
+
+@query("dedup_clusters_star", _CLUSTERS_ORACLE, tags=("dedup", "graph"))
+def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components by alternating large-star/small-star contraction
+    — the bounded-rounds scale twin of `dedup_clusters`.
+
+    Min-label propagation converges in O(component diameter) join rounds:
+    perfect for near-dup families (near-cliques), pathological on chains —
+    a transitive chain of 10^6 borderline-similar docs would need 10^6
+    shuffle rounds.  The alternating-star algorithm (Kiveris et al.,
+    SoCC'14; see `operators/components.py`) converges in O(log^2 n) rounds
+    on ANY topology, so it is the form that survives adversarial cluster
+    shapes at 100 TB.  Same input pairs, same output contract, same
+    recursive-CTE oracle as `dedup_clusters`; a pytest property test pins
+    logarithmic convergence on a deliberately chained fixture where label
+    propagation's round bound would blow up.
+    """
+    from map_reduce485_spark.operators.components import star_components
+
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("a_id", "b_id")
+    labels, _rounds = star_components(pairs, "a_id", "b_id")
     return labels.select(
         F.col("id").alias("doc_id"),
         F.col("label").alias("cluster_id"),
@@ -714,7 +742,7 @@ def dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     id-sorted via least/sum/greatest — identical arithmetic on both
     engines."""
     (docs,) = T(spark, sf_dir, "documents")
-    pairs = _winnow_pairs(docs).select("a_id", "b_id").cache()
+    pairs = cache_scoped(_winnow_pairs(docs).select("a_id", "b_id"))
     deg = (
         pairs.select(F.col("a_id").alias("id"))
         .unionAll(pairs.select(F.col("b_id").alias("id")))
@@ -846,7 +874,7 @@ def minhash_estimate_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     table (what production keeps), the exact value only for the tiny
     candidate set."""
     (docs,) = T(spark, sf_dir, "documents")
-    sh = _spark_shingles(docs).cache()
+    sh = cache_scoped(_spark_shingles(docs))
     sig = sh.groupBy("doc_id").agg(
         *[
             F.min(F.md5(F.concat(F.col("shingle"), F.lit(f"#{j}")))).alias(f"h{j}")
@@ -976,7 +1004,7 @@ def dedup_incremental_arrivals(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_new"
         ),
     )
-    sh = _spark_shingles(docs).cache()
+    sh = cache_scoped(_spark_shingles(docs))
     sig = sh.groupBy("doc_id").agg(
         *[
             F.min(F.md5(F.concat(F.col("shingle"), F.lit(f"#{j}")))).alias(f"h{j}")
@@ -1067,7 +1095,7 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs,) = T(spark, sf_dir, "documents")
     from pyspark.sql import Window as W
 
-    sh = _spark_shingles(docs).cache()
+    sh = cache_scoped(_spark_shingles(docs))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     ranked = sh.join(sizes, "doc_id").select(
         "doc_id",
@@ -1214,7 +1242,7 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    sh = _spark_shingles(docs).cache()
+    sh = cache_scoped(_spark_shingles(docs))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     x = sh.alias("x")
     y = sh.alias("y")

@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from map_reduce485_spark.queries import query
-from map_reduce485_spark.queries._util import T
+from map_reduce485_spark.queries._util import T, cache_scoped
 
 _PR_ITERS = 5
 _PR_SCALE = 10**12  # rank 1.0 in scaled-integer units
@@ -95,7 +95,7 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     # edge list (here ~16k nodes vs ~1M directed edges at sf0.1); past the
     # broadcast threshold the same loop runs as a shuffle join co-
     # partitioned with this edge layout.
-    edges_deg = edges.join(deg, "src").repartition("dst").cache()
+    edges_deg = cache_scoped(edges.join(deg, "src").repartition("dst"))
 
     rank = deg.select(F.col("src").alias("node"), F.lit(_PR_SCALE).alias("pr"))
     for _ in range(_PR_ITERS):

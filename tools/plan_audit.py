@@ -68,11 +68,14 @@ def audit(spark, sf: str = "/root/testdata/sf0.001") -> list[str]:
     has a CartesianProduct or an unwhitelisted BroadcastNestedLoopJoin.
     Shared by the CLI below and `tests/test_plans.py::test_plan_audit_green`
     so a red audit cannot be committed (round-3 verdict item 2)."""
+    from map_reduce485_spark.queries._util import release_scoped_caches
+
     _load_all()
     bad = []
     for name, spec in REGISTRY.items():
         try:
             txt = explain_str(spec.fn(spark, sf), "simple")
+            release_scoped_caches()
         except Exception as exc:
             bad.append(f"{name}: plan error {exc!r:.80}")
             continue

@@ -116,9 +116,12 @@ def main() -> int:
     con = open_oracle(args.sf)
 
     n_pass = n_fail = n_rows_only = 0
+    from map_reduce485_spark.queries._util import release_scoped_caches
+
     for name in names:
         t0 = time.time()
         status, detail = check_query(spark, con, REGISTRY[name], args.sf)
+        release_scoped_caches()  # 187-query session must not hoard storage
         print(f"{status:<5} {name}: {detail} ({time.time()-t0:.1f}s)")
         if status == "PASS":
             n_pass += 1
