@@ -1263,3 +1263,61 @@ def streaming_interval_join_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"stream_gate_ss_join_{landing.rsplit('_', 1)[-1]}"
     run_to_memory_sink(joined, name, mode="append")
     return spark.table(name)
+
+
+_STREAM_STATIC_ORACLE = """
+SELECT e.event_id, e.user_id, c.c_name, c.c_mktsegment,
+       strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+       e.value
+FROM events e JOIN customer c ON c.c_custkey = e.user_id
+WHERE e.event_type = 'purchase'
+"""
+
+
+@query(
+    "streaming_static_join_gate", _STREAM_STATIC_ORACLE, tags=("events", "streaming")
+)
+def streaming_static_join_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STATIC enrichment join under the hash gate — the standard
+    streaming-ETL shape the suite lacked: a micro-batched event stream
+    joined to a broadcast dimension table (customer) to append enrichment
+    columns per event.  Unlike the stream-stream interval join there is NO
+    buffered join state and no watermark: each micro-batch hash-joins
+    against the static side independently, so state stays O(dimension) no
+    matter how long the stream runs — at 100 TB/day the dimension broadcast
+    (or a compacted changelog refresh of it) is the whole memory story.
+
+    Determinism: append-mode per-row enrichment is a pure function of the
+    event multiset — batch boundaries can't change WHICH rows appear or
+    their values — so the memory-sink table hash-matches the batch join
+    oracle exactly (value rides through untouched; ts is string-formatted
+    the shared way).
+    """
+    from map_reduce485_spark.streaming.jobs import (
+        read_events_stream,
+        run_to_memory_sink,
+    )
+
+    events, customer = T(spark, sf_dir, "events", "customer")
+    landing = _land_events(events, sf_dir)
+    src = read_events_stream(spark, landing, max_files_per_trigger=2)
+    enriched = (
+        src.filter(F.col("event_type") == "purchase")
+        .join(
+            F.broadcast(
+                customer.select("c_custkey", "c_name", "c_mktsegment")
+            ),
+            F.col("user_id") == F.col("c_custkey"),
+        )
+        .select(
+            "event_id",
+            "user_id",
+            "c_name",
+            "c_mktsegment",
+            fmt_ts("ts", "ts_s"),
+            "value",
+        )
+    )
+    name = f"stream_gate_static_join_{landing.rsplit('_', 1)[-1]}"
+    run_to_memory_sink(enriched, name, mode="append")
+    return spark.table(name)

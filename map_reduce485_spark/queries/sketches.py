@@ -683,3 +683,125 @@ def kmv_distinct_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("kth_hv").cast("double") / F.lit(float(1 << 60)))
         ).alias("estimate"),
     )
+
+
+_KMV_SET_ORACLE = f"""
+WITH a_keys AS (
+  SELECT DISTINCT l_partkey AS k FROM lineitem WHERE EXTRACT(YEAR FROM l_shipdate) = 1994
+),
+b_keys AS (
+  SELECT DISTINCT l_partkey AS k FROM lineitem WHERE EXTRACT(YEAR FROM l_shipdate) = 1995
+),
+a_sk AS (
+  SELECT md5(CAST(k AS VARCHAR)) AS h,
+         CAST('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 15) AS BIGINT) AS hv
+  FROM a_keys ORDER BY 1 LIMIT {_KMV_K}
+),
+b_sk AS (
+  SELECT md5(CAST(k AS VARCHAR)) AS h,
+         CAST('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 15) AS BIGINT) AS hv
+  FROM b_keys ORDER BY 1 LIMIT {_KMV_K}
+),
+u_sk AS (
+  SELECT h, hv FROM (SELECT DISTINCT h, hv FROM (
+    SELECT * FROM a_sk UNION ALL SELECT * FROM b_sk)) ORDER BY h LIMIT {_KMV_K}
+),
+u_agg AS (
+  SELECT MAX(hv) AS kth_hv_union,
+         md5(string_agg(h, ',' ORDER BY h)) AS union_digest,
+         CAST(SUM(CAST(h IN (SELECT h FROM a_sk) AND h IN (SELECT h FROM b_sk)
+             AS BIGINT)) AS BIGINT) AS n_both
+  FROM u_sk
+),
+truth AS (
+  SELECT (SELECT COUNT(*) FROM a_keys) AS n_a,
+         (SELECT COUNT(*) FROM b_keys) AS n_b,
+         (SELECT COUNT(*) FROM (SELECT k FROM a_keys INTERSECT SELECT k FROM b_keys))
+           AS n_inter_true
+)
+SELECT {_KMV_K} AS k, truth.n_a, truth.n_b, truth.n_inter_true,
+       u_agg.kth_hv_union, u_agg.union_digest, u_agg.n_both,
+       ({_KMV_K} - 1) / (CAST(u_agg.kth_hv_union AS DOUBLE) / {float(1 << 60)!r})
+         AS union_est,
+       (CAST(u_agg.n_both AS DOUBLE) / {_KMV_K})
+         * (({_KMV_K} - 1) / (CAST(u_agg.kth_hv_union AS DOUBLE) / {float(1 << 60)!r}))
+         AS inter_est
+FROM u_agg, truth
+"""
+
+
+@query("kmv_set_ops_estimate", _KMV_SET_ORACLE, tags=("sketch",))
+def kmv_set_ops_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketches under MULTISET OPERATIONS (Beyer et al., SIGMOD'07) —
+    the property that makes bottom-k the sketch for distributed set
+    analytics: the bottom-k of a UNION is the bottom-k of the two
+    sketches' union (computable from sketches alone, never re-touching
+    the data), and the fraction rho of the union sketch present in BOTH
+    side sketches estimates Jaccard, giving |A∩B| ~= rho * |A∪B|-est.
+
+    Here A = part keys shipped in 1994, B = in 1995; both side
+    sketches, the union sketch's k-th hash, the full union-sample digest,
+    the both-membership count, and both estimates are value-checked, with
+    exact |A|, |B|, |A∩B| alongside as the accuracy witness.  Scale: each
+    side's sketch is a TakeOrderedAndProject (per-partition bottom-k then
+    a k-row merge); everything after is k-row arithmetic — two scans of
+    lineitem total, zero full-width shuffles."""
+    (lineitem,) = T(spark, sf_dir, "lineitem")
+
+    def keys(year: int) -> DataFrame:
+        return (
+            lineitem.filter(F.year("l_shipdate") == year)
+            .select(F.col("l_partkey").alias("k"))
+            .distinct()
+        )
+
+    def sketch(kdf: DataFrame) -> DataFrame:
+        return (
+            kdf.select(
+                F.md5(F.col("k").cast("string")).alias("h"),
+                F.expr(
+                    "CAST(conv(substring(md5(CAST(k AS STRING)), 1, 15), 16, 10)"
+                    " AS BIGINT)"
+                ).alias("hv"),
+            )
+            .orderBy("h")
+            .limit(_KMV_K)
+        )
+
+    a_keys, b_keys = keys(1994), keys(1995)
+    a_sk, b_sk = sketch(a_keys), sketch(b_keys)
+    u_sk = a_sk.unionAll(b_sk).distinct().orderBy("h").limit(_KMV_K)
+    u_agg = (
+        u_sk.join(a_sk.select(F.col("h").alias("ha")), u_sk.h == F.col("ha"), "left")
+        .join(b_sk.select(F.col("h").alias("hb")), u_sk.h == F.col("hb"), "left")
+        .agg(
+            F.max("hv").alias("kth_hv_union"),
+            F.md5(F.concat_ws(",", F.sort_array(F.collect_list("h")))).alias(
+                "union_digest"
+            ),
+            F.sum(
+                (F.col("ha").isNotNull() & F.col("hb").isNotNull()).cast("long")
+            ).alias("n_both"),
+        )
+    )
+    truth = (
+        a_keys.agg(F.count("*").alias("n_a"))
+        .crossJoin(b_keys.agg(F.count("*").alias("n_b")))
+        .crossJoin(
+            a_keys.join(b_keys, "k").agg(F.count("*").alias("n_inter_true"))
+        )
+    )
+    union_est = F.lit(float(_KMV_K - 1)) / (
+        F.col("kth_hv_union").cast("double") / F.lit(float(1 << 60))
+    )
+    return u_agg.crossJoin(truth).select(
+        F.lit(_KMV_K).cast("int").alias("k"),
+        "n_a",
+        "n_b",
+        "n_inter_true",
+        "kth_hv_union",
+        "union_digest",
+        "n_both",
+        union_est.alias("union_est"),
+        ((F.col("n_both").cast("double") / _KMV_K) * union_est).alias("inter_est"),
+    )
