@@ -1329,3 +1329,70 @@ def winsorized_stats_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "winsorized_mean",
     )
+
+
+_AB_TEST_ORACLE = """
+WITH cells AS (
+  SELECT EXTRACT(YEAR FROM o_orderdate) AS yr,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(o_orderpriority = '1-URGENT' AS BIGINT)) AS BIGINT) AS k
+  FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) IN (1995, 1999)
+  GROUP BY 1
+),
+ab AS (
+  SELECT MAX(CASE WHEN yr = 1995 THEN n END) AS n1,
+         MAX(CASE WHEN yr = 1995 THEN k END) AS k1,
+         MAX(CASE WHEN yr = 1999 THEN n END) AS n2,
+         MAX(CASE WHEN yr = 1999 THEN k END) AS k2
+  FROM cells
+)
+SELECT n1, k1, n2, k2,
+       CAST(k1 AS DOUBLE) / n1 AS p1,
+       CAST(k2 AS DOUBLE) / n2 AS p2,
+       (CAST(k1 AS DOUBLE) / n1 - CAST(k2 AS DOUBLE) / n2)
+         / sqrt((CAST(k1 + k2 AS DOUBLE) / (n1 + n2))
+                * (1e0 - CAST(k1 + k2 AS DOUBLE) / (n1 + n2))
+                * (1e0 / n1 + 1e0 / n2)) AS z
+FROM ab
+"""
+
+
+@query("ab_test_two_proportion", _AB_TEST_ORACLE, tags=("stats",))
+def ab_test_two_proportion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test (pooled), the experimentation-platform
+    primitive beside `chi_square_independence`: is the urgent-order rate
+    in 1995 different from 1999?  The contingency cells are exact BIGINT
+    counts from one scan; the z statistic is a fixed sequence of
+    correctly-rounded IEEE ops (divisions, one sqrt) over those integers
+    with IDENTICAL parenthesization on both engines, so the double itself
+    hash-matches — no sorted-fold needed because nothing float is ever
+    aggregated, only derived per-row at the very end.
+
+    Scale: the expensive part is the count aggregation (map-side partial,
+    two groups); the statistic is O(1) driver-free arithmetic."""
+    (orders,) = T(spark, sf_dir, "orders")
+    cells = (
+        orders.filter(F.year("o_orderdate").isin(1995, 1999))
+        .groupBy(F.year("o_orderdate").alias("yr"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum((F.col("o_orderpriority") == "1-URGENT").cast("long")).alias("k"),
+        )
+    )
+    ab = cells.agg(
+        F.max(F.when(F.col("yr") == 1995, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("yr") == 1995, F.col("k"))).alias("k1"),
+        F.max(F.when(F.col("yr") == 1999, F.col("n"))).alias("n2"),
+        F.max(F.when(F.col("yr") == 1999, F.col("k"))).alias("k2"),
+    )
+    p1 = F.col("k1").cast("double") / F.col("n1")
+    p2 = F.col("k2").cast("double") / F.col("n2")
+    pool = (F.col("k1") + F.col("k2")).cast("double") / (F.col("n1") + F.col("n2"))
+    z = (p1 - p2) / F.sqrt(
+        pool
+        * (F.lit(1.0) - pool)
+        * (F.lit(1.0) / F.col("n1") + F.lit(1.0) / F.col("n2"))
+    )
+    return ab.select(
+        "n1", "k1", "n2", "k2", p1.alias("p1"), p2.alias("p2"), z.alias("z")
+    )

@@ -1321,3 +1321,80 @@ def streaming_static_join_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"stream_gate_static_join_{landing.rsplit('_', 1)[-1]}"
     run_to_memory_sink(enriched, name, mode="append")
     return spark.table(name)
+
+
+_ANOMALY_ORACLE = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+roll AS (
+  SELECT event_type, h, c,
+         CAST(COUNT(*) OVER w AS BIGINT) AS n,
+         CAST(SUM(c) OVER w AS BIGINT) AS s,
+         CAST(SUM(c * c) OVER w AS BIGINT) AS sq
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY h
+               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, strftime(h, '%Y-%m-%d %H:%M:%S') AS h_s, c, n,
+       CAST(n * c - s AS BIGINT) AS num,
+       CAST(n * sq - s * s AS BIGINT) AS var_n2,
+       CAST(n * c - s AS DOUBLE) / sqrt(CAST(n * sq - s * s AS DOUBLE)) AS z
+FROM roll
+WHERE n >= 12
+  AND (n * c - s) * (n * c - s) > 9 * (n * sq - s * s)
+  AND n * sq - s * s > 0
+"""
+
+
+@query("anomaly_rolling_zscore", _ANOMALY_ORACLE, tags=("events", "timeseries"))
+def anomaly_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection on the hourly event-count series —
+    the monitoring-pipeline shape (spike detection against a trailing
+    baseline) made hash-exact: the trailing 24-hour mean/std live entirely
+    in INTEGER MOMENTS (n, sum, sum-of-squares over a ROWS window that
+    excludes the current hour), the |z| > 3 trigger is the exact integer
+    predicate (n*c - s)^2 > 9*(n*sq - s^2) — no float ever decides WHICH
+    rows are anomalies — and the reported z itself is two correctly-rounded
+    IEEE ops (one sqrt, one divide) on exact integers, so even the doubles
+    hash-match.
+
+    Scale: one groupBy to hourly grain (count per (type, hour) — the
+    window then runs over series length, not event count), one bounded
+    ROWS frame per series; state per partition is 25 longs."""
+    from pyspark.sql import Window as W
+
+    (events,) = T(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count("*").alias("c"))
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(-24, -1)
+    )
+    roll = hourly.select(
+        "event_type",
+        "h",
+        "c",
+        F.count("*").over(w).alias("n"),
+        F.sum("c").over(w).alias("s"),
+        F.sum(F.col("c") * F.col("c")).over(w).alias("sq"),
+    )
+    num = F.col("n") * F.col("c") - F.col("s")
+    var_n2 = F.col("n") * F.col("sq") - F.col("s") * F.col("s")
+    return (
+        roll.filter(
+            (F.col("n") >= 12) & (num * num > 9 * var_n2) & (var_n2 > 0)
+        )
+        .select(
+            "event_type",
+            fmt_ts("h", "h_s"),
+            "c",
+            "n",
+            num.cast("long").alias("num"),
+            var_n2.cast("long").alias("var_n2"),
+            (num.cast("double") / F.sqrt(var_n2.cast("double"))).alias("z"),
+        )
+    )

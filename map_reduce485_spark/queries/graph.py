@@ -115,3 +115,73 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_TOP_N)
         .select("node", F.col("pr").alias("rank_scaled"))
     )
+
+
+_BFS_LEVELS = 4
+
+
+def _oracle_bfs() -> str:
+    """Unrolled frontier-expansion CTEs — one (frontier, visited) pair per
+    level, the literal loop the Spark side runs."""
+    ctes = [
+        "e0 AS (SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst"
+        " FROM orders JOIN lineitem ON l_orderkey = o_orderkey)",
+        "edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)",
+        "v0 AS (SELECT CAST(0 AS BIGINT) AS node, 0 AS dist)",
+    ]
+    for d in range(1, _BFS_LEVELS + 1):
+        ctes.append(
+            f"f{d} AS (SELECT DISTINCT e.dst AS node FROM edges e "
+            f"JOIN v{d - 1} v ON e.src = v.node "
+            f"WHERE e.dst NOT IN (SELECT node FROM v{d - 1}))"
+        )
+        ctes.append(
+            f"v{d} AS (SELECT node, dist FROM v{d - 1} "
+            f"UNION ALL SELECT node, {d} AS dist FROM f{d})"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT node, dist FROM v{_BFS_LEVELS}"
+    )
+
+
+@query("bfs_hops_trade_graph", _oracle_bfs(), tags=("graph",))
+def bfs_hops_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breadth-first hop distance from customer 0 over the bipartite
+    customer↔supplier trade graph — the third canonical distributed-graph
+    shape beside the fixpoint (`dedup_clusters`) and the power method
+    (`pagerank_trade_graph`): level-synchronous frontier expansion, each
+    level one join (edges × frontier) + one distinct + one anti-join
+    against the visited set, exactly the Pregel superstep as DataFrame ops.
+    Fixed {_BFS_LEVELS}-level unroll so the Spark loop and the oracle's
+    chained CTEs are the same static plan; all arithmetic is integer, so
+    (node, dist) rows hash-match exactly.
+
+    Scale: the per-level shuffle is |frontier ⋈ edges| then a distinct on
+    the next frontier — never the whole graph; the visited set only ever
+    grows by reached nodes.  On a high-diameter graph swap the unroll for
+    the data-dependent loop with localCheckpoint lineage cuts, as
+    `operators/components.py` does."""
+    orders, lineitem = T(spark, sf_dir, "orders", "lineitem")
+    e0 = (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = e0.unionAll(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    visited = spark.createDataFrame([(0, 0)], "node long, dist int")
+    frontier = visited.select("node")
+    for d in range(1, _BFS_LEVELS + 1):
+        nxt = (
+            edges.join(frontier, edges.src == frontier.node)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+        )
+        visited = visited.unionAll(nxt.select("node", F.lit(d).alias("dist")))
+        frontier = nxt
+    return visited

@@ -260,3 +260,93 @@ def multimodal_audio_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="doc_id bigint, n_samples bigint, sum_squares bigint,"
         " peak bigint, rms double",
     )
+
+
+_AHASH_CTES = """
+p AS (
+  SELECT doc_id, hex(encode(text)) AS hx
+  FROM documents WHERE octet_length(encode(text)) >= 64
+),
+px AS (
+  SELECT doc_id, j,
+         (strpos('0123456789ABCDEF', substr(hx, 2 * j - 1, 1)) - 1) * 16
+           + strpos('0123456789ABCDEF', substr(hx, 2 * j, 1)) - 1 AS b
+  FROM (SELECT doc_id, hx, UNNEST(generate_series(1, 64)) AS j FROM p)
+),
+sums AS (
+  SELECT doc_id, CAST(SUM(b) AS BIGINT) AS sum64 FROM px GROUP BY doc_id
+),
+hashes AS (
+  SELECT px.doc_id, s.sum64,
+         CAST(SUM(CASE WHEN j <= 32 AND b * 64 > s.sum64
+                       THEN CAST(1 AS BIGINT) << (31 - (j - 1))
+                       ELSE 0 END) AS BIGINT) AS hash_hi,
+         CAST(SUM(CASE WHEN j > 32 AND b * 64 > s.sum64
+                       THEN CAST(1 AS BIGINT) << (31 - (j - 33))
+                       ELSE 0 END) AS BIGINT) AS hash_lo
+  FROM px JOIN sums s ON s.doc_id = px.doc_id
+  GROUP BY px.doc_id, s.sum64
+)"""
+
+
+@query(
+    "multimodal_image_ahash",
+    f"WITH {_AHASH_CTES}\nSELECT doc_id, sum64, hash_hi, hash_lo FROM hashes",
+    tags=("multimodal",),
+)
+def multimodal_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual average-hash over binary payloads — REAL vectorized hash
+    math (the third genuine-math multimodal extractor beside the byte
+    histogram and PCM RMS): the payload's first 64 bytes read as an 8x8
+    grayscale tile, each bit = pixel strictly brighter than the tile mean,
+    packed into two int32-range halves.  The brightness test stays in
+    integers (byte*64 > sum64), so engines can't disagree by a rounding
+    ulp; the oracle replays the identical bit math from the hex expansion
+    in SQL.
+
+    On real images aHash is the cheap near-dup screen (robust to resize /
+    re-encode); here the tile comes straight from payload bytes, which
+    preserves the property that BYTE-identical content gets identical
+    hashes — what `multimodal_ahash_dup_groups` exploits.  Scale: pure
+    map-side `mapInPandas` (one gather + one comparison matrix per Arrow
+    batch), no shuffle at all."""
+    from map_reduce485_spark.operators.multimodal import image_ahash
+
+    (docs,) = T(spark, sf_dir, "documents")
+    payloads = (
+        docs.select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
+        .filter(F.octet_length("payload") >= 64)
+    )
+    return payloads.mapInPandas(
+        image_ahash,
+        schema="doc_id bigint, sum64 bigint, hash_hi bigint, hash_lo bigint",
+    )
+
+
+@query(
+    "multimodal_ahash_dup_groups",
+    f"""WITH {_AHASH_CTES}
+SELECT hash_hi, hash_lo, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       MIN(doc_id) AS keep_doc, MAX(doc_id) AS last_doc
+FROM hashes GROUP BY hash_hi, hash_lo HAVING COUNT(*) > 1""",
+    tags=("multimodal", "dedup"),
+)
+def multimodal_ahash_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup screening on the perceptual hash: bucket payloads by their
+    64-bit aHash and keep buckets with > 1 member — the multimodal twin of
+    `dedup_exact` (which buckets by full-content digest).  With a real
+    image decoder in front this catches re-encoded/resized duplicates that
+    byte-level digests miss; the grouping, survivor policy (min doc_id),
+    and counts are engine-exact either way.  Scale: the shuffle carries
+    16-byte hash pairs, never payloads — same contract as the content-
+    digest dedup."""
+    ah = multimodal_image_ahash(spark, sf_dir)
+    return (
+        ah.groupBy("hash_hi", "hash_lo")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("keep_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )

@@ -1233,3 +1233,75 @@ def padding_waste_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.count("*") * F.max("n_tokens"))
         ).alias("waste_pct"),
     )
+
+
+_LM_FAMILIARITY_ORACLE = """
+WITH words AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+  FROM documents
+),
+tris AS (
+  SELECT doc_id, w[i] AS w1, w[i + 1] AS w2, w[i + 2] AS w3
+  FROM (SELECT doc_id, w, UNNEST(generate_series(1, len(w) - 2)) AS i
+        FROM words WHERE len(w) >= 3)
+),
+corpus AS (
+  SELECT w1, w2, w3, CAST(COUNT(*) AS BIGINT) AS c3 FROM tris GROUP BY 1, 2, 3
+),
+scored AS (
+  SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tri,
+         CAST(SUM(c.c3) AS BIGINT) AS fam_sum
+  FROM tris t JOIN corpus c USING (w1, w2, w3) GROUP BY t.doc_id
+)
+SELECT doc_id, n_tri, fam_sum,
+       CAST(fam_sum AS DOUBLE) / n_tri AS familiarity
+FROM scored
+"""
+
+
+@query("lm_familiarity_score", _LM_FAMILIARITY_ORACLE, tags=("text",))
+def lm_familiarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document corpus familiarity — the log-free stand-in for LM
+    perplexity scoring in a data-quality pipeline: score(doc) = mean
+    corpus frequency of the doc's trigrams (a doc full of corpus-common
+    constructions scores high; out-of-distribution text scores near 1).
+    Real perplexity sums log-probs, but libm `log` is not correctly
+    rounded and diverges across engines (the `basket_brand_lift` lesson),
+    so the score stays in exact integers — sum of corpus c3 over the
+    doc's trigram MULTISET, divided once at the end.
+
+    Scale: trigram explode is map-side; the corpus count table comes from
+    ONE shuffle over trigrams; scoring is a second join on trigram keys
+    (both sides already partitioned by them) + a per-doc aggregation.
+    Rank-filtering docs by the score is the downstream corpus-curation
+    step."""
+    (docs,) = T(spark, sf_dir, "documents")
+    tris = (
+        docs.select(
+            "doc_id", F.expr("filter(split(text, ' '), x -> x <> '')").alias("w")
+        )
+        .filter(F.size("w") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(w) - 2),"
+                    " i -> struct(element_at(w, i) AS w1,"
+                    " element_at(w, i + 1) AS w2, element_at(w, i + 2) AS w3))"
+                )
+            ).alias("t"),
+        )
+        .select("doc_id", "t.w1", "t.w2", "t.w3")
+    )
+    corpus = tris.groupBy("w1", "w2", "w3").agg(F.count("*").alias("c3"))
+    return (
+        tris.join(corpus, ["w1", "w2", "w3"])
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_tri"), F.sum("c3").alias("fam_sum"))
+        .select(
+            "doc_id",
+            "n_tri",
+            "fam_sum",
+            (F.col("fam_sum").cast("double") / F.col("n_tri")).alias("familiarity"),
+        )
+    )

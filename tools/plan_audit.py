@@ -53,6 +53,8 @@ KNOWN_BNLJ = {
     "hll_estimate_distinct",
     # same class: bottom-k aggregate row x true-count row
     "kmv_distinct_estimate",
+    # same class: union-sketch aggregate row x three 1-row exact truths
+    "kmv_set_ops_estimate",
     # dense-spine generation IS a deliberate small x small cross product
     # (|event types| x |hours| = 5 x 720; the hour list is the broadcast
     # side) — the constant dummy join key folds away into a BNLJ
