@@ -1396,3 +1396,156 @@ def ab_test_two_proportion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ab.select(
         "n1", "k1", "n2", "k2", p1.alias("p1"), p2.alias("p2"), z.alias("z")
     )
+
+
+_SKYLINE_ORACLE = """
+SELECT p.p_partkey, p.p_retailprice, p.p_size
+FROM part p
+WHERE NOT EXISTS (
+  SELECT 1 FROM part q
+  WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)
+)
+"""
+
+
+@query("skyline_price_size", _SKYLINE_ORACLE, tags=("advanced",))
+def skyline_price_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier): parts not dominated on (cheaper
+    price, larger size).  The oracle states the textbook quadratic NOT
+    EXISTS; the Spark plan is the O(n log n) sweep that survives scale —
+    dominance against ALL rows collapses to two window passes:
+
+    1. within an equal-price group only the max size can be on the
+       frontier (same price, bigger size dominates);
+    2. over distinct prices ascending, a row survives iff its group-max
+       size exceeds the running max over all STRICTLY cheaper prices
+       (ROWS frame on the distinct-price table = strict dominance).
+
+    Equal (price, size) pairs don't dominate each other (no strict
+    coordinate), so whole tied groups survive together — both engines
+    agree exactly because every comparison is on raw column values.
+    Scale: one groupBy + one bounded window over |distinct prices| +
+    one semi-join back; nothing quadratic anywhere."""
+    from pyspark.sql import Window as W
+
+    (part,) = T(spark, sf_dir, "part")
+    grp = part.groupBy("p_retailprice").agg(F.max("p_size").alias("gmax"))
+    w = W.orderBy("p_retailprice").rowsBetween(W.unboundedPreceding, -1)
+    frontier = grp.select(
+        "p_retailprice",
+        "gmax",
+        F.max("gmax").over(w).alias("rmax"),
+    ).filter(F.col("rmax").isNull() | (F.col("rmax") < F.col("gmax")))
+    return part.join(
+        frontier.select(
+            F.col("p_retailprice").alias("fp"), F.col("gmax").alias("fs")
+        ),
+        (F.col("p_retailprice") == F.col("fp")) & (F.col("p_size") == F.col("fs")),
+        "left_semi",
+    ).select("p_partkey", "p_retailprice", "p_size")
+
+
+_PCTBIN_B = 4096
+_PCTBIN_ORACLE = f"""
+WITH stats AS (
+  SELECT MIN(l_extendedprice) AS mn, MAX(l_extendedprice) AS mx,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         (MAX(l_extendedprice) - MIN(l_extendedprice)) / {_PCTBIN_B} AS width
+  FROM lineitem
+),
+binned AS (
+  SELECT LEAST(CAST(FLOOR((l_extendedprice - s.mn) / s.width) AS BIGINT),
+               {_PCTBIN_B - 1}) AS bin,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM lineitem, stats s GROUP BY 1
+),
+cum AS (
+  SELECT bin, c,
+         CAST(SUM(c) OVER (ORDER BY bin
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cc
+  FROM binned
+),
+qs AS (SELECT UNNEST([5E-1, 95E-2, 99E-2]) AS q),
+hits AS (
+  SELECT qs.q, MIN(cum.bin) AS bin
+  FROM qs JOIN cum ON cum.cc >= CAST(CEIL(qs.q * (SELECT n FROM stats)) AS BIGINT)
+  GROUP BY qs.q
+)
+SELECT h.q, h.bin, c.c AS bin_count, c.cc AS cum_count,
+       s.mn + h.bin * s.width AS lo,
+       s.mn + (h.bin + 1) * s.width AS hi
+FROM hits h JOIN cum c ON c.bin = h.bin, stats s
+"""
+
+
+@query("approx_percentile_binned", _PCTBIN_ORACLE, tags=("advanced", "agg"))
+def approx_percentile_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width-histogram percentile approximation — the SCALE PATH for
+    quantiles, complementing the exact order-statistic queries
+    (`percentiles_per_type`, `winsorized_stats_per_type`, which sort
+    within groups): p50/p95/p99 of lineitem price located to one of
+    {_PCTBIN_B} equal-width bins in two scans (exact min/max/count, then
+    map-side bin counts), no global sort anywhere.  Error is bounded a
+    priori by one bin width, and unlike t-digest/KLL the answer is
+    DETERMINISTIC — the bin index is the same floor((x-mn)/width) double
+    op on both engines, so even this *approximate* operator hash-matches
+    its oracle exactly (the determinism bar the engine-native
+    approx_percentile can't meet; see r3 notes on dropped native
+    sketches).
+
+    Scale: the histogram is a {_PCTBIN_B}-long mergeable vector (map-side
+    partial agg); the cumulative pass runs over bins, not rows."""
+    from pyspark.sql import Window as W
+
+    (lineitem,) = T(spark, sf_dir, "lineitem")
+    stats = lineitem.agg(
+        F.min("l_extendedprice").alias("mn"),
+        F.max("l_extendedprice").alias("mx"),
+        F.count("*").alias("n"),
+        (
+            (F.max("l_extendedprice") - F.min("l_extendedprice")) / _PCTBIN_B
+        ).alias("width"),
+    )
+    binned = (
+        lineitem.crossJoin(F.broadcast(stats))
+        .select(
+            F.least(
+                F.floor((F.col("l_extendedprice") - F.col("mn")) / F.col("width"))
+                .cast("long"),
+                F.lit(_PCTBIN_B - 1).cast("long"),
+            ).alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count("*").alias("c"))
+    )
+    cum = binned.select(
+        "bin",
+        "c",
+        F.sum("c")
+        .over(W.orderBy("bin").rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("cc"),
+    )
+    qs = spark.range(1).select(
+        F.explode(F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99))).alias("q")
+    )
+    hits = (
+        qs.join(
+            F.broadcast(stats.select("n")), F.lit(True)
+        )
+        .join(cum, F.col("cc") >= F.ceil(F.col("q") * F.col("n")).cast("long"))
+        .groupBy("q")
+        .agg(F.min("bin").alias("bin"))
+    )
+    return (
+        hits.join(cum, "bin")
+        .crossJoin(F.broadcast(stats.select("mn", "width")))
+        .select(
+            "q",
+            "bin",
+            F.col("c").alias("bin_count"),
+            F.col("cc").alias("cum_count"),
+            (F.col("mn") + F.col("bin") * F.col("width")).alias("lo"),
+            (F.col("mn") + (F.col("bin") + 1) * F.col("width")).alias("hi"),
+        )
+    )

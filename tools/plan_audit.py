@@ -55,6 +55,9 @@ KNOWN_BNLJ = {
     "kmv_distinct_estimate",
     # same class: union-sketch aggregate row x three 1-row exact truths
     "kmv_set_ops_estimate",
+    # 1-row stats broadcast onto the scan (bin math) and the 3-quantile x
+    # 4096-bin rank probe — both deliberate small-side BNLJ
+    "approx_percentile_binned",
     # dense-spine generation IS a deliberate small x small cross product
     # (|event types| x |hours| = 5 x 720; the hour list is the broadcast
     # side) — the constant dummy join key folds away into a BNLJ
