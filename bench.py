@@ -49,7 +49,9 @@ def main() -> None:
         runs = []
         for _ in range(3):
             t0 = time.perf_counter()
-            spark.range(20_000_000).selectExpr("sum(id * id) as s").collect()
+            # modulo keeps the running sum ~5e13 << 2^63 (ANSI mode overflows
+            # a plain sum(id*id) at this row count)
+            spark.range(50_000_000).selectExpr("sum(id % 1000003) as s").collect()
             runs.append(time.perf_counter() - t0)
         return round(min(runs), 3)
 

@@ -585,3 +585,4 @@ def scd2_dimension_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return closed.unionAll(current)
+

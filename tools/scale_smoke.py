@@ -129,6 +129,11 @@ def main() -> int:
         "cms_estimate_counts",
         "hll_estimate_distinct",
         "session_funnel",
+        "dedup_clusters_star",
+        "bfs_hops_trade_graph",
+        "lm_familiarity_score",
+        "approx_percentile_binned",
+        "multimodal_image_ahash",
     ]
     # scan-parallelism proof on the multi-file layout
     n_parts = load_table(spark, sf_dir, "lineitem").rdd.getNumPartitions()
