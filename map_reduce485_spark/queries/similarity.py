@@ -1150,3 +1150,195 @@ def streaming_ann_index_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.read.parquet(stats_dir)
+
+
+_COV_SCALE = 1024  # fixed-point quantization: round(x * 2^10)
+
+_COV_ORACLE = f"""
+WITH qv AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(ROUND(x * {_COV_SCALE}) AS BIGINT)) AS q
+  FROM embeddings
+),
+cells AS (
+  SELECT i, j, qi * qj AS p
+  FROM (SELECT vec_id, q, UNNEST(q) AS qi,
+               UNNEST(generate_series(1, len(q))) AS i FROM qv),
+       LATERAL (SELECT UNNEST(q) AS qj,
+                       UNNEST(generate_series(1, len(q))) AS j)
+),
+gram AS (SELECT i, j, CAST(SUM(p) AS BIGINT) AS g FROM cells GROUP BY 1, 2),
+sums AS (
+  SELECT i, CAST(SUM(qi) AS BIGINT) AS s
+  FROM (SELECT UNNEST(q) AS qi, UNNEST(generate_series(1, len(q))) AS i FROM qv)
+  GROUP BY 1
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM qv)
+SELECT g.i, g.j, g.g AS gram,
+       CAST(n.n * g.g - si.s * sj.s AS BIGINT) AS cov_n2,
+       CAST(n.n * g.g - si.s * sj.s AS DOUBLE)
+         / (CAST(n.n AS DOUBLE) * n.n * {float(_COV_SCALE * _COV_SCALE)!r}) AS cov
+FROM gram g JOIN sums si ON si.i = g.i JOIN sums sj ON sj.i = g.j, n
+"""
+
+
+@query("embedding_covariance_matrix", _COV_ORACLE, tags=("similarity",))
+def embedding_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed gram/covariance matrix over the embedding corpus — the
+    input every offline PCA / whitening / low-rank-compression job feeds
+    its eigensolver: all 64x64 cells of n^2*Cov = n*sum(q_i q_j) -
+    sum(q_i)sum(q_j), computed in fixed-point integers (components
+    quantized once as round(x*2^10); every product/sum thereafter exact
+    bigint), so the matrix is bit-identical across engines and the final
+    float cov is one division.
+
+    Scale shape: the outer product runs MAP-SIDE as two nested explodes
+    per row (no self-join — the row already holds both factors), and the
+    only shuffle carries partial HashAggregate cells: at most
+    partitions x d^2 rows regardless of corpus size.  The d^2 result is
+    driver-tiny for any d that fits an eigensolver; the 64-row marginal
+    sums broadcast back onto it."""
+    (emb,) = T(spark, sf_dir, "embeddings")
+    qv = emb.select(
+        "vec_id",
+        F.expr(
+            f"transform(CAST(embedding AS ARRAY<DOUBLE>),"
+            f" x -> CAST(ROUND(x * {_COV_SCALE}) AS BIGINT))"
+        ).alias("q"),
+    )
+    cells = qv.select(
+        F.posexplode("q").alias("i0", "qi"), "q"
+    ).select(
+        (F.col("i0") + 1).alias("i"),
+        "qi",
+        F.posexplode("q").alias("j0", "qj"),
+    )
+    gram = (
+        cells.groupBy("i", (F.col("j0") + 1).alias("j"))
+        .agg(F.sum(F.col("qi") * F.col("qj")).alias("g"))
+    )
+    sums = (
+        qv.select(F.posexplode("q").alias("i0", "qi"))
+        .groupBy((F.col("i0") + 1).alias("i"))
+        .agg(F.sum("qi").alias("s"))
+    )
+    nrow = qv.agg(F.count("*").alias("n"))
+    out = (
+        gram.join(
+            F.broadcast(sums.select(F.col("i").alias("si_i"), F.col("s").alias("si"))),
+            F.col("i") == F.col("si_i"),
+        )
+        .join(
+            F.broadcast(sums.select(F.col("i").alias("sj_i"), F.col("s").alias("sj"))),
+            F.col("j") == F.col("sj_i"),
+        )
+        .crossJoin(F.broadcast(nrow))
+    )
+    cov_n2 = F.col("n") * F.col("g") - F.col("si") * F.col("sj")
+    return out.select(
+        "i",
+        "j",
+        F.col("g").alias("gram"),
+        cov_n2.cast("long").alias("cov_n2"),
+        (
+            cov_n2.cast("double")
+            / (
+                F.col("n").cast("double")
+                * F.col("n")
+                * F.lit(float(_COV_SCALE * _COV_SCALE))
+            )
+        ).alias("cov"),
+    )
+
+
+_PCA_ORACLE = f"""
+WITH qv AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(ROUND(x * {_COV_SCALE}) AS BIGINT)) AS q
+  FROM embeddings
+),
+cells AS (
+  SELECT i, j, qi * qj AS p
+  FROM (SELECT vec_id, q, UNNEST(q) AS qi,
+               UNNEST(generate_series(1, len(q))) AS i FROM qv),
+       LATERAL (SELECT UNNEST(q) AS qj,
+                       UNNEST(generate_series(1, len(q))) AS j)
+),
+gram AS (SELECT i, j, CAST(SUM(p) AS BIGINT) AS g FROM cells GROUP BY 1, 2),
+sums AS (
+  SELECT i, CAST(SUM(qi) AS BIGINT) AS s
+  FROM (SELECT UNNEST(q) AS qi, UNNEST(generate_series(1, len(q))) AS i FROM qv)
+  GROUP BY 1
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM qv),
+c AS (
+  SELECT g.i, g.j,
+         CAST(FLOOR(CAST(n.n * g.g - si.s * sj.s AS DOUBLE) / 1048576e0)
+              AS BIGINT) AS c
+  FROM gram g JOIN sums si ON si.i = g.i JOIN sums sj ON sj.i = g.j, n
+),
+v1 AS (SELECT i, CAST(SUM(c) AS BIGINT) AS v FROM c GROUP BY i),
+v1s AS (SELECT i, CAST(FLOOR(CAST(v AS DOUBLE) / 1024e0) AS BIGINT) AS v FROM v1),
+v2 AS (SELECT c.i, CAST(SUM(c.c * v.v) AS BIGINT) AS v
+       FROM c JOIN v1s v ON v.i = c.j GROUP BY c.i),
+v2s AS (SELECT i, CAST(FLOOR(CAST(v AS DOUBLE) / 1048576e0) AS BIGINT) AS v FROM v2),
+v3 AS (SELECT c.i, CAST(SUM(c.c * v.v) AS BIGINT) AS v
+       FROM c JOIN v2s v ON v.i = c.j GROUP BY c.i)
+SELECT i, CAST(FLOOR(CAST(v AS DOUBLE) / 1048576e0) AS BIGINT) AS direction_scaled
+FROM v3
+"""
+
+
+@query("pca_power_iteration", _PCA_ORACLE, tags=("similarity",))
+def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant principal direction of the embedding corpus by THREE power
+    iterations over the exact integer covariance
+    (`embedding_covariance_matrix`) — the distributed-PCA shape: matvecs
+    are join+groupBy over the d^2 cell table with the d-row vector
+    BROADCAST, every multiply-add exact bigint; between iterations the
+    vector is rescaled by a fixed power-of-two FLOOR(CAST(v AS
+    DOUBLE)/2^k) whose double cast, division, and floor are the identical
+    IEEE ops on both engines (power iteration only needs direction, so
+    fixed right-shifts replace norm division — the trick that keeps the
+    whole pipeline hash-exact where a float normalize would drift).
+
+    Shift schedule bounds every intermediate: |C'| <= 2^23 after the
+    2^20 shift, products <= 2^52, matvec sums <= 2^58 — all inside
+    int64.  Scale: iteration cost is the d^2 cell table (driver-free),
+    corpus size only enters through the one covariance pass."""
+    cov = embedding_covariance_matrix(spark, sf_dir).select(
+        "i",
+        "j",
+        F.floor(F.col("cov_n2").cast("double") / F.lit(1048576.0))
+        .cast("long")
+        .alias("c"),
+    )
+    v1 = cov.groupBy("i").agg(F.sum("c").alias("v"))
+    v1s = v1.select(
+        "i", F.floor(F.col("v").cast("double") / F.lit(1024.0)).cast("long").alias("v")
+    )
+
+    def matvec(vdf):
+        return (
+            cov.join(
+                F.broadcast(vdf.select(F.col("i").alias("vj"), F.col("v").alias("vv"))),
+                F.col("j") == F.col("vj"),
+            )
+            .groupBy("i")
+            .agg(F.sum(F.col("c") * F.col("vv")).alias("v"))
+        )
+
+    v2 = matvec(v1s)
+    v2s = v2.select(
+        "i",
+        F.floor(F.col("v").cast("double") / F.lit(1048576.0)).cast("long").alias("v"),
+    )
+    v3 = matvec(v2s)
+    return v3.select(
+        "i",
+        F.floor(F.col("v").cast("double") / F.lit(1048576.0))
+        .cast("long")
+        .alias("direction_scaled"),
+    )

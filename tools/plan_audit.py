@@ -58,6 +58,9 @@ KNOWN_BNLJ = {
     # 1-row stats broadcast onto the scan (bin math) and the 3-quantile x
     # 4096-bin rank probe — both deliberate small-side BNLJ
     "approx_percentile_binned",
+    # 1-row vector count broadcast onto the d^2 cell table
+    "embedding_covariance_matrix",
+    "pca_power_iteration",
     # dense-spine generation IS a deliberate small x small cross product
     # (|event types| x |hours| = 5 x 720; the hour list is the broadcast
     # side) — the constant dummy join key folds away into a BNLJ
