@@ -1398,3 +1398,41 @@ def anomaly_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             (num.cast("double") / F.sqrt(var_n2.cast("double"))).alias("z"),
         )
     )
+
+
+_STREAM_SLIDING_ORACLE = """
+SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, COUNT(*) AS n_events
+FROM (
+  SELECT UNNEST([date_trunc('hour', ts), date_trunc('hour', ts) - INTERVAL 1 HOUR])
+           AS window_start,
+         event_type, ts
+  FROM events
+)
+WHERE ts >= window_start AND ts < window_start + INTERVAL 2 HOUR
+GROUP BY window_start, event_type
+"""
+
+
+@query("streaming_sliding_gate", _STREAM_SLIDING_ORACLE, tags=("events", "streaming"))
+def streaming_sliding_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLIDING event-time windows under the hash gate — the overlapping-
+    window shape the gated suite lacked (tumbling = slide == length;
+    here 2 h windows sliding hourly, every event updating exactly two
+    window states).  Overlap is where streaming state management differs
+    from tumbling: N_overlap concurrent window states per key, each GC'd
+    independently as the watermark passes its end.  Complete-mode memory
+    sink, hash-compared to the batch oracle that unnests each event's two
+    candidate windows explicitly."""
+    from map_reduce485_spark.streaming.jobs import (
+        read_events_stream,
+        run_to_memory_sink,
+        stream_sliding_counts,
+    )
+
+    (events,) = T(spark, sf_dir, "events")
+    landing = _land_events(events, sf_dir)
+    agg = stream_sliding_counts(read_events_stream(spark, landing))
+    name = f"stream_gate_sliding_{landing.rsplit('_', 1)[-1]}"
+    run_to_memory_sink(agg, name, mode="complete")
+    return spark.table(name)

@@ -389,3 +389,35 @@ def test_kmv_estimate_accuracy(spark):
     assert row.n_true > 1000
     rel = abs(row.estimate - row.n_true) / row.n_true
     assert rel < 3.0 / (row.k - 1) ** 0.5, (row.estimate, row.n_true)
+
+
+def test_skyline_tie_semantics(spark, tmp_path):
+    """Dominance ties: equal (price, size) pairs don't dominate each other
+    (no strict coordinate), so whole tied groups survive together; a
+    same-price smaller size and a same-size higher price are dominated."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from map_reduce485_spark.queries.advanced import skyline_price_size
+
+    rows = [
+        (1, 10.0, 5),  # frontier (tied with 2)
+        (2, 10.0, 5),  # frontier (tied with 1)
+        (3, 10.0, 4),  # dominated: same price, smaller size
+        (4, 9.0, 1),   # frontier: strictly cheapest
+        (5, 11.0, 6),  # frontier: largest size
+        (6, 12.0, 6),  # dominated: same size, higher price
+    ]
+    t = pa.table(
+        {
+            "p_partkey": [r[0] for r in rows],
+            "p_name": [f"part{r[0]}" for r in rows],
+            "p_brand": ["B"] * len(rows),
+            "p_type": ["T"] * len(rows),
+            "p_size": [r[2] for r in rows],
+            "p_retailprice": [r[1] for r in rows],
+        }
+    )
+    pq.write_table(t, tmp_path / "part.parquet")
+    got = {r.p_partkey for r in skyline_price_size(spark, str(tmp_path)).collect()}
+    assert got == {1, 2, 4, 5}
