@@ -805,3 +805,108 @@ def kmv_set_ops_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         union_est.alias("union_est"),
         ((F.col("n_both").cast("double") / _KMV_K) * union_est).alias("inter_est"),
     )
+
+
+_HLL_GROUPED_ORACLE = f"""
+WITH h AS (
+  SELECT DISTINCT o_orderpriority AS grp,
+         CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15)
+         AS BIGINT) AS hv
+  FROM orders
+),
+parts AS (SELECT grp, hv % {_HLL_M} AS j, hv // {_HLL_M} AS w FROM h),
+regs0 AS (
+  SELECT grp, j, MAX(CASE WHEN w = 0 THEN 55 ELSE 55 - length(bin(w)) END) AS rho
+  FROM parts GROUP BY grp, j
+),
+grid AS (
+  SELECT g.grp, jj.j
+  FROM (SELECT DISTINCT o_orderpriority AS grp FROM orders) g,
+       (SELECT UNNEST(generate_series(0, {_HLL_M - 1})) AS j) jj
+),
+regs AS (
+  SELECT grid.grp, grid.j, COALESCE(regs0.rho, 0) AS reg
+  FROM grid LEFT JOIN regs0 ON regs0.grp = grid.grp AND regs0.j = grid.j
+),
+s AS (
+  SELECT grp,
+         CAST(SUM(CAST(1 AS BIGINT) << CAST(55 - reg AS INTEGER)) AS BIGINT)
+           AS harmonic_scaled,
+         CAST(SUM(CASE WHEN reg = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_regs
+  FROM regs GROUP BY grp
+),
+truth AS (
+  SELECT o_orderpriority AS tgrp, COUNT(DISTINCT o_custkey) AS n_true
+  FROM orders GROUP BY 1
+)
+SELECT s.grp AS o_orderpriority, truth.n_true, s.harmonic_scaled, s.n_zero_regs,
+       {_HLL_ALPHA * _HLL_M * _HLL_M!r}e0
+         * CAST({1 << 55} AS DOUBLE)
+         / CAST(s.harmonic_scaled AS DOUBLE) AS estimate_raw
+FROM s JOIN truth ON truth.tgrp = s.grp
+"""
+
+
+@query("hll_grouped_distinct", _HLL_GROUPED_ORACLE, tags=("sketch",))
+def hll_grouped_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL per GROUP — the dashboarding shape (distinct customers per
+    order priority) that makes sketches worth their bias: one pass
+    materializes a 64-register state PER KEY, each state mergeable by
+    register-wise max, so the shuffle carries |groups| x m small ints
+    instead of |groups| x |distinct keys| — exactly how a 100 TB
+    distinct-users-per-dimension rollup stays tractable, and how partial
+    states from disjoint shards/date-ranges union without rescanning.
+    Same exact-integer harmonic term and 3-IEEE-op estimate as the global
+    `hll_estimate_distinct`, now alongside per-group exact truths."""
+    (orders,) = T(spark, sf_dir, "orders")
+    h = orders.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.expr(
+            "CAST(conv(substring(md5(CAST(o_custkey AS STRING)), 1, 15),"
+            " 16, 10) AS BIGINT)"
+        ).alias("hv"),
+    ).distinct()
+    regs0 = (
+        h.select(
+            "grp",
+            (F.col("hv") % _HLL_M).alias("j"),
+            F.expr(f"hv div {_HLL_M}").alias("w"),
+        )
+        .select(
+            "grp",
+            "j",
+            F.expr("CASE WHEN w = 0 THEN 55 ELSE 55 - length(bin(w)) END").alias(
+                "rho"
+            ),
+        )
+        .groupBy("grp", "j")
+        .agg(F.max("rho").alias("rho"))
+    )
+    grid = (
+        orders.select(F.col("o_orderpriority").alias("grp"))
+        .distinct()
+        .crossJoin(F.broadcast(spark.range(0, _HLL_M).select(F.col("id").alias("j"))))
+    )
+    regs = grid.join(regs0, ["grp", "j"], "left").select(
+        "grp", "j", F.coalesce("rho", F.lit(0)).cast("long").alias("reg")
+    )
+    s = regs.groupBy("grp").agg(
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(55 - reg AS INT))")).alias(
+            "harmonic_scaled"
+        ),
+        F.sum((F.col("reg") == 0).cast("long")).alias("n_zero_regs"),
+    )
+    truth = orders.groupBy(F.col("o_orderpriority").alias("tgrp")).agg(
+        F.countDistinct("o_custkey").alias("n_true")
+    )
+    return s.join(truth, s.grp == truth.tgrp).select(
+        F.col("grp").alias("o_orderpriority"),
+        "n_true",
+        "harmonic_scaled",
+        "n_zero_regs",
+        (
+            F.lit(_HLL_ALPHA * _HLL_M * _HLL_M)
+            * F.lit(float(1 << 55))
+            / F.col("harmonic_scaled").cast("double")
+        ).alias("estimate_raw"),
+    )

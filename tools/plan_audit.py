@@ -61,6 +61,8 @@ KNOWN_BNLJ = {
     # 1-row vector count broadcast onto the d^2 cell table
     "embedding_covariance_matrix",
     "pca_power_iteration",
+    # |groups| x m register grid: 5 x 64 deliberate small cross product
+    "hll_grouped_distinct",
     # dense-spine generation IS a deliberate small x small cross product
     # (|event types| x |hours| = 5 x 720; the hour list is the broadcast
     # side) — the constant dummy join key folds away into a BNLJ
