@@ -1271,3 +1271,82 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("jaccard") >= _NGRAM_THRESHOLD)
     )
+
+
+_CHUNK_DEDUP_ORACLE = """
+WITH words AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+  FROM documents
+),
+chunks AS (
+  SELECT doc_id, i AS chunk_idx,
+         md5(array_to_string(w[(i * 8 + 1):(i * 8 + 8)], ' ')) AS digest
+  FROM (SELECT doc_id, w, UNNEST(generate_series(0, len(w) // 8 - 1)) AS i
+        FROM words WHERE len(w) >= 8)
+),
+spread AS (
+  SELECT digest, COUNT(DISTINCT doc_id) AS nd FROM chunks GROUP BY digest
+)
+SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(CASE WHEN s.nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+       CAST(SUM(CASE WHEN s.nd > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+         AS dup_ratio
+FROM chunks c JOIN spread s ON s.digest = c.digest
+GROUP BY c.doc_id
+"""
+
+
+@query("dedup_chunk_spans", _CHUNK_DEDUP_ORACLE, tags=("dedup",))
+def dedup_chunk_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUB-document exact dedup — the line/paragraph-level pass every
+    production corpus pipeline (CCNet, RefinedWeb) runs BESIDE whole-doc
+    dedup: split each doc into non-overlapping 8-word chunks, digest each,
+    and report per doc how much of it also appears verbatim in OTHER docs
+    (boilerplate, templates, licence headers).  Whole-doc digests
+    (`dedup_exact`) miss a doc that is 90% copied with one new sentence;
+    the chunk dup_ratio is exactly the signal that catches it, and the
+    downstream curation cut (drop docs above a ratio, or strip just the
+    duplicated spans) is a filter on this table.
+
+    Scale: chunking is map-side (one explode over size/8 indices); the
+    shuffle groups 16-byte digests; cross-doc spread (COUNT DISTINCT doc)
+    and the per-doc rollup are two standard aggregations.  No similarity
+    math anywhere — this is the exact tier of the dedup ladder, between
+    `dedup_exact` (whole doc) and the MinHash/SimHash near-dup tiers."""
+    (docs,) = T(spark, sf_dir, "documents")
+    chunks = (
+        docs.select(
+            "doc_id", F.expr("filter(split(text, ' '), x -> x <> '')").alias("w")
+        )
+        .filter(F.size("w") >= 8)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(w) div 8 - 1),"
+                    " i -> struct(i AS chunk_idx,"
+                    " md5(array_join(slice(w, i * 8 + 1, 8), ' ')) AS digest))"
+                )
+            ).alias("c"),
+        )
+        .select("doc_id", "c.chunk_idx", "c.digest")
+    )
+    spread = chunks.groupBy("digest").agg(
+        F.countDistinct("doc_id").alias("nd")
+    )
+    return (
+        chunks.join(spread, "digest")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum((F.col("nd") > 1).cast("long")).alias("n_dup_chunks"),
+        )
+        .select(
+            "doc_id",
+            "n_chunks",
+            "n_dup_chunks",
+            (F.col("n_dup_chunks").cast("double") / F.col("n_chunks")).alias(
+                "dup_ratio"
+            ),
+        )
+    )
