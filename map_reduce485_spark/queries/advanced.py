@@ -632,14 +632,15 @@ def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PCT_ORACLE = """
 WITH rev AS (
   SELECT n_name,
-         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0 AS revenue
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
   FROM orders
   JOIN customer ON c_custkey = o_custkey
   JOIN nation ON n_nationkey = c_nationkey
   GROUP BY n_name
 )
-SELECT n_name, revenue,
-       revenue / SUM(revenue) OVER () AS revenue_share
+SELECT n_name, cents / 100.0 AS revenue,
+       CAST(cents AS DOUBLE)
+         / CAST(CAST(SUM(cents) OVER () AS BIGINT) AS DOUBLE) AS revenue_share
 FROM rev
 """
 
@@ -657,16 +658,20 @@ def pct_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.join(cust, F.col("c_custkey") == F.col("o_custkey"))
         .join(F.broadcast(nation), F.col("n_nationkey") == F.col("c_nationkey"))
         .groupBy("n_name")
-        .agg(
-            (F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / 100.0).alias(
-                "revenue"
-            )
-        )
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"))
     )
+    # the share divides EXACT integer cents by the EXACT integer window
+    # total — a double window-sum over the 25 nation rows is order-
+    # dependent in its last ulp (caught by the sf0.001 gate: Spark's
+    # window accumulation order differs from DuckDB's), while the long
+    # sum is associative and the single final division is one IEEE op
     return rev.select(
         "n_name",
-        "revenue",
-        (F.col("revenue") / F.sum("revenue").over(W.partitionBy())).alias("revenue_share"),
+        (F.col("cents") / 100.0).alias("revenue"),
+        (
+            F.col("cents").cast("double")
+            / F.sum("cents").over(W.partitionBy()).cast("double")
+        ).alias("revenue_share"),
     )
 
 
