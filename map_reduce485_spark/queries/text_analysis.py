@@ -1305,3 +1305,105 @@ def lm_familiarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("fam_sum").cast("double") / F.col("n_tri")).alias("familiarity"),
         )
     )
+
+
+def _bpe_encode_oracle(n_merges: int) -> str:
+    """Replay the BPE training CTEs (word column carried through) and then
+    ENCODE: per-word symbol counts after the learned merges."""
+    parts = [
+        """
+WITH w0 AS (
+  SELECT word, COUNT(*) AS freq
+  FROM (SELECT UNNEST(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+        FROM documents)
+  GROUP BY word
+),
+s0 AS (
+  SELECT word,
+         '  ' || array_to_string(
+           list_transform(generate_series(1, len(word)), i -> word[i]), '  ')
+         || '  ' AS s, freq
+  FROM w0
+)"""
+    ]
+    for k in range(1, n_merges + 1):
+        parts.append(
+            f""",
+p{k} AS (
+  SELECT pair, CAST(SUM(freq) AS BIGINT) AS f
+  FROM (SELECT UNNEST(list_transform(generate_series(1, len(a) - 1),
+                      i -> a[i] || ' ' || a[i+1])) AS pair, freq
+        FROM (SELECT list_filter(string_split(trim(s), '  '), x -> x <> '') AS a,
+                     freq
+              FROM s{k - 1}))
+  GROUP BY pair
+),
+b{k} AS (SELECT pair, f FROM p{k} ORDER BY f DESC, pair LIMIT 1),
+s{k} AS (
+  SELECT word, replace(s,
+           ' ' || (SELECT string_split(pair, ' ')[1] FROM b{k}) || '  '
+               || (SELECT string_split(pair, ' ')[2] FROM b{k}) || ' ',
+           ' ' || (SELECT replace(pair, ' ', '') FROM b{k}) || ' ') AS s, freq
+  FROM s{k - 1}
+)"""
+        )
+    return (
+        "".join(parts)
+        + f"""
+SELECT word, freq, CAST(len(word) AS BIGINT) AS n_chars,
+       CAST(len(list_filter(string_split(trim(s), '  '), x -> x <> ''))
+            AS BIGINT) AS n_syms
+FROM s{n_merges}
+ORDER BY freq DESC, word LIMIT 20"""
+    )
+
+
+@query("bpe_encode_vocab", _bpe_encode_oracle(_BPE_MERGES), tags=("text", "iterative"))
+def bpe_encode_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY side of the tokenizer loop: encode the vocabulary with the
+    merge rules `bpe_train_merges` learns, reporting per-word symbol
+    counts (chars before, symbols after) for the 20 most frequent words.
+    Training and encoding are the two halves every tokenizer deployment
+    needs; gating the encode proves the learned rules actually compress
+    the corpus they were trained on, not just that the argmax sequence
+    matches.
+
+    Spark side applies the collected rules as a chain of `replace`
+    literals over the vocabulary (vocab-sized, corpus touched once in the
+    wordcount); the oracle re-derives the same rules in CTEs and applies
+    the identical replaces — both engines' non-overlapping left-to-right
+    replace semantics make the encoded strings byte-equal (see
+    `operators/bpe.py`)."""
+    from map_reduce485_spark.operators.bpe import _SYM_INIT, bpe_train
+
+    (docs,) = T(spark, sf_dir, "documents")
+    words = (
+        docs.select(
+            F.explode(F.expr("filter(split(text, ' '), x -> x <> '')")).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    rules = bpe_train(spark, words, _BPE_MERGES)
+    sym = words.select("word", F.expr(_SYM_INIT).alias("s"), "freq")
+    for _step, pair, merged, _f in rules:
+        x, y = pair.split(" ")
+        sym = sym.select(
+            "word",
+            F.replace(F.col("s"), F.lit(f" {x}  {y} "), F.lit(f" {merged} ")).alias(
+                "s"
+            ),
+            "freq",
+        )
+    return (
+        sym.select(
+            "word",
+            "freq",
+            F.length("word").cast("long").alias("n_chars"),
+            F.size(F.expr("filter(split(trim(s), '  '), x -> x <> '')"))
+            .cast("long")
+            .alias("n_syms"),
+        )
+        .orderBy(F.col("freq").desc(), "word")
+        .limit(20)
+    )
