@@ -421,3 +421,47 @@ def test_skyline_tie_semantics(spark, tmp_path):
     pq.write_table(t, tmp_path / "part.parquet")
     got = {r.p_partkey for r in skyline_price_size(spark, str(tmp_path)).collect()}
     assert got == {1, 2, 4, 5}
+
+
+def test_scoped_caches_release_storage(spark):
+    """Round-4 verdict item 7's done-criterion: a multi-query session must
+    not accumulate executor storage.  Run cache-using queries, release,
+    and require (a) the scoped registry is drained, (b) no NEW persistent
+    RDDs remain vs the baseline, (c) re-invoking the same query re-caches
+    cleanly (CacheManager-idempotent, no 'already cached' double entry)."""
+    from map_reduce485_spark.queries._util import (
+        _SCOPED_CACHES,
+        release_scoped_caches,
+    )
+    from map_reduce485_spark.queries.dedup import (
+        dedup_minhash_lsh,
+        dedup_ngram_jaccard,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    # warm-up materializes the LONG-LIVED catalog table cache (not scoped —
+    # deliberately excluded from release); baseline measured after it
+    dedup_minhash_lsh(spark, sf).count()
+    release_scoped_caches()  # drain scoped caches incl. earlier tests'
+    baseline = spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    dedup_minhash_lsh(spark, sf).count()
+    dedup_ngram_jaccard(spark, sf).count()
+    assert len(_SCOPED_CACHES) >= 1  # the shared shingle cache registered once
+    n = release_scoped_caches()
+    assert n >= 1 and not _SCOPED_CACHES
+
+    # unpersist is async (blocking=False); poll briefly for the cleanup
+    import time
+
+    for _ in range(50):
+        if spark.sparkContext._jsc.getPersistentRDDs().size() <= baseline:
+            break
+        time.sleep(0.2)
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() <= baseline
+
+    # idempotent re-invocation after release: caches again, exactly once
+    dedup_minhash_lsh(spark, sf).count()
+    dedup_minhash_lsh(spark, sf).count()
+    assert len(_SCOPED_CACHES) == 1
+    release_scoped_caches()
