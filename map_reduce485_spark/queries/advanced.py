@@ -1554,3 +1554,273 @@ def approx_percentile_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("mn") + (F.col("bin") + 1) * F.col("width")).alias("hi"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# OLS regression fit (closed form, exact integer moments)
+# ---------------------------------------------------------------------------
+
+_OLS_ORACLE = """
+WITH m AS (
+  SELECT l_returnflag,
+         CAST(ROUND(l_quantity * 100) AS BIGINT) AS q,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS p
+  FROM lineitem
+),
+agg AS (
+  SELECT l_returnflag, COUNT(*) AS n,
+         CAST(CAST(SUM(CAST(q AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS DOUBLE) AS sx,
+         CAST(CAST(SUM(CAST(p AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS DOUBLE) AS sy,
+         CAST(CAST(SUM(CAST(q * q AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS DOUBLE) AS sxx,
+         CAST(CAST(SUM(CAST(p * p AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS DOUBLE) AS syy,
+         CAST(CAST(SUM(CAST(q * p AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS DOUBLE) AS sxy
+  FROM m GROUP BY l_returnflag
+),
+fit AS (
+  SELECT l_returnflag, n, sx, sy, sxx, syy, sxy,
+         (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope
+  FROM agg
+)
+SELECT l_returnflag, n, slope,
+       (sy - slope * sx) / n / 100.0 AS intercept,
+       ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+         / ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r2
+FROM fit
+"""
+
+
+@query("ols_regression_fit", _OLS_ORACLE, tags=("advanced", "agg", "ml"))
+def ols_regression_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form ordinary-least-squares fit (price ~ quantity) per return
+    flag — the grouped regression a feature pipeline runs in one scan
+    instead of looping sklearn per group.  The normal equations need only
+    the five moments `exact_corr_stats` already computes, so the entire fit
+    is: exact integer-cent moment sums (associative, combinable map-side,
+    decimal(38,0) so second moments can't overflow at 100 TB), then
+    slope / intercept / R^2 as a handful of scalar double ops per GROUP —
+    identical expression trees on both engines, so the doubles hash-match.
+    Slope is directly dollars-per-quantity-unit (both axes scaled by the
+    same 100); intercept converts cents back to dollars once.  The shuffle
+    carries six longs per group regardless of fact size."""
+    (li,) = T(spark, sf_dir, "lineitem")
+    q = F.round(F.col("l_quantity") * 100).cast("long")
+    p = F.round(F.col("l_extendedprice") * 100).cast("long")
+
+    def mom(e):  # exact decimal sum of a bigint product, one rounding to double
+        return F.sum(e.cast("decimal(38,0)")).cast("double")
+
+    agg = (
+        li.select("l_returnflag", q.alias("q"), p.alias("p"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            mom(F.col("q")).alias("sx"),
+            mom(F.col("p")).alias("sy"),
+            mom(F.col("q") * F.col("q")).alias("sxx"),
+            mom(F.col("p") * F.col("p")).alias("syy"),
+            mom(F.col("q") * F.col("p")).alias("sxy"),
+        )
+    )
+    n = F.col("n")
+    fit = agg.withColumn(
+        "slope",
+        (n * F.col("sxy") - F.col("sx") * F.col("sy"))
+        / (n * F.col("sxx") - F.col("sx") * F.col("sx")),
+    )
+    return fit.select(
+        "l_returnflag",
+        "n",
+        "slope",
+        ((F.col("sy") - F.col("slope") * F.col("sx")) / n / 100.0).alias("intercept"),
+        (
+            ((n * F.col("sxy") - F.col("sx") * F.col("sy")) * (n * F.col("sxy") - F.col("sx") * F.col("sy")))
+            / (
+                (n * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * (n * F.col("syy") - F.col("sy") * F.col("sy"))
+            )
+        ).alias("r2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# median absolute deviation (two-pass integer order statistics)
+# ---------------------------------------------------------------------------
+
+_MAD_ORACLE = """
+WITH c AS (
+  SELECT event_type, event_id, CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+r1 AS (
+  SELECT event_type, cents,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY cents, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM c
+),
+med AS (
+  SELECT event_type, MAX(n) AS n,
+         MAX(CASE WHEN rn = (n + 1) // 2 THEN cents END) AS med_cents
+  FROM r1 GROUP BY event_type
+),
+d AS (
+  SELECT c.event_type, abs(c.cents - med.med_cents) AS dev, c.event_id
+  FROM c JOIN med USING (event_type)
+),
+r2 AS (
+  SELECT event_type, dev,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY dev, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM d
+)
+SELECT med.event_type, med.n,
+       med.med_cents / 100.0 AS median_value,
+       MAX(CASE WHEN r2.rn = (r2.n + 1) // 2 THEN r2.dev END) / 100.0 AS mad_value
+FROM r2 JOIN med USING (event_type)
+GROUP BY med.event_type, med.n, med.med_cents
+"""
+
+
+@query("mad_robust_stats", _MAD_ORACLE, tags=("advanced", "agg"))
+def mad_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation per event type — the robust dispersion
+    measure outlier detectors prefer over stddev (one junk row can move a
+    stddev arbitrarily; moving a MAD takes corrupting half the group).
+    Both medians are EXPLICIT lower-median order statistics at rank
+    (n+1) div 2 in integer cents — engine median()/percentile() disagree
+    on even-n interpolation, an integer rank cannot.  Two passes (median,
+    then median of |x - med|), both windows and the join keyed on
+    event_type, so one shuffle key serves the whole plan; at 100 TB each
+    pass is a sort within the type partition, and the deviations join is
+    co-partitioned, never broadcast-sized-dependent."""
+    (events,) = T(spark, sf_dir, "events")
+    c = events.select(
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    r1 = c.select(
+        "event_type",
+        "cents",
+        F.row_number()
+        .over(W.partitionBy("event_type").orderBy("cents", "event_id"))
+        .alias("rn"),
+        F.count("*").over(W.partitionBy("event_type")).alias("n"),
+    )
+    med = r1.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("cents"))
+        ).alias("med_cents"),
+    )
+    d = c.join(med, "event_type").select(
+        "event_type",
+        "n",
+        "med_cents",
+        F.abs(F.col("cents") - F.col("med_cents")).alias("dev"),
+        "event_id",
+    )
+    r2 = d.select(
+        "event_type",
+        "n",
+        "med_cents",
+        "dev",
+        F.row_number()
+        .over(W.partitionBy("event_type").orderBy("dev", "event_id"))
+        .alias("rn"),
+    )
+    return r2.groupBy("event_type", "n", "med_cents").agg(
+        (
+            F.max(F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("dev"))) / 100.0
+        ).alias("mad_value")
+    ).select(
+        "event_type",
+        "n",
+        (F.col("med_cents") / 100.0).alias("median_value"),
+        "mad_value",
+    )
+
+
+# ---------------------------------------------------------------------------
+# time-series autocorrelation (lag 1 and seasonal lag 24 on the hourly series)
+# ---------------------------------------------------------------------------
+
+_AUTOCORR_ORACLE = """
+WITH hourly AS (
+  SELECT CAST(epoch(date_trunc('hour', ts)) // 3600 AS BIGINT) AS hr,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS s
+  FROM events GROUP BY 1
+),
+pairs AS (
+  SELECT l.lag_h, a.s AS x, b.s AS y
+  FROM (SELECT UNNEST([1, 24]) AS lag_h) l
+  JOIN hourly a ON TRUE
+  JOIN hourly b ON b.hr = a.hr + l.lag_h
+),
+agg AS (
+  SELECT lag_h, COUNT(*) AS n_pairs,
+         CAST(CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS DOUBLE) AS sx,
+         CAST(CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS DOUBLE) AS sy,
+         CAST(CAST(SUM(CAST(x * x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS DOUBLE) AS sxx,
+         CAST(CAST(SUM(CAST(y * y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS DOUBLE) AS syy,
+         CAST(CAST(SUM(CAST(x * y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS DOUBLE) AS sxy
+  FROM pairs GROUP BY lag_h
+)
+SELECT lag_h, n_pairs,
+       (n_pairs * sxy - sx * sy)
+         / (sqrt(n_pairs * sxx - sx * sx) * sqrt(n_pairs * syy - sy * sy)) AS autocorr
+FROM agg
+"""
+
+
+@query("autocorrelation_hourly", _AUTOCORR_ORACLE, tags=("advanced", "timeseries"))
+def autocorrelation_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the hourly event-value series at lag 1 (local
+    persistence) and lag 24 (daily seasonality) — the two numbers that
+    decide whether a forecast needs an AR term and a seasonal term.  The
+    series itself is an exact bigint (cents) aggregate; each lag is an
+    equi-join of the series against itself shifted by integer hours (no
+    window over raw rows — the join runs on the tiny post-agg series);
+    Pearson over the pairs uses the same exact-decimal-moment discipline
+    as `exact_corr_stats`.  At 100 TB the raw scan reduces to one row per
+    hour before anything quadratic or ordered happens."""
+    (events,) = T(spark, sf_dir, "events")
+    hourly = cache_scoped(
+        events.groupBy(
+            (F.floor(F.unix_timestamp(F.date_trunc("hour", F.col("ts"))) / 3600))
+            .cast("long")
+            .alias("hr")
+        ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("s"))
+    )
+    lag_df = spark.createDataFrame([(1,), (24,)], "lag_h int").select(
+        F.col("lag_h").cast("long").alias("lag_h")
+    )
+    a, b = hourly.alias("a"), hourly.alias("b")
+    pairs = (
+        a.crossJoin(F.broadcast(lag_df))
+        .join(b, F.col("b.hr") == F.col("a.hr") + F.col("lag_h"))
+        .select("lag_h", F.col("a.s").alias("x"), F.col("b.s").alias("y"))
+    )
+
+    def mom(e):
+        return F.sum(e.cast("decimal(38,0)")).cast("double")
+
+    agg = pairs.groupBy("lag_h").agg(
+        F.count("*").alias("n_pairs"),
+        mom(F.col("x")).alias("sx"),
+        mom(F.col("y")).alias("sy"),
+        mom(F.col("x") * F.col("x")).alias("sxx"),
+        mom(F.col("y") * F.col("y")).alias("syy"),
+        mom(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n = F.col("n_pairs")
+    return agg.select(
+        F.col("lag_h").cast("int").alias("lag_h"),
+        "n_pairs",
+        (
+            (n * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (
+                F.sqrt(n * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * F.sqrt(n * F.col("syy") - F.col("sy") * F.col("sy"))
+            )
+        ).alias("autocorr"),
+    )

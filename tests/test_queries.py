@@ -465,3 +465,61 @@ def test_scoped_caches_release_storage(spark):
     dedup_minhash_lsh(spark, sf).count()
     assert len(_SCOPED_CACHES) == 1
     release_scoped_caches()
+
+
+# -- exact-moment statistics (round 5 continuation) --------------------------
+
+
+def test_ols_matches_numpy(spark):
+    import numpy as np
+
+    from map_reduce485_spark.queries.advanced import ols_regression_fit
+
+    fits = {r.l_returnflag: r for r in ols_regression_fit(spark, SF_SMOKE).collect()}
+    li = (
+        spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+        .select("l_returnflag", "l_quantity", "l_extendedprice")
+        .toPandas()
+    )
+    for flag, grp in li.groupby("l_returnflag"):
+        x, y = grp["l_quantity"].to_numpy(), grp["l_extendedprice"].to_numpy()
+        slope, intercept = np.polyfit(x, y, 1)
+        r = fits[flag]
+        assert abs(r.slope - slope) / abs(slope) < 1e-6
+        assert abs(r.intercept - intercept) / max(1.0, abs(intercept)) < 1e-5
+        assert 0.0 <= r.r2 <= 1.0
+
+
+def test_mad_lower_median_convention(spark):
+    import numpy as np
+
+    from map_reduce485_spark.queries.advanced import mad_robust_stats
+
+    rows = {r.event_type: r for r in mad_robust_stats(spark, SF_SMOKE).collect()}
+    ev = (
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .select("event_type", "value")
+        .toPandas()
+    )
+
+    def lower_median(a):  # rank (n+1) div 2, 1-indexed, over sorted values
+        a = np.sort(a)
+        return a[(len(a) + 1) // 2 - 1]
+
+    for etype, grp in ev.groupby("event_type"):
+        cents = np.round(grp["value"].to_numpy() * 100).astype(np.int64)
+        med = lower_median(cents)
+        mad = lower_median(np.abs(cents - med))
+        r = rows[etype]
+        assert r.median_value == med / 100.0
+        assert r.mad_value == mad / 100.0
+
+
+def test_autocorrelation_bounds(spark):
+    from map_reduce485_spark.queries.advanced import autocorrelation_hourly
+
+    rows = autocorrelation_hourly(spark, SF_SMOKE).collect()
+    assert {r.lag_h for r in rows} == {1, 24}
+    for r in rows:
+        assert -1.0 <= r.autocorr <= 1.0
+        assert r.n_pairs > 0
