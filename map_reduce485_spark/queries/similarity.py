@@ -1342,3 +1342,104 @@ def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("direction_scaled"),
     )
+
+
+# ---------------------------------------------------------------------------
+# reciprocal-rank fusion (hybrid retrieval)
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60  # the standard RRF damping constant (Cormack et al., SIGIR'09)
+
+_RRF_ORACLE = f"""
+WITH {_DUCK_EMB_CTE},
+scored AS (
+  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         {_duck_cos('q.v', 'n.v')} AS sim_cos,
+         {_duck_dot('q.v', 'n.v')} AS sim_dot
+  FROM emb q JOIN emb n ON n.vec_id <> q.vec_id
+  WHERE q.vec_id < 5
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY sim_cos DESC, neighbor_id) AS rank_cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY sim_dot DESC, neighbor_id) AS rank_dot
+  FROM scored
+),
+fused AS (
+  SELECT query_id, neighbor_id, rank_cos, rank_dot,
+         1e0 / ({_RRF_K} + rank_cos) + 1e0 / ({_RRF_K} + rank_dot) AS rrf_score,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY 1e0 / ({_RRF_K} + rank_cos)
+                                   + 1e0 / ({_RRF_K} + rank_dot) DESC,
+                            neighbor_id) AS fused_rank
+  FROM ranked
+)
+SELECT query_id, neighbor_id, rank_cos, rank_dot, fused_rank,
+       ROUND(rrf_score, 6) AS rrf_score
+FROM fused WHERE fused_rank <= 10
+"""
+
+
+@query("rrf_fusion_topk", _RRF_ORACLE, tags=("similarity",))
+def rrf_fusion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion — THE standard combiner for hybrid retrieval
+    (dense + sparse, or here: cosine vs raw inner-product, which disagree
+    exactly where corpus norms vary).  Each ranking is a per-query window
+    over one broadcast-scored frame; the fused score 1/(k+r_a) + 1/(k+r_b)
+    uses only small-integer ranks, so the doubles are identical on both
+    engines by construction — no float-sum ordering to pin.  At scale the
+    input rankings come from the ANN variants (`ann_ivf_pq_topk` etc.) and
+    fusion touches only Q·k candidate rows; scoring every corpus vector
+    here is the test-SF exactness twin of that plan."""
+    from pyspark.sql import Window as W
+
+    (emb,) = T(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    n = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("n_emb"))
+    dot_expr = (
+        "aggregate(zip_with(q_emb, n_emb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+        " 0D, (acc, v) -> acc + v)"
+    )
+    scored = (
+        F.broadcast(q)
+        .join(n, F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_col("q_emb", "n_emb").alias("sim_cos"),
+            F.expr(dot_expr).alias("sim_dot"),
+        )
+    )
+    ranked = scored.select(
+        "query_id",
+        "neighbor_id",
+        F.row_number()
+        .over(W.partitionBy("query_id").orderBy(F.col("sim_cos").desc(), "neighbor_id"))
+        .alias("rank_cos"),
+        F.row_number()
+        .over(W.partitionBy("query_id").orderBy(F.col("sim_dot").desc(), "neighbor_id"))
+        .alias("rank_dot"),
+    )
+    score = 1.0 / (_RRF_K + F.col("rank_cos")) + 1.0 / (_RRF_K + F.col("rank_dot"))
+    fused = ranked.select(
+        "query_id",
+        "neighbor_id",
+        "rank_cos",
+        "rank_dot",
+        score.alias("rrf_score"),
+        F.row_number()
+        .over(W.partitionBy("query_id").orderBy(score.desc(), "neighbor_id"))
+        .alias("fused_rank"),
+    )
+    return fused.filter(F.col("fused_rank") <= 10).select(
+        "query_id",
+        "neighbor_id",
+        "rank_cos",
+        "rank_dot",
+        "fused_rank",
+        F.round("rrf_score", 6).alias("rrf_score"),
+    )

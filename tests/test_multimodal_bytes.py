@@ -172,3 +172,44 @@ def test_audio_rms_exact_past_float53():
     # mixed row to float64 and lose the very bit this test is about
     assert out["sum_squares"].dtype.kind == "i"
     assert int(out["sum_squares"].iloc[0]) == exact
+
+
+def test_frame_delta_cuts_fixture():
+    """Frame sums, per-row delta reset, partial-tail drop, and the cut flag
+    on a hand-built batch — including a <1-frame payload that must emit
+    nothing and a boundary where the delta is exactly the threshold (not a
+    cut: strict >)."""
+    import numpy as np
+    import pandas as pd
+
+    from map_reduce485_spark.operators.multimodal import (
+        CUT_THRESHOLD,
+        FRAME_BYTES,
+        frame_delta_cuts,
+    )
+
+    f0 = bytes([1] * FRAME_BYTES)                       # brightness 32
+    f1 = bytes([8] * FRAME_BYTES)                       # 256, delta 224 -> cut
+    f2 = bytes([2] * FRAME_BYTES)                       # 64, delta -192 == thresh -> NOT cut
+    tail = b"xyz"                                        # partial frame, dropped
+    doc_a = f0 + f1 + f2 + tail
+    doc_b = bytes([255] * FRAME_BYTES)                   # single frame: delta 0
+    doc_c = b"short"                                     # < 1 frame: no rows
+    batch = pd.DataFrame({"doc_id": [10, 11, 12], "payload": [doc_a, doc_b, doc_c]})
+    (out,) = list(frame_delta_cuts(iter([batch])))
+
+    a = out[out.doc_id == 10].sort_values("frame_idx")
+    assert list(a.frame_idx) == [0, 1, 2]
+    assert list(a.brightness) == [32, 256, 64]
+    assert list(a.delta) == [0, 224, -192]
+    assert abs(-192) <= CUT_THRESHOLD  # premise: boundary value
+    assert list(a.is_cut) == [0, 1, 0]
+
+    b = out[out.doc_id == 11]
+    assert list(b.brightness) == [255 * FRAME_BYTES]
+    assert list(b.delta) == [0] and list(b.is_cut) == [0]
+
+    assert (out.doc_id == 12).sum() == 0
+    # the first frame of a LATER row must not inherit the previous row's
+    # brightness as a delta (row-boundary reset)
+    assert int(out[(out.doc_id == 11)].delta.iloc[0]) == 0
