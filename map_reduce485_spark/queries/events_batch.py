@@ -247,6 +247,44 @@ def _land_events(events: DataFrame, sf_dir: str) -> str:
     return land_parquet(events, sf_dir, "events")
 
 
+def _land_events_with_sentinel(events: DataFrame, landing: str) -> str:
+    """Landing dir variant with a single far-future SENTINEL event in its
+    own LAST file (strictly later mtime → the file source orders it after
+    every real file).  Shared by the gates whose output only flushes when
+    the watermark passes every deadline (session-TTL timeouts, outer-join
+    null emission): processing the sentinel jumps the watermark beyond
+    every real event's horizon, so availableNow's trailing no-data batches
+    drain all pending state.  Published atomically like `land_parquet`."""
+    import os
+    import shutil
+    from pathlib import Path
+
+    ttl_dir = Path(landing + ".ttl")
+    if not (ttl_dir / "_SUCCESS").exists():
+        if ttl_dir.exists():
+            shutil.rmtree(ttl_dir, ignore_errors=True)
+        tmp = ttl_dir.with_name(f"{ttl_dir.name}.tmp{os.getpid()}")
+        events.repartition(4).write.mode("overwrite").parquet(str(tmp))
+        sentinel = events.agg(
+            F.lit(-1).cast("bigint").alias("event_id"),
+            (F.max("ts") + F.expr("INTERVAL 3700 DAYS")).alias("ts"),
+            F.lit(-1).cast("bigint").alias("user_id"),
+            F.lit("sentinel").alias("event_type"),
+            F.lit(0.0).alias("value"),
+            F.lit("{}").alias("props"),
+        )
+        # second write → strictly later mtimes → the file source processes
+        # the sentinel file after every real file
+        sentinel.coalesce(1).write.mode("append").parquet(str(tmp))
+        try:
+            os.rename(tmp, ttl_dir)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+            if not (ttl_dir / "_SUCCESS").exists():
+                raise RuntimeError(f"ttl landing dir {ttl_dir} unusable")
+    return str(ttl_dir)
+
+
 @query("streaming_tumbling_gate", _STREAM_GATE_ORACLE, tags=("events", "streaming"))
 def streaming_tumbling_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming under the HASH gate: events land as parquet
@@ -348,10 +386,6 @@ def streaming_session_ttl_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle as `streaming_sessionize_gate` — same answer, opposite
     mechanism (engine-managed merge state there, user-state TTL eviction
     here)."""
-    import os
-    import shutil
-    from pathlib import Path
-
     from map_reduce485_spark.streaming.jobs import (
         read_events_stream,
         run_to_memory_sink,
@@ -360,32 +394,10 @@ def streaming_session_ttl_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (events,) = T(spark, sf_dir, "events")
     landing = _land_events(events, sf_dir)
-    ttl_dir = Path(landing + ".ttl")
-    if not (ttl_dir / "_SUCCESS").exists():
-        if ttl_dir.exists():
-            shutil.rmtree(ttl_dir, ignore_errors=True)
-        tmp = ttl_dir.with_name(f"{ttl_dir.name}.tmp{os.getpid()}")
-        events.repartition(4).write.mode("overwrite").parquet(str(tmp))
-        sentinel = events.agg(
-            F.lit(-1).cast("bigint").alias("event_id"),
-            (F.max("ts") + F.expr("INTERVAL 3700 DAYS")).alias("ts"),
-            F.lit(-1).cast("bigint").alias("user_id"),
-            F.lit("sentinel").alias("event_type"),
-            F.lit(0.0).alias("value"),
-            F.lit("{}").alias("props"),
-        )
-        # second write → strictly later mtimes → the file source processes
-        # the sentinel file after every real file
-        sentinel.coalesce(1).write.mode("append").parquet(str(tmp))
-        try:
-            os.rename(tmp, ttl_dir)
-        except OSError:
-            shutil.rmtree(tmp, ignore_errors=True)
-            if not (ttl_dir / "_SUCCESS").exists():
-                raise RuntimeError(f"ttl landing dir {ttl_dir} unusable")
+    ttl_dir = _land_events_with_sentinel(events, landing)
 
     sessions = stream_session_ttl(
-        read_events_stream(spark, str(ttl_dir), max_files_per_trigger=2),
+        read_events_stream(spark, ttl_dir, max_files_per_trigger=2),
         watermark="3650 days",
     )
     name = f"stream_gate_session_ttl_{landing.rsplit('_', 1)[-1]}"
@@ -1436,3 +1448,57 @@ def streaming_sliding_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"stream_gate_sliding_{landing.rsplit('_', 1)[-1]}"
     run_to_memory_sink(agg, name, mode="complete")
     return spark.table(name)
+
+
+_STREAM_OUTER_JOIN_ORACLE = """
+SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
+       strftime(v.ts, '%Y-%m-%d %H:%M:%S') AS view_ts,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+       p.value AS purchase_value
+FROM (SELECT * FROM events WHERE event_type = 'view') v
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON p.user_id = v.user_id
+ AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+"""
+
+
+@query(
+    "streaming_outer_join_gate", _STREAM_OUTER_JOIN_ORACLE, tags=("events", "streaming")
+)
+def streaming_outer_join_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join under the hash gate — the
+    eleventh gated streaming run and the one remaining stream-stream
+    semantics class: unmatched views must be HELD in state past their
+    1-hour join window and emitted with NULL purchase columns only when
+    the watermark closes the window (watermark-DRIVEN rows, where every
+    other gate's rows are arrival-driven; the inner-join gate never
+    exercises this eviction-emission path).
+
+    Deterministic gate encoding reuses the session-TTL sentinel landing
+    (`_land_events_with_sentinel`): both sides stream the same dir two
+    files per batch; the far-future sentinel in the LAST file jumps the
+    watermark past every view's window end, so the trailing no-data
+    batches flush every unmatched view exactly once.  The watermark
+    operators sit BEFORE the event-type filters (see
+    `stream_view_purchase_left_join`) — the sentinel advances event time
+    on both inputs without ever entering the join.  Output is a pure
+    function of the event multiset → hash-matches the batch LEFT JOIN
+    oracle."""
+    from map_reduce485_spark.streaming.jobs import (
+        read_events_stream,
+        run_to_memory_sink,
+        stream_view_purchase_left_join,
+    )
+
+    (events,) = T(spark, sf_dir, "events")
+    landing = _land_events(events, sf_dir)
+    ttl_dir = _land_events_with_sentinel(events, landing)
+    joined = stream_view_purchase_left_join(
+        read_events_stream(spark, ttl_dir, max_files_per_trigger=2),
+        read_events_stream(spark, ttl_dir, max_files_per_trigger=2),
+        watermark="3650 days",
+    )
+    name = f"stream_gate_ss_outer_join_{landing.rsplit('_', 1)[-1]}"
+    run_to_memory_sink(joined, name, mode="append")
+    # drop the sentinel's own output row(s); real users are non-negative
+    return spark.table(name).filter(F.col("user_id") >= 0)

@@ -309,6 +309,65 @@ def stream_view_purchase_join(
     )
 
 
+def stream_view_purchase_left_join(
+    raw_views: DataFrame,
+    raw_purchases: DataFrame,
+    horizon: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: every view row emits exactly
+    once — joined to each same-user purchase within the next ``horizon``,
+    or with NULL purchase columns if none arrives before the watermark
+    closes the view's join window.  The unmatched-row emission is the
+    distinct stateful behavior vs the inner join
+    (`stream_view_purchase_join`): the engine must HOLD each view in state
+    past its window end and only then emit the null row, so results are
+    watermark-driven, not arrival-driven.
+
+    Takes the RAW streams (not pre-filtered), and the event-type filters
+    deliberately let rows with user_id < 0 through on BOTH sides: those are
+    out-of-band control rows (the far-future watermark sentinel in tests).
+    They must reach the EventTimeWatermark operator to advance event time —
+    a filter that drops them can be pushed below the watermark node, after
+    which the join's state never sees the advanced watermark and unmatched
+    rows never flush.  Callers drop `user_id < 0` rows from the OUTPUT.
+    """
+    v = (
+        raw_views.withWatermark("ts", watermark)
+        .filter((F.col("event_type") == "view") | (F.col("user_id") < 0))
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+    )
+    p = (
+        raw_purchases.withWatermark("ts", watermark)
+        .filter((F.col("event_type") == "purchase") | (F.col("user_id") < 0))
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+    )
+    joined = v.join(
+        p,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (F.col("purchase_ts") <= F.col("view_ts") + F.expr(f"INTERVAL {horizon}")),
+        "left_outer",
+    )
+    return joined.select(
+        F.col("v_user").alias("user_id"),
+        "view_id",
+        "purchase_id",
+        F.date_format("view_ts", "yyyy-MM-dd HH:mm:ss").alias("view_ts"),
+        F.date_format("purchase_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        "purchase_value",
+    )
+
+
 def _merge_swap_parquet(spark, base: str, first: DataFrame, merge) -> None:
     """Read-merge-swap a parquet state table (shared by the foreachBatch
     sinks): write `first` if `base` doesn't exist yet, else `merge(prev)` to

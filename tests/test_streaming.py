@@ -361,3 +361,34 @@ def test_stream_session_ttl_equals_sessionize(spark, events_landing, tmp_path):
         for r in stream_sessionize(load_table(spark, SF_SMOKE, "events")).collect()
     }
     assert got == exp and len(got) > 0
+
+
+def test_streaming_outer_join_emits_unmatched_views(spark):
+    """LEFT OUTER stream-stream join: every view appears exactly once-or-
+    more (matched rows) or exactly once with NULL purchase columns; the
+    matched subset equals the INNER interval join; and unmatched views
+    exist at this SF (the eviction-emission path actually ran)."""
+    from map_reduce485_spark.catalog import load_table
+    from map_reduce485_spark.queries.events_batch import (
+        streaming_outer_join_gate,
+    )
+    from map_reduce485_spark.queries.events_batch import (
+        interval_join_attribution,
+    )
+
+    out = streaming_outer_join_gate(spark, SF_SMOKE)
+    rows = out.collect()
+    matched = {(r.view_id, r.purchase_id) for r in rows if r.purchase_id is not None}
+    null_views = {r.view_id for r in rows if r.purchase_id is None}
+    assert null_views, "no unmatched views — null emission never fired"
+    assert not ({r.view_id for r in rows if r.purchase_id is not None} & null_views)
+
+    events = load_table(spark, SF_SMOKE, "events")
+    views = {r.event_id for r in events.filter("event_type = 'view'").collect()}
+    assert {v for v, _ in matched} | null_views == views
+
+    inner = {
+        (r.view_id, r.purchase_id)
+        for r in interval_join_attribution(spark, SF_SMOKE).collect()
+    }
+    assert matched == inner
