@@ -185,3 +185,86 @@ def bfs_hops_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         visited = visited.unionAll(nxt.select("node", F.lit(d).alias("dist")))
         frontier = nxt
     return visited
+
+
+# ---------------------------------------------------------------------------
+# single-source shortest path (min-plus Bellman-Ford, fixed rounds)
+# ---------------------------------------------------------------------------
+
+_SSSP_ROUNDS = 4
+
+_E0_WEIGHTED = (
+    "e0 AS (SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst,"
+    " CAST(MIN(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS w"
+    " FROM orders JOIN lineitem ON l_orderkey = o_orderkey"
+    " GROUP BY o_custkey, l_suppkey)"
+)
+
+
+def _oracle_sssp() -> str:
+    """Unrolled min-plus relaxation CTEs — the literal Bellman-Ford rounds
+    the Spark loop runs, replayed sequentially."""
+    ctes = [
+        _E0_WEIGHTED,
+        "edges AS (SELECT src, dst, w FROM e0 UNION ALL SELECT dst, src, w FROM e0)",
+        "d0 AS (SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist)",
+    ]
+    for k in range(1, _SSSP_ROUNDS + 1):
+        ctes.append(
+            f"d{k} AS (SELECT node, MIN(dist) AS dist FROM ("
+            f"SELECT node, dist FROM d{k - 1} "
+            f"UNION ALL "
+            f"SELECT e.dst AS node, v.dist + e.w AS dist "
+            f"FROM edges e JOIN d{k - 1} v ON e.src = v.node) GROUP BY node)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT node, dist / 100.0 AS min_cost FROM d{_SSSP_ROUNDS}"
+    )
+
+
+@query("sssp_trade_graph", _oracle_sssp(), tags=("graph",))
+def sssp_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED single-source shortest path from customer 0 over the trade
+    graph, edge weight = the pair's cheapest lineitem in integer cents —
+    Bellman-Ford as {rounds} unrolled min-plus relaxations, the fourth
+    distributed-graph shape in the registry (fixpoint, power method, BFS
+    frontier, now min-plus semiring).  Each round is one join (edges ×
+    tentative distances) + one UNION + one grouped MIN — associative,
+    integer, hence bit-equal to the oracle's chained-CTE replay; BFS is
+    the special case w≡1 of this round, which is why the two share their
+    plan shape but not their semiring.
+
+    Scale: the per-round shuffle carries (node, bigint) tentative
+    distances plus one message per relaxed edge — never the whole graph;
+    k rounds bound path length like BFS's levels (production iterates to
+    fixpoint with localCheckpoint lineage cuts, `operators/components.py`
+    style).  Weights pre-aggregate to one edge per (cust, supp) pair
+    BEFORE the loop, so repeat purchases don't multiply messages."""
+    orders, lineitem = T(spark, sf_dir, "orders", "lineitem")
+    e0 = (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .groupBy("o_custkey", "l_suppkey")
+        .agg(F.min(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("w"))
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+            "w",
+        )
+    )
+    edges = cache_scoped(
+        e0.unionAll(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w"))
+    )
+    dist = spark.createDataFrame([(0, 0)], "node long, dist long")
+    for _ in range(_SSSP_ROUNDS):
+        relaxed = edges.join(dist, edges.src == dist.node).select(
+            F.col("dst").alias("node"), (F.col("dist") + F.col("w")).alias("dist")
+        )
+        dist = (
+            dist.select("node", "dist")
+            .unionAll(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+    return dist.select("node", (F.col("dist") / 100.0).alias("min_cost"))

@@ -523,3 +523,36 @@ def test_autocorrelation_bounds(spark):
     for r in rows:
         assert -1.0 <= r.autocorr <= 1.0
         assert r.n_pairs > 0
+
+
+def test_sssp_matches_python_bellman_ford(spark):
+    """4-round min-plus relaxation cross-checked against a driver-side
+    Bellman-Ford over the same collected edge list (sf0.001)."""
+    from map_reduce485_spark.catalog import load_table
+    from map_reduce485_spark.queries.graph import _SSSP_ROUNDS, sssp_trade_graph
+    import pyspark.sql.functions as F
+
+    got = {r.node: r.min_cost for r in sssp_trade_graph(spark, SF_SMOKE).collect()}
+
+    orders = load_table(spark, SF_SMOKE, "orders")
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    e0 = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_custkey", "l_suppkey")
+        .agg(F.min(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("w"))
+        .collect()
+    )
+    adj: dict[int, list[tuple[int, int]]] = {}
+    for r in e0:
+        u, v = r.o_custkey * 2, r.l_suppkey * 2 + 1
+        adj.setdefault(u, []).append((v, r.w))
+        adj.setdefault(v, []).append((u, r.w))
+    dist = {0: 0}
+    for _ in range(_SSSP_ROUNDS):
+        nxt = dict(dist)
+        for u, d in dist.items():
+            for v, w in adj.get(u, []):
+                if d + w < nxt.get(v, float("inf")):
+                    nxt[v] = d + w
+        dist = nxt
+    assert got == {n: d / 100.0 for n, d in dist.items()}
