@@ -1824,3 +1824,68 @@ def autocorrelation_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("autocorr"),
     )
+
+
+# ---------------------------------------------------------------------------
+# zone-map (min/max statistics) skipping report
+# ---------------------------------------------------------------------------
+
+_ZONE_MAP_ORACLE = """
+WITH mx AS (SELECT MAX(l_orderkey) AS maxk FROM lineitem),
+zones AS (
+  SELECT (l_orderkey * 32) // (mx.maxk + 1) AS zone,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         MIN(l_shipdate) AS min_ship, MAX(l_shipdate) AS max_ship
+  FROM lineitem, mx GROUP BY 1
+)
+SELECT zone, n_rows,
+       strftime(min_ship, '%Y-%m-%d') AS min_ship,
+       strftime(max_ship, '%Y-%m-%d') AS max_ship,
+       CAST(max_ship < DATE '1994-01-01' OR min_ship > DATE '1994-12-31' AS INT)
+         AS pruned
+FROM zones
+"""
+
+
+@query("zone_map_skipping_report", _ZONE_MAP_ORACLE, tags=("advanced", "etl"))
+def zone_map_skipping_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map (per-file min/max statistics) accounting — the data-
+    skipping ledger behind every lakehouse scan planner: model 32 files as
+    orderkey range zones (one integer multiply+div per row, no global
+    sort), compute each zone's min/max shipdate footer stats, and mark
+    which zones a 1994 shipdate predicate can skip WITHOUT reading.  On
+    TPC-H data orderkeys correlate loosely with dates, so pruning is
+    partial — exactly the signal that tells an operator whether the table
+    needs re-clustering (`zorder_multidim_filter` is the fix; this is the
+    diagnostic that says when).  Complements `partition_pruned_scan`,
+    which witnesses the ENGINE skipping directory partitions; this
+    computes the statistics layer itself, so it works for any candidate
+    layout before committing to a rewrite.  All min/max/count per zone —
+    one map-side-combinable aggregation at any scale."""
+    (li,) = T(spark, sf_dir, "lineitem")
+    mx = li.agg(F.max("l_orderkey").alias("maxk"))
+    zones = (
+        li.crossJoin(F.broadcast(mx))
+        .groupBy(
+            # integer div, not double /: at fact-table keys beyond 2^53/32 a
+            # double quotient could round a boundary row into the wrong zone
+            F.expr("(l_orderkey * 32) div (maxk + 1)").alias("zone")
+        )
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("l_shipdate").alias("min_ship"),
+            F.max("l_shipdate").alias("max_ship"),
+        )
+    )
+    return zones.select(
+        "zone",
+        "n_rows",
+        F.date_format("min_ship", "yyyy-MM-dd").alias("min_ship"),
+        F.date_format("max_ship", "yyyy-MM-dd").alias("max_ship"),
+        (
+            (F.col("max_ship") < F.lit("1994-01-01").cast("date"))
+            | (F.col("min_ship") > F.lit("1994-12-31").cast("date"))
+        )
+        .cast("int")
+        .alias("pruned"),
+    )
