@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from map_reduce485_spark.queries import query
-from map_reduce485_spark.queries._util import T
+from map_reduce485_spark.queries._util import T, cache_scoped
 
 _DIM = 64
 
@@ -1442,4 +1442,162 @@ def rrf_fusion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rank_dot",
         "fused_rank",
         F.round("rrf_score", 6).alias("rrf_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified top-k (unrolled greedy selection)
+# ---------------------------------------------------------------------------
+
+_MMR_K = 5          # picks per query
+_MMR_POOL = 20      # candidate pool per query (top-N by relevance)
+_MMR_LAM = 0.7      # relevance weight; (1 - lam) penalizes redundancy
+
+
+def _oracle_mmr() -> str:
+    """Unrolled greedy MMR rounds as chained CTEs — the literal selection
+    loop the Spark side runs, replayed sequentially."""
+    ctes = [
+        _DUCK_EMB_CTE,
+        # candidate pool: top-N by relevance per query, ties by id
+        f"""cand AS (
+  SELECT query_id, cid, rel FROM (
+    SELECT q.vec_id AS query_id, n.vec_id AS cid,
+           {_duck_cos('q.v', 'n.v')} AS rel,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                              ORDER BY {_duck_cos('q.v', 'n.v')} DESC, n.vec_id) AS rnk
+    FROM emb q JOIN emb n ON n.vec_id <> q.vec_id
+    WHERE q.vec_id < 3
+  ) WHERE rnk <= {_MMR_POOL})""",
+        # pairwise sims within each pool
+        f"""psim AS (
+  SELECT a.query_id, a.cid AS a_id, b.cid AS b_id, {_duck_cos('va.v', 'vb.v')} AS sim
+  FROM cand a JOIN cand b ON a.query_id = b.query_id AND a.cid <> b.cid
+  JOIN emb va ON va.vec_id = a.cid JOIN emb vb ON vb.vec_id = b.cid)""",
+        """s1 AS (
+  SELECT query_id, cid, 1 AS pick_rank, rel AS score FROM (
+    SELECT query_id, cid, rel,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rel DESC, cid) AS rnk
+    FROM cand) WHERE rnk = 1)""",
+    ]
+    for t in range(2, _MMR_K + 1):
+        p = t - 1
+        ctes.append(f"""m{t} AS (
+  SELECT c.query_id, c.cid, c.rel, MAX(p.sim) AS maxsim
+  FROM cand c
+  JOIN psim p ON p.query_id = c.query_id AND p.a_id = c.cid
+  JOIN s{p} s ON s.query_id = p.query_id AND s.cid = p.b_id
+  WHERE NOT EXISTS (SELECT 1 FROM s{p} x WHERE x.query_id = c.query_id AND x.cid = c.cid)
+  GROUP BY c.query_id, c.cid, c.rel)""")
+        ctes.append(f"""s{t} AS (
+  SELECT query_id, cid, pick_rank, score FROM s{p}
+  UNION ALL
+  SELECT query_id, cid, {t} AS pick_rank, mmr AS score FROM (
+    SELECT query_id, cid,
+           {_MMR_LAM} * rel - {round(1 - _MMR_LAM, 10)} * maxsim AS mmr,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY {_MMR_LAM} * rel
+                                     - {round(1 - _MMR_LAM, 10)} * maxsim DESC,
+                              cid) AS rnk
+    FROM m{t}) WHERE rnk = 1)""")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT query_id, cid, pick_rank, ROUND(score, 6) AS score FROM s{_MMR_K}"
+    )
+
+
+@query("mmr_diversified_topk", _oracle_mmr(), tags=("similarity",))
+def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance (Carbonell & Goldstein '98) — the
+    diversified re-rank every RAG retriever runs after ANN: greedily pick
+    k results where each pick maximizes λ·relevance − (1−λ)·max-similarity
+    to what's already picked, so near-duplicate hits can't crowd the
+    context window.  Greedy selection is inherently sequential, but ONLY
+    across the k picks: each of the k unrolled rounds is a fully
+    distributed (remaining ⋈ pairwise-sims ⋈ selected) → group-max →
+    per-query top-1 window, all queries advancing in parallel — the same
+    fixed-unroll move as `pagerank_trade_graph`/`sssp_trade_graph`, here
+    on an argmax recurrence.  Pool relevance and pair similarities are
+    the sequential-fold cosines (bit-identical cross-engine), the MMR
+    combination is one shared expression tree, ties break by id — so all
+    k picks hash-match the oracle's CTE replay.
+
+    Scale: pair sims are computed once within each query's POOL (N²
+    per query with N=pool size, not corpus size) and every round touches
+    only pool rows; the corpus-sized work is the candidate generation,
+    delegated to the ANN queries at scale (this pool uses exact top-N as
+    its test-SF twin)."""
+    from pyspark.sql import Window as W
+
+    (emb,) = T(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    n = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("n_emb"))
+    cand = cache_scoped(
+        F.broadcast(q)
+        .join(n, F.col("cid") != F.col("query_id"))
+        .select("query_id", "cid", cosine_col("q_emb", "n_emb").alias("rel"))
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                W.partitionBy("query_id").orderBy(F.col("rel").desc(), "cid")
+            ),
+        )
+        .filter(F.col("rnk") <= _MMR_POOL)
+        .drop("rnk")
+    )
+    a = cand.select("query_id", F.col("cid").alias("a_id"))
+    b = cand.select(F.col("query_id").alias("qb"), F.col("cid").alias("b_id"))
+    va = emb.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_emb"))
+    vb = emb.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_emb"))
+    psim = cache_scoped(
+        a.join(b, (F.col("query_id") == F.col("qb")) & (F.col("a_id") != F.col("b_id")))
+        .join(va, "a_id")
+        .join(vb, "b_id")
+        .select("query_id", "a_id", "b_id", cosine_col("a_emb", "b_emb").alias("sim"))
+    )
+
+    w_rel = W.partitionBy("query_id").orderBy(F.col("rel").desc(), "cid")
+    sel = (
+        cand.withColumn("rnk", F.row_number().over(w_rel))
+        .filter(F.col("rnk") == 1)
+        .select("query_id", "cid", F.lit(1).alias("pick_rank"), F.col("rel").alias("score"))
+    )
+    lam, mu = _MMR_LAM, round(1 - _MMR_LAM, 10)
+    for t in range(2, _MMR_K + 1):
+        rem = cand.join(sel.select("query_id", "cid"), ["query_id", "cid"], "left_anti")
+        ms = (
+            rem.join(
+                psim.withColumnRenamed("a_id", "cid"),
+                ["query_id", "cid"],
+            )
+            .join(
+                sel.select("query_id", F.col("cid").alias("b_id")),
+                ["query_id", "b_id"],
+            )
+            .groupBy("query_id", "cid", "rel")
+            .agg(F.max("sim").alias("maxsim"))
+        )
+        mmr = lam * F.col("rel") - mu * F.col("maxsim")
+        w_mmr = W.partitionBy("query_id").orderBy(mmr.desc(), "cid")
+        pick = (
+            ms.withColumn("rnk", F.row_number().over(w_mmr))
+            .filter(F.col("rnk") == 1)
+            .select(
+                "query_id",
+                "cid",
+                F.lit(t).alias("pick_rank"),
+                mmr.alias("score"),
+            )
+        )
+        # truncate lineage each round: sel is referenced ~4× per subsequent
+        # round (anti-join, selected-side join, union), so an uncut plan
+        # grows geometrically and Catalyst analysis dominates runtime — the
+        # `operators/components.py` lesson; the frame is ≤ Q·k rows, so the
+        # eager checkpoint is effectively free.
+        sel = sel.unionAll(pick).localCheckpoint(eager=True)
+    return sel.select(
+        "query_id", "cid", "pick_rank", F.round("score", 6).alias("score")
     )

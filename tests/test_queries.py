@@ -556,3 +556,51 @@ def test_sssp_matches_python_bellman_ford(spark):
                     nxt[v] = d + w
         dist = nxt
     assert got == {n: d / 100.0 for n, d in dist.items()}
+
+
+def test_mmr_matches_python_greedy(spark):
+    """Unrolled MMR selection cross-checked against a literal driver-side
+    greedy loop over the same pools (sf0.001)."""
+    import numpy as np
+
+    from map_reduce485_spark.catalog import load_table
+    from map_reduce485_spark.queries.similarity import (
+        _MMR_K,
+        _MMR_LAM,
+        _MMR_POOL,
+        mmr_diversified_topk,
+    )
+
+    got = [
+        (r.query_id, r.cid, r.pick_rank)
+        for r in mmr_diversified_topk(spark, SF_SMOKE).collect()
+    ]
+
+    emb = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in load_table(spark, SF_SMOKE, "embeddings").collect()
+    }
+
+    def cos(a, b):
+        return float(a @ b / (np.sqrt(a @ a) * np.sqrt(b @ b)))
+
+    exp = []
+    for qid in [v for v in sorted(emb) if v < 3]:
+        rel = {c: cos(emb[qid], emb[c]) for c in emb if c != qid}
+        pool = sorted(rel, key=lambda c: (-rel[c], c))[:_MMR_POOL]
+        sel = [min(pool, key=lambda c: (-rel[c], c))]
+        while len(sel) < _MMR_K:
+            remaining = [c for c in pool if c not in sel]
+            best = min(
+                remaining,
+                key=lambda c: (
+                    -(
+                        _MMR_LAM * rel[c]
+                        - (1 - _MMR_LAM) * max(cos(emb[c], emb[s]) for s in sel)
+                    ),
+                    c,
+                ),
+            )
+            sel.append(best)
+        exp.extend((qid, c, i + 1) for i, c in enumerate(sel))
+    assert sorted(got) == sorted(exp)
