@@ -1601,3 +1601,92 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sel.select(
         "query_id", "cid", "pick_rank", F.round("score", 6).alias("score")
     )
+
+
+# ---------------------------------------------------------------------------
+# random projection (Johnson-Lindenstrauss sketch, md5-derived signs)
+# ---------------------------------------------------------------------------
+
+_RP_OUT = 8
+
+
+def _rp_signs() -> list[list[int]]:
+    """±1 sign matrix (OUT × DIM), derived from md5 so every engine/run
+    agrees without sharing state: sign[j][i] = +1 iff the first hex digit
+    of md5("rp:j:i") < '8'.  Materialized as literals into BOTH the Spark
+    expressions and the oracle SQL — the projection matrix is data, not
+    code, exactly how a production pipeline would broadcast it."""
+    import hashlib as _h
+
+    return [
+        [
+            1 if _h.md5(f"rp:{j}:{i}".encode()).hexdigest()[0] < "8" else -1
+            for i in range(_DIM)
+        ]
+        for j in range(_RP_OUT)
+    ]
+
+
+def _oracle_rp() -> str:
+    signs = _rp_signs()
+    comps = []
+    for j in range(_RP_OUT):
+        lit = "[" + ", ".join(str(s) for s in signs[j]) + "]"
+        comps.append(
+            f"ROUND(list_reduce(list_transform(generate_series(1, {_DIM}),"
+            f" i -> v[i] * ({lit})[i]), (acc, el) -> acc + el), 6) AS p{j}"
+        )
+    sq = " + ".join(f"p{j} * p{j}" for j in range(_RP_OUT))
+    return f"""
+WITH {_DUCK_EMB_CTE},
+proj AS (SELECT vec_id, {', '.join(comps)},
+         {_duck_sq('v')} AS norm2 FROM emb)
+SELECT vec_id, {', '.join(f'p{j}' for j in range(_RP_OUT))},
+       ROUND(({sq}) / {_RP_OUT} / norm2, 6) AS norm_ratio
+FROM proj
+"""
+
+
+@query("embedding_random_projection", _oracle_rp(), tags=("similarity",))
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss sketch: project every 64-d embedding to 8
+    dimensions through a deterministic ±1 sign matrix (md5-derived, see
+    `_rp_signs`) — the dimensionality reduction that makes billion-vector
+    candidate generation cheap (8 doubles ≈ 16× less shuffle than the raw
+    vector; `ann_pq_topk` is the codebook alternative).  Each component is
+    the house sequential left fold, so doubles hash-match; `norm_ratio`
+    ((Σpⱼ²)/8 ÷ ‖v‖²) is emitted per row as the JL distortion witness —
+    E[ratio] = 1, and the pytest pins its concentration.  Pure map-side:
+    zero shuffle at any corpus size, and the sign matrix travels as plan
+    literals exactly like a broadcast."""
+    (emb,) = T(spark, sf_dir, "embeddings")
+    signs = _rp_signs()
+    comps = []
+    for j in range(_RP_OUT):
+        lit = "array(" + ", ".join(str(s) for s in signs[j]) + ")"
+        comps.append(
+            F.round(
+                F.expr(
+                    f"aggregate(zip_with(embedding, {lit},"
+                    " (x, s) -> CAST(x AS DOUBLE) * s), 0D, (acc, v) -> acc + v)"
+                ),
+                6,
+            ).alias(f"p{j}")
+        )
+    proj = emb.select(
+        "vec_id",
+        *comps,
+        F.expr(
+            "aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
+            " 0D, (acc, v) -> acc + v)"
+        ).alias("norm2"),
+    )
+    sq = None
+    for j in range(_RP_OUT):
+        term = F.col(f"p{j}") * F.col(f"p{j}")
+        sq = term if sq is None else sq + term
+    return proj.select(
+        "vec_id",
+        *[f"p{j}" for j in range(_RP_OUT)],
+        F.round(sq / _RP_OUT / F.col("norm2"), 6).alias("norm_ratio"),
+    )

@@ -604,3 +604,24 @@ def test_mmr_matches_python_greedy(spark):
             sel.append(best)
         exp.extend((qid, c, i + 1) for i, c in enumerate(sel))
     assert sorted(got) == sorted(exp)
+
+
+def test_random_projection_jl_concentration(spark):
+    """JL distortion witness: per-row norm ratios concentrate around 1
+    (E[ratio]=1 for a ±1 projection) and the sign matrix is reproducible."""
+    from map_reduce485_spark.queries.similarity import (
+        _rp_signs,
+        embedding_random_projection,
+    )
+
+    assert _rp_signs() == _rp_signs()
+    flat = [s for row in _rp_signs() for s in row]
+    assert set(flat) == {-1, 1}
+    assert 0.3 < sum(1 for s in flat if s == 1) / len(flat) < 0.7
+
+    ratios = [
+        r.norm_ratio for r in embedding_random_projection(spark, SF_SMOKE).collect()
+    ]
+    assert ratios and all(r > 0 for r in ratios)
+    mean = sum(ratios) / len(ratios)
+    assert 0.8 < mean < 1.25
