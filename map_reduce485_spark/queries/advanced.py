@@ -1889,3 +1889,82 @@ def zone_map_skipping_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("pruned"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit
+# ---------------------------------------------------------------------------
+
+# log10(1 + 1/d) for d = 1..9, materialized as full-precision double
+# literals: libm log10 is not guaranteed correctly rounded, so computing
+# these IN the engines could differ in the last ulp between Spark and
+# DuckDB — constants are data, folded identically everywhere.
+_BENFORD_P = {
+    1: "0.3010299956639812",
+    2: "0.17609125905568124",
+    3: "0.12493873660829992",
+    4: "0.09691001300805642",
+    5: "0.07918124604762482",
+    6: "0.06694678963061322",
+    7: "0.05799194697768673",
+    8: "0.05115252244738129",
+    9: "0.04575749056067514",
+}
+
+# `e0` suffix forces DOUBLE parsing on both engines (a bare decimal
+# literal parses as DECIMAL in DuckDB and in Spark, which formats with a
+# different trailing-zero convention and breaks the hash)
+_BENFORD_CASE_SQL = (
+    "CASE first_digit "
+    + " ".join(f"WHEN {d} THEN {p}e0" for d, p in _BENFORD_P.items())
+    + " END"
+)
+
+_BENFORD_ORACLE = f"""
+WITH digits AS (
+  SELECT CAST(substr(CAST(CAST(FLOOR(l_extendedprice) AS BIGINT) AS VARCHAR), 1, 1)
+              AS INT) AS first_digit
+  FROM lineitem
+),
+counts AS (
+  SELECT first_digit, CAST(COUNT(*) AS BIGINT) AS n_obs FROM digits GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM counts)
+SELECT first_digit, n_obs,
+       CAST(n_obs AS DOUBLE) / tot.n AS observed_pct,
+       {_BENFORD_CASE_SQL} AS benford_pct,
+       CAST(n_obs AS DOUBLE) / tot.n - {_BENFORD_CASE_SQL} AS deviation
+FROM counts, tot
+"""
+
+
+@query("benford_digit_audit", _BENFORD_ORACLE, tags=("advanced", "etl"))
+def benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of the price column — the forensic
+    data-quality screen for fabricated or truncated numeric data (natural
+    multiplicative data follows P(d) = log10(1+1/d); synthetic uniform
+    data does not, and the deviation column shows exactly that here).
+    First digit extracted through FLOOR→bigint→string (floor, not cast:
+    double→int casting rounds in DuckDB but truncates in Spark); expected
+    probabilities are full-precision literals, not in-engine log10 calls
+    (libm is not correctly-rounded, see `_BENFORD_P`).  One map-side
+    digit extraction + a 9-row aggregate: nothing here grows with the
+    table."""
+    (li,) = T(spark, sf_dir, "lineitem")
+    digits = li.select(
+        F.substring(
+            F.floor(F.col("l_extendedprice")).cast("long").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("first_digit")
+    )
+    counts = digits.groupBy("first_digit").agg(F.count("*").alias("n_obs"))
+    tot = counts.agg(F.sum("n_obs").alias("n"))
+    benford = F.expr(_BENFORD_CASE_SQL)
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "first_digit",
+        "n_obs",
+        (F.col("n_obs").cast("double") / F.col("n")).alias("observed_pct"),
+        benford.alias("benford_pct"),
+        (F.col("n_obs").cast("double") / F.col("n") - benford).alias("deviation"),
+    )

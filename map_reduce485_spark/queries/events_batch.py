@@ -1502,3 +1502,147 @@ def streaming_outer_join_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     run_to_memory_sink(joined, name, mode="append")
     # drop the sentinel's own output row(s); real users are non-negative
     return spark.table(name).filter(F.col("user_id") >= 0)
+
+
+_MULTI_TOUCH_ORACLE = """
+WITH pairs AS (
+  SELECT p.event_id AS purchase_id, v.event_id AS view_id, p.user_id,
+         CAST(ROUND(p.value * 100) AS BIGINT) AS value_cents
+  FROM events p JOIN events v
+    ON v.user_id = p.user_id
+   AND p.event_type = 'purchase' AND v.event_type = 'view'
+   AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 1 HOUR
+),
+credits AS (
+  SELECT view_id, user_id,
+         CAST(value_cents AS DOUBLE)
+           / COUNT(*) OVER (PARTITION BY purchase_id) / 100.0 AS credit
+  FROM pairs
+)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_credited_views,
+       ROUND(list_reduce(list(credit ORDER BY view_id, credit),
+                         (acc, x) -> acc + x), 6) AS attributed_value
+FROM credits GROUP BY user_id
+"""
+
+
+@query("multi_touch_attribution", _MULTI_TOUCH_ORACLE, tags=("events", "join"))
+def multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINEAR multi-touch attribution — the marketing-analytics staple on
+    top of the interval join: every view in the hour BEFORE a purchase
+    shares that purchase's value equally (value/n per touch), then credit
+    rolls up per user.  The per-touch credit is one exact division
+    (integer cents ÷ window count); the per-user rollup is a float sum,
+    which no associative aggregate can hash-pin, so both engines fold the
+    credits in the same explicit (view_id, credit) order — the
+    `ewma_hourly_value` sequential-fold move applied to a JOIN product
+    rather than a time series.  Scale: the interval join shuffles on
+    user_id only (time bounds filter within partitions), the count window
+    keys on purchase_id — both bounded keys, no cartesian, no broadcast
+    dependence."""
+    from pyspark.sql import Window as W
+
+    (events,) = T(spark, sf_dir, "events")
+    p = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("p_ts"),
+        F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+    )
+    v = events.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+    )
+    pairs = p.join(
+        v,
+        (F.col("v_user") == F.col("user_id"))
+        & (F.col("v_ts") <= F.col("p_ts"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+    )
+    credits = pairs.select(
+        "view_id",
+        "user_id",
+        (
+            F.col("value_cents").cast("double")
+            / F.count("*").over(W.partitionBy("purchase_id"))
+            / 100.0
+        ).alias("credit"),
+    )
+    arrs = credits.groupBy("user_id").agg(
+        F.count("*").alias("n_credited_views"),
+        F.expr(
+            "transform(array_sort(collect_list(struct(view_id, credit))), s -> s.credit)"
+        ).alias("cs"),
+    )
+    return arrs.select(
+        "user_id",
+        "n_credited_views",
+        F.round(
+            F.expr(
+                "aggregate(slice(cs, 2, size(cs) - 1), element_at(cs, 1),"
+                " (acc, x) -> acc + x)"
+            ),
+            6,
+        ).alias("attributed_value"),
+    )
+
+
+_CUSUM_ORACLE = """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS h,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS s
+  FROM events GROUP BY 1
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(s) AS BIGINT) AS total FROM hourly
+),
+dev AS (
+  -- n·CUSUM_t = Σ_{i<=t} (n·s_i − total): exact bigint, no mean division
+  SELECT h, s, SUM(tot.n * s - tot.total) OVER (ORDER BY h) AS ncusum, tot.n
+  FROM hourly, tot
+),
+mx AS (SELECT MAX(abs(ncusum)) AS peak FROM dev)
+SELECT strftime(dev.h, '%Y-%m-%d %H:%M:%S') AS hour_s, dev.s,
+       CAST(dev.ncusum AS DOUBLE) / dev.n / 100.0 AS cusum,
+       CAST(abs(dev.ncusum) = mx.peak AS INT) AS is_changepoint
+FROM dev, mx
+"""
+
+
+@query("cusum_changepoint", _CUSUM_ORACLE, tags=("events", "timeseries"))
+def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection on the hourly value series: the
+    cumulative sum of deviations from the series mean peaks exactly where
+    the level shifts, so the argmax |CUSUM| row is the classic
+    single-change-point estimate.  The whole statistic stays in exact
+    bigint by multiplying through by n (n·cusum_t = Σ n·s_i − t·total) —
+    no float mean enters the prefix sum, so the running values are
+    order-independent integers and the one double division per row is
+    identical cross-engine.  The ordered window runs over the POST-AGG
+    hourly series (bounded rows, the `ewma_hourly_value` shape), never
+    the raw events; at 100 TB the scan reduces map-side first."""
+    from pyspark.sql import Window as W
+
+    (events,) = T(spark, sf_dir, "events")
+    hourly = events.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("s")
+    )
+    tot = hourly.agg(
+        F.count("*").alias("n"), F.sum("s").alias("total")
+    )
+    dev = hourly.crossJoin(F.broadcast(tot)).select(
+        "h",
+        "s",
+        "n",
+        F.sum(F.col("n") * F.col("s") - F.col("total"))
+        .over(W.orderBy("h").rowsBetween(W.unboundedPreceding, 0))
+        .alias("ncusum"),
+    )
+    mx = dev.agg(F.max(F.abs(F.col("ncusum"))).alias("peak"))
+    return dev.crossJoin(F.broadcast(mx)).select(
+        fmt_ts("h", "hour_s"),
+        "s",
+        (F.col("ncusum").cast("double") / F.col("n") / 100.0).alias("cusum"),
+        (F.abs(F.col("ncusum")) == F.col("peak")).cast("int").alias("is_changepoint"),
+    )
