@@ -1350,3 +1350,91 @@ def dedup_chunk_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# asymmetric containment (subset/quotation detection)
+# ---------------------------------------------------------------------------
+
+_CONTAIN_T = 0.6
+
+_CONTAIN_ORACLE = f"""
+WITH {_ORACLE_SHINGLES},
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS intersection
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT a_id, b_id, intersection,
+       CAST(intersection AS DOUBLE) / sa.n AS containment_a,
+       CAST(intersection AS DOUBLE) / sb.n AS containment_b
+FROM pairs
+JOIN sizes sa ON sa.doc_id = a_id
+JOIN sizes sb ON sb.doc_id = b_id
+WHERE CAST(intersection AS DOUBLE) / sa.n >= {_CONTAIN_T}
+   OR CAST(intersection AS DOUBLE) / sb.n >= {_CONTAIN_T}
+"""
+
+
+@query("dedup_containment_pairs", _CONTAIN_ORACLE, tags=("dedup",))
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC containment |A∩B|/|A| — the dedup metric Jaccard can't
+    express: a short document quoted wholesale inside a long one scores
+    near-zero Jaccard (the union is huge) but containment ≈ 1 in the
+    short→long direction.  Broder's resemblance-vs-containment
+    distinction; training-data curation needs BOTH (near-identical pairs
+    AND subsumed fragments).  Same inverted-index candidate plan as
+    `dedup_ngram_jaccard` (hashed shingles, shingle equi-join, per-pair
+    intersection counts — only pairs sharing a shingle ever meet), with
+    the two directional ratios in the final projection; kept-rows need
+    either direction past {_CONTAIN_T}.  Scale path unchanged: candidates
+    come banded (MinHash) at 100 TB, and this containment math reranks
+    them — the test-SF exact twin of that rerank."""
+    (docs,) = T(spark, sf_dir, "documents")
+    sh = cache_scoped(
+        docs.select(
+            "doc_id", F.expr("filter(split(text, ' '), x -> x <> '')").alias("w")
+        )
+        .filter(F.size("w") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        "transform(sequence(1, size(w) - 2),"
+                        " i -> xxhash64(w[i-1], w[i], w[i+1]))"
+                    )
+                )
+            ).alias("shingle"),
+        )
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id")
+        )
+        .agg(F.count("*").alias("intersection"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a_id"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n").alias("nb"))
+    ca = F.col("intersection").cast("double") / F.col("na")
+    cb = F.col("intersection").cast("double") / F.col("nb")
+    return (
+        pairs.join(sa, "a_id")
+        .join(sb, "b_id")
+        .filter((ca >= _CONTAIN_T) | (cb >= _CONTAIN_T))
+        .select(
+            "a_id",
+            "b_id",
+            "intersection",
+            ca.alias("containment_a"),
+            cb.alias("containment_b"),
+        )
+    )

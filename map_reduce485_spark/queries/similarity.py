@@ -1690,3 +1690,79 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[f"p{j}" for j in range(_RP_OUT)],
         F.round(sq / _RP_OUT / F.col("norm2"), 6).alias("norm_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# centroid drift matrix (embedding-distribution monitoring)
+# ---------------------------------------------------------------------------
+
+_DRIFT_ORACLE = f"""
+WITH e AS (
+  SELECT label, UNNEST(generate_series(1, len(embedding))) AS i, embedding AS emb
+  FROM embeddings
+),
+sums AS (
+  SELECT label, i,
+         CAST(SUM(CAST(ROUND(CAST(emb[i] AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) AS s,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM e GROUP BY label, i
+),
+cent AS (SELECT label, i, CAST(s AS DOUBLE) / (1000000.0 * n) AS c FROM sums),
+arrs AS (SELECT label, list(c ORDER BY i) AS v FROM cent GROUP BY label),
+ns AS (SELECT label, MAX(n) AS n_vectors FROM sums GROUP BY label)
+SELECT a.label AS a_label, b.label AS b_label,
+       na.n_vectors AS n_a, nb.n_vectors AS n_b,
+       ROUND({_duck_cos('a.v', 'b.v')}, 6) AS centroid_cos
+FROM arrs a JOIN arrs b ON a.label < b.label
+JOIN ns na ON na.label = a.label JOIN ns nb ON nb.label = b.label
+"""
+
+
+@query("centroid_drift_matrix", _DRIFT_ORACLE, tags=("similarity", "agg"))
+def centroid_drift_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine between per-label embedding centroids — the drift
+    matrix an embedding pipeline monitors across sources/snapshots (two
+    populations whose centroids drift toward 1 are collapsing into each
+    other; toward 0, diverging).  Centroids reuse the micro-unit exact
+    pooling of `embedding_label_centroids` (bigint sums, one division),
+    assembled into position-ordered arrays, then the house sequential-fold
+    cosine per label pair.  Scale: the corpus-sized work is ONE exploded
+    aggregation (combinable map-side, d longs per label); the pairwise
+    stage touches only L centroids — L² tiny rows no matter how many
+    vectors."""
+    (emb,) = T(spark, sf_dir, "embeddings")
+    exploded = emb.select("label", F.posexplode("embedding").alias("pos", "x"))
+    sums = exploded.groupBy("label", "pos").agg(
+        F.sum(F.round(F.col("x").cast("double") * 1000000).cast("long")).alias("s"),
+        F.count("*").alias("n"),
+    )
+    cent = sums.select(
+        "label",
+        "pos",
+        (F.col("s").cast("double") / (1000000.0 * F.col("n"))).alias("c"),
+    )
+    arrs = cent.groupBy("label").agg(
+        F.expr("transform(array_sort(collect_list(struct(pos, c))), t -> t.c)").alias("v")
+    )
+    ns = sums.groupBy("label").agg(F.max("n").alias("n_vectors"))
+    a = arrs.select(F.col("label").alias("a_label"), F.col("v").alias("va"))
+    b = arrs.select(F.col("label").alias("b_label"), F.col("v").alias("vb"))
+    na = ns.select(F.col("label").alias("a_label"), F.col("n_vectors").alias("n_a"))
+    nb = ns.select(F.col("label").alias("b_label"), F.col("n_vectors").alias("n_b"))
+    cos = F.expr(
+        "aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
+        " / (sqrt(aggregate(transform(va, x -> x * x), 0D, (acc, v) -> acc + v))"
+        " * sqrt(aggregate(transform(vb, x -> x * x), 0D, (acc, v) -> acc + v)))"
+    )
+    return (
+        a.join(b, F.col("a_label") < F.col("b_label"))
+        .join(na, "a_label")
+        .join(nb, "b_label")
+        .select(
+            "a_label",
+            "b_label",
+            "n_a",
+            "n_b",
+            F.round(cos, 6).alias("centroid_cos"),
+        )
+    )
