@@ -1968,3 +1968,82 @@ def benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         benford.alias("benford_pct"),
         (F.col("n_obs").cast("double") / F.col("n") - benford).alias("deviation"),
     )
+
+
+# ---------------------------------------------------------------------------
+# quantile normalization (map each group onto the pooled distribution)
+# ---------------------------------------------------------------------------
+
+_QNORM_ORACLE = """
+WITH c AS (
+  SELECT event_id, event_type, CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+grp AS (
+  SELECT event_id, event_type, cents,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY cents, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM c
+),
+pool AS (
+  SELECT cents,
+         ROW_NUMBER() OVER (ORDER BY cents, event_id) AS pr,
+         COUNT(*) OVER () AS big_n
+  FROM c
+)
+SELECT g.event_id, g.event_type,
+       g.cents / 100.0 AS value,
+       p.cents / 100.0 AS normalized
+FROM grp g
+JOIN pool p
+  ON p.pr = (g.rn * p.big_n + g.n - 1) // g.n
+"""
+
+
+@query("quantile_normalize_per_type", _QNORM_ORACLE, tags=("advanced", "agg"))
+def quantile_normalize_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization: replace each value with the POOLED
+    distribution's value at the same within-group quantile, forcing every
+    event type onto one common distribution — the bioinformatics/feature-
+    prep standard for making heterogeneous sources comparable (z-scores
+    only align two moments; this aligns the whole shape).  Both rank
+    computations are integer (the winsorized/MAD order-statistic
+    discipline); the group→pool rank mapping ceil(rn·N/n) is one integer
+    expression, and the lookup is an equi-join on the pooled rank — no
+    float quantile function with engine-specific interpolation anywhere.
+
+    Scale: the per-type window shuffles on event_type; the pooled ranking
+    is the one global sort (same cost class as `sort_limit`'s
+    TakeOrdered... but full-width — at 100 TB you'd range-partition the
+    pooled rank like `zorder`'s split computation, documented trade)."""
+    from pyspark.sql import Window as W
+
+    (events,) = T(spark, sf_dir, "events")
+    c = events.select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    grp = c.select(
+        "event_id",
+        "event_type",
+        "cents",
+        F.row_number()
+        .over(W.partitionBy("event_type").orderBy("cents", "event_id"))
+        .alias("rn"),
+        F.count("*").over(W.partitionBy("event_type")).alias("n"),
+    )
+    pool = c.select(
+        "cents",
+        F.row_number().over(W.orderBy("cents", "event_id")).alias("pr"),
+        F.count("*").over(W.partitionBy()).alias("big_n"),
+    ).select(F.col("cents").alias("p_cents"), "pr", "big_n")
+    return grp.join(
+        pool,
+        F.col("pr") == F.expr("(rn * big_n + n - 1) div n"),
+    ).select(
+        "event_id",
+        "event_type",
+        (F.col("cents") / 100.0).alias("value"),
+        (F.col("p_cents") / 100.0).alias("normalized"),
+    )

@@ -625,3 +625,22 @@ def test_random_projection_jl_concentration(spark):
     assert ratios and all(r > 0 for r in ratios)
     mean = sum(ratios) / len(ratios)
     assert 0.8 < mean < 1.25
+
+
+def test_quantile_normalize_invariants(spark):
+    """Monotonicity within each type (order-preserving map) and exact
+    distribution alignment: every type's normalized multiset comes from
+    the pooled values, and identical within-type quantiles map to
+    identical pooled values."""
+    from map_reduce485_spark.queries.advanced import quantile_normalize_per_type
+
+    rows = quantile_normalize_per_type(spark, SF_SMOKE).collect()
+    pool = sorted(r.value for r in rows)
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append((r.value, r.event_id, r.normalized))
+    for vals in by_type.values():
+        vals.sort()
+        norms = [n for _, _, n in vals]
+        assert norms == sorted(norms)  # order-preserving
+        assert set(norms) <= set(pool)  # image lies in the pooled values
