@@ -2034,14 +2034,18 @@ def quantile_normalize_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").over(W.partitionBy("event_type")).alias("n"),
     )
     pool = c.select(
-        "cents",
+        F.col("cents").alias("p_cents"),
         F.row_number().over(W.orderBy("cents", "event_id")).alias("pr"),
-        F.count("*").over(W.partitionBy()).alias("big_n"),
-    ).select(F.col("cents").alias("p_cents"), "pr", "big_n")
-    return grp.join(
-        pool,
-        F.col("pr") == F.expr("(rn * big_n + n - 1) div n"),
-    ).select(
+    )
+    big_n = pool.agg(F.count("*").alias("big_n"))
+    # compute the target pooled rank ON the group side (1-row broadcast of
+    # N) so the lookup is a genuine EQUI-join on pr — a join condition
+    # mixing columns from both sides would force a nested-loop over the
+    # full table, the difference between a hash join and O(n²) at scale
+    targeted = grp.crossJoin(F.broadcast(big_n)).withColumn(
+        "pr", F.expr("(rn * big_n + n - 1) div n")
+    )
+    return targeted.join(pool, "pr").select(
         "event_id",
         "event_type",
         (F.col("cents") / 100.0).alias("value"),

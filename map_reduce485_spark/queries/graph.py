@@ -253,8 +253,13 @@ def sssp_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             "w",
         )
     )
+    # pre-partition the cached edge list on the per-round join key so the
+    # relaxation rounds reuse its exchange and only the (small) tentative-
+    # distance frame moves each round — the `pagerank_trade_graph` layout
     edges = cache_scoped(
-        e0.unionAll(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w"))
+        e0.unionAll(
+            e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+        ).repartition("src")
     )
     dist = spark.createDataFrame([(0, 0)], "node long, dist long")
     for _ in range(_SSSP_ROUNDS):

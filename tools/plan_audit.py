@@ -70,6 +70,20 @@ KNOWN_BNLJ = {
     # 1-row broadcast of the basket grand total onto the brand-pair table
     # — the q22_global_sales_opportunity class: free 1-row BNLJ probe
     "basket_brand_lift",
+    # 1-row scalar broadcasts (series totals / argmax peak / max key /
+    # digit-count total) — the q22 free-probe class
+    "cusum_changepoint",
+    "zone_map_skipping_report",
+    "benford_digit_audit",
+    # 2-row lag list broadcast onto the bounded post-agg hourly series
+    "autocorrelation_hourly",
+    # 1-row pooled-N broadcast onto the ranked groups (the pooled-rank
+    # LOOKUP itself is an equi-join — see the query's comment)
+    "quantile_normalize_per_type",
+    # 5-row query fan-out against the corpus, the cosine_topk class
+    "rrf_fusion_topk",
+    # L x L pairwise centroid comparison (L = |labels|, ~10 rows a side)
+    "centroid_drift_matrix",
 }
 
 
