@@ -1526,7 +1526,9 @@ FROM credits GROUP BY user_id
 """
 
 
-@query("multi_touch_attribution", _MULTI_TOUCH_ORACLE, tags=("events", "join"))
+@query(
+    "multi_touch_attribution", _MULTI_TOUCH_ORACLE, tags=("events", "join"), bench=True
+)
 def multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LINEAR multi-touch attribution — the marketing-analytics staple on
     top of the interval join: every view in the hour BEFORE a purchase

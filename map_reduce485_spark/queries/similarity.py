@@ -1382,7 +1382,7 @@ FROM fused WHERE fused_rank <= 10
 """
 
 
-@query("rrf_fusion_topk", _RRF_ORACLE, tags=("similarity",))
+@query("rrf_fusion_topk", _RRF_ORACLE, tags=("similarity",), bench=True)
 def rrf_fusion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reciprocal-rank fusion — THE standard combiner for hybrid retrieval
     (dense + sparse, or here: cosine vs raw inner-product, which disagree
