@@ -336,3 +336,51 @@ def modern_sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY ALL
         """
     )
+
+
+@query(
+    "variant_semistructured",
+    """
+    SELECT k_bucket, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+           MIN(k_value) AS min_k, MAX(k_value) AS max_k
+    FROM (
+      SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) // 10 AS k_bucket,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
+             value
+      FROM events
+    )
+    GROUP BY k_bucket
+    """,
+    tags=("functions", "json"),
+)
+def variant_semistructured(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured analytics through the VARIANT type (Spark 4): parse
+    each props payload ONCE into the binary VARIANT encoding, then typed
+    `variant_get` path extraction — the lakehouse answer to schemaless
+    columns, vs `json_funcs`' per-path string re-parse (get_json_object).
+    At 100 TB the difference compounds: VARIANT parses once per row and
+    serves every downstream path from the binary form (and shredded
+    storage can push extraction into the scan), where N get_json_object
+    calls re-tokenize the string N times.  The VARIANT itself never
+    reaches the output (it is an opaque encoding, not a hashable value) —
+    typed extractions feed a plain decimal-exact aggregate the oracle
+    replays with json_extract_string."""
+    (events,) = T(spark, sf_dir, "events")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'bigint')")
+    return (
+        events.select(
+            F.expr("variant_get(parse_json(props), '$.k', 'bigint') div 10").alias(
+                "k_bucket"
+            ),
+            k.alias("k_value"),
+            "value",
+        )
+        .groupBy("k_bucket")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+            F.min("k_value").alias("min_k"),
+            F.max("k_value").alias("max_k"),
+        )
+    )

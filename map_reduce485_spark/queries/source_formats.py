@@ -586,3 +586,44 @@ def scd2_dimension_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return closed.unionAll(current)
 
+
+
+_PYDS_N = 100_000
+
+_PYDS_ORACLE = f"""
+SELECT CAST(id % 16 AS INT) AS bucket, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM((id * id) % 97) AS BIGINT) AS sum_units,
+       CAST(SUM((id * id) % 97) AS DOUBLE) / COUNT(*) / 97.0 AS avg_score
+FROM (SELECT UNNEST(generate_series(0, {_PYDS_N - 1})) AS id)
+GROUP BY 1
+"""
+
+
+@query("python_datasource_scan", _PYDS_ORACLE, tags=("source",))
+def python_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan through a CUSTOM PYTHON DATA SOURCE (Spark 4 DataSource API,
+    `sources/pyds.py`): partition planning on the driver, per-partition
+    Arrow-batched `read` on executors — the pluggable-source contract that
+    lets this engine ingest bespoke feeds (an internal API, a proprietary
+    format) with the same DataFrame surface as parquet.  The source
+    synthesizes rows from closed-form integer expressions, so the oracle
+    replays the exact multiset with `generate_series`: a partition-
+    boundary bug (row lost/duplicated at a split edge) or a skipped
+    partition breaks the count AND the exact integer sum.  The aggregate
+    runs on 16 buckets; the scan itself is 32-way parallel."""
+    from map_reduce485_spark.sources.pyds import register
+
+    register(spark)
+    src = (
+        spark.read.format("mr485_synthetic")
+        .option("n", _PYDS_N)
+        .option("partitions", 32)
+        .load()
+    )
+    return src.groupBy("bucket").agg(
+        F.count("*").alias("n"),
+        F.sum("score_units").alias("sum_units"),
+        (
+            F.sum("score_units").cast("double") / F.count("*") / 97.0
+        ).alias("avg_score"),
+    )

@@ -217,3 +217,25 @@ def test_versions_base_rebuilds_after_broken_leftover(spark):
     assert base2 == base and (base2 / "_latest").exists()
     assert spark.read.parquet(str(base2 / "v1")).count() == v1_rows
     shutil.rmtree(base, ignore_errors=True)
+
+
+def test_python_datasource_partition_boundaries(spark):
+    """The custom Python source's row multiset must be independent of the
+    partition count (a split-edge bug would lose/duplicate boundary ids)."""
+    from map_reduce485_spark.sources.pyds import register
+
+    register(spark)
+
+    def ids(parts: int) -> list[int]:
+        df = (
+            spark.read.format("mr485_synthetic")
+            .option("n", 1000)
+            .option("partitions", parts)
+            .load()
+        )
+        return sorted(r.id for r in df.collect())
+
+    expected = list(range(1000))
+    assert ids(1) == expected
+    assert ids(7) == expected   # n not divisible by parts: uneven splits
+    assert ids(32) == expected

@@ -134,6 +134,14 @@ def main() -> int:
         "lm_familiarity_score",
         "approx_percentile_binned",
         "multimodal_image_ahash",
+        # round-5 continuation operators
+        "sssp_trade_graph",
+        "mmr_diversified_topk",
+        "rrf_fusion_topk",
+        "multi_touch_attribution",
+        "quantile_normalize_per_type",
+        "embedding_random_projection",
+        "multimodal_frame_delta_cuts",
     ]
     # scan-parallelism proof on the multi-file layout
     n_parts = load_table(spark, sf_dir, "lineitem").rdd.getNumPartitions()
