@@ -184,3 +184,61 @@ def udtf_word_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT d.doc_id, f.chunk_no, f.n_words, f.first_word "
         "FROM documents d, LATERAL word_chunks(d.text) f"
     )
+
+
+_ARROW_ORACLE = """
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+       CAST(SUM(n_upper) AS BIGINT) AS total_upper
+FROM (
+  SELECT lang, octet_length(encode(text)) AS n_bytes,
+         length(regexp_replace(text, '[^A-Z]', '', 'g')) AS n_upper
+  FROM documents
+)
+GROUP BY lang
+"""
+
+
+@query("map_in_arrow_surface", _ARROW_ORACLE, tags=("udf",))
+def map_in_arrow_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`mapInArrow` — the lowest-overhead Python boundary: raw pyarrow
+    RecordBatches in and out, no pandas materialization at all (one rung
+    below `mapInPandas` on the same Arrow transport; for string-heavy
+    batches it skips the object-array conversion that dominates pandas
+    marshalling).  The batch math runs in pyarrow's C++ compute kernels
+    (binary_length, count per codepoint class via extract+length), so the
+    per-row Python cost is zero — the right tool when a transform needs a
+    Python LIBRARY but not per-row Python.  Completes the boundary
+    ladder: pipe → UDTF → pandas_udf → applyInPandas/mapInPandas →
+    mapInArrow.  Exact integer outputs; the oracle replays them
+    relationally."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def arrow_features(batches):
+        for batch in batches:
+            t = pa.table(
+                {
+                    "lang": batch.column("lang"),
+                    "n_bytes": pc.binary_length(
+                        pc.cast(batch.column("text"), pa.binary())
+                    ),
+                    "n_upper": pc.utf8_length(
+                        pc.replace_substring_regex(batch.column("text"), "[^A-Z]", "")
+                    ),
+                }
+            )
+            for out in t.to_batches():
+                yield out
+
+    from map_reduce485_spark.queries._util import T
+
+    (docs,) = T(spark, sf_dir, "documents")
+    feats = docs.select("lang", "text").mapInArrow(
+        arrow_features, schema="lang string, n_bytes int, n_upper int"
+    )
+    return feats.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.sum("n_upper").alias("total_upper"),
+    )

@@ -644,3 +644,28 @@ def test_quantile_normalize_invariants(spark):
         norms = [n for _, _, n in vals]
         assert norms == sorted(norms)  # order-preserving
         assert set(norms) <= set(pool)  # image lies in the pooled values
+
+
+def test_observation_metrics_on_pipeline(spark):
+    """`df.observe` — zero-cost pipeline telemetry collected DURING the
+    action (no second scan): row count and an exact cents sum observed on
+    the q1 input must match a direct aggregation."""
+    from pyspark.sql import Observation
+    import pyspark.sql.functions as F
+    from map_reduce485_spark.catalog import load_table
+
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    obs = Observation("li_metrics")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.round(F.col("l_quantity") * 100).cast("long")).alias("qty_cents"),
+    )
+    out = observed.groupBy("l_returnflag").count().collect()
+    direct = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("l_quantity") * 100).cast("long")).alias("q"),
+    ).collect()[0]
+    assert sum(r["count"] for r in out) == direct.n
+    assert obs.get["n_rows"] == direct.n
+    assert obs.get["qty_cents"] == direct.q
