@@ -1648,3 +1648,79 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("ncusum").cast("double") / F.col("n") / 100.0).alias("cusum"),
         (F.abs(F.col("ncusum")) == F.col("peak")).cast("int").alias("is_changepoint"),
     )
+
+
+_DYN_SESSION_ORACLE = """
+WITH ends AS (
+  SELECT user_id, ts, event_id,
+         epoch_us(ts) + CASE event_type WHEN 'purchase'
+                             THEN 2700000000 ELSE 900000000 END AS end_us
+  FROM events
+),
+ordered AS (
+  -- an event starts a new session iff it lies beyond the RUNNING MAX of
+  -- every prior event's window end (t + gap), not just its predecessor's:
+  -- an early long-gap event can hold the session open across several
+  -- short-gap events
+  SELECT user_id, ts, event_id,
+         CASE WHEN MAX(end_us) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+              ) IS NULL
+              OR epoch_us(ts) > MAX(end_us) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+              )
+              THEN 1 ELSE 0 END AS is_new_session
+  FROM ends
+),
+numbered AS (
+  SELECT user_id, ts,
+         SUM(is_new_session) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS session_id
+  FROM ordered
+)
+SELECT user_id,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_last,
+       COUNT(*) AS n_events
+FROM numbered GROUP BY user_id, session_id
+"""
+
+
+@query("events_sessionize_dynamic_gap", _DYN_SESSION_ORACLE, tags=("events", "window"))
+def events_sessionize_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization with a DATA-DEPENDENT gap — `session_window` with a
+    per-event gap COLUMN (purchases hold the session open 45 min, other
+    events 15): the adaptive-timeout shape real engagement analytics use
+    (a conversion signals continued intent; a stray view does not), which
+    a fixed-gap sessionizer cannot express.  The engine merge rule —
+    events join a session while each arrives strictly within the
+    session's RUNNING MAX window end max(tᵢ + gapᵢ) — an early
+    long-gap purchase holds the session open across later short-gap
+    events, which a lag-only formulation gets wrong — is replayed by the
+    oracle as gaps-and-islands over that running max in integer epoch
+    microseconds, with boundary-touching arrivals merging (both pinned
+    empirically; either an adjacency or a lag-vs-max semantics change in
+    the engine breaks the hash).  Same one-shuffle-on-user_id plan as
+    `events_sessionize`; the gap CASE is a map-side expression."""
+    (events,) = T(spark, sf_dir, "events")
+    gap = F.when(F.col("event_type") == "purchase", F.lit("45 minutes")).otherwise(
+        F.lit("15 minutes")
+    )
+    return (
+        events.groupBy("user_id", F.session_window("ts", gap))
+        .agg(
+            F.min("ts").alias("mn"),
+            F.max("ts").alias("mx"),
+            F.count("*").alias("n_events"),
+        )
+        .select(
+            "user_id",
+            fmt_ts("mn", "session_start"),
+            fmt_ts("mx", "session_last"),
+            "n_events",
+        )
+    )
