@@ -1724,3 +1724,59 @@ def events_sessionize_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame
             "n_events",
         )
     )
+
+
+@query(
+    "streaming_dedup_watermark_gate",
+    _STREAM_DEDUP_ORACLE,
+    tags=("events", "streaming"),
+)
+def streaming_dedup_watermark_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`dropDuplicatesWithinWatermark` under the hash gate (12th gated
+    streaming run) — the EVICTABLE-state dedup: suppression is only
+    promised for duplicates within the watermark delay of each other, so
+    seen-key state can be garbage-collected as the watermark advances
+    (the `dropDuplicates` gate's state is immortal by contract).  Same
+    duplicated landing dir and the same batch oracle as
+    `streaming_dedup_gate`: with the test's effectively-infinite delay no
+    key is ever evicted, so every second delivery MUST be suppressed and
+    the re-aggregated output hash-matches the unduplicated aggregate —
+    what is being witnessed is the dedup correctness of the OTHER state
+    implementation (range-keyed, eviction-capable), through the identical
+    contract."""
+    import os
+    import shutil
+    from pathlib import Path
+
+    from map_reduce485_spark.streaming.jobs import (
+        read_events_stream,
+        run_to_memory_sink,
+        stream_dedup_within_watermark,
+    )
+
+    (events,) = T(spark, sf_dir, "events")
+    landing = _land_events(events, sf_dir)
+    dup = Path(landing + ".dup2")
+    if not (dup / "_SUCCESS").exists():
+        tmp = dup.with_name(f"{dup.name}.tmp{os.getpid()}")
+        events.repartition(2).write.mode("overwrite").parquet(str(tmp))
+        events.repartition(2).write.mode("append").parquet(str(tmp))
+        try:
+            os.rename(tmp, dup)
+        except OSError:  # another process won the rename; keep theirs
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    deduped = stream_dedup_within_watermark(
+        read_events_stream(spark, str(dup), max_files_per_trigger=1),
+        watermark="3650 days",
+    )
+    name = f"stream_gate_dedup_wm_{landing.rsplit('_', 1)[-1]}"
+    run_to_memory_sink(deduped, name, mode="append")
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_value_cents"),
+        )
+    )

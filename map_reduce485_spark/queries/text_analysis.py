@@ -1407,3 +1407,71 @@ def bpe_encode_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("freq").desc(), "word")
         .limit(20)
     )
+
+
+_MG_COUNTERS = 4096
+_MG_THRESHOLD = 500
+
+
+@query(
+    "heavy_hitters_mg_twophase",
+    """
+    SELECT token, COUNT(*) AS freq
+    FROM (
+      SELECT UNNEST(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS token
+      FROM documents
+    )
+    GROUP BY token
+    HAVING COUNT(*) >= 500
+    """,
+    tags=("text", "sketch"),
+)
+def heavy_hitters_mg_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via MISRA-GRIES + exact rescan — the two-phase plan
+    for vocabularies too large to groupBy outright: phase 1 streams each
+    partition through m=4096 MG counters (bounded memory, one pass; any
+    token with partition frequency > N_p/m is guaranteed to survive, so
+    every global heavy hitter survives in ≥1 partition by averaging —
+    pigeonhole over Σcount_p > ΣN_p/m); phase 2 exactly counts ONLY the
+    surviving candidates (broadcast semi-join) and applies the true
+    threshold.  Output is therefore EXACT — identical to the plain
+    groupBy-HAVING twin `heavy_hitter_tokens` and to the shared oracle —
+    while the full-vocabulary shuffle is replaced by |candidates| ≤
+    m·partitions keys.  The MG guarantee needs threshold > N_p/m per
+    partition: here 500 ≫ ~10⁵ tokens / 4096 even at one partition, with
+    the margin growing as partitions split the stream."""
+    (docs,) = T(spark, sf_dir, "documents")
+    tokens = docs.select(
+        F.explode(
+            F.expr("filter(split(lower(text), ' '), x -> x <> '')")
+        ).alias("token")
+    )
+
+    def mg_candidates(batches):
+        import pandas as pd
+
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for tok in pdf["token"]:
+                if tok in counters:
+                    counters[tok] += 1
+                elif len(counters) < _MG_COUNTERS:
+                    counters[tok] = 1
+                else:
+                    # decrement-all step, dropping zeroed counters
+                    dead = []
+                    for k in counters:
+                        counters[k] -= 1
+                        if counters[k] == 0:
+                            dead.append(k)
+                    for k in dead:
+                        del counters[k]
+        yield pd.DataFrame({"token": list(counters.keys())})
+
+    candidates = tokens.mapInPandas(mg_candidates, schema="token string").distinct()
+    return (
+        tokens.join(F.broadcast(candidates), "token", "left_semi")
+        .groupBy("token")
+        .agg(F.count("*").alias("freq"))
+        .filter(F.col("freq") >= _MG_THRESHOLD)
+    )

@@ -526,3 +526,21 @@ def run_to_memory_sink(stream_df: DataFrame, name: str, mode: str = "complete"):
     )
     q.awaitTermination()
     return q
+
+
+def stream_dedup_within_watermark(
+    events: DataFrame, watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming dedup via `dropDuplicatesWithinWatermark` — unlike
+    `dropDuplicates`, which must hold every seen key FOREVER to honor its
+    contract, this variant only guarantees suppression of duplicates whose
+    event times fall within the watermark delay of each other — which lets
+    the engine EVICT seen-keys once the watermark passes them.  That is
+    the production-correct dedup for at-least-once sources (re-deliveries
+    arrive close in event time; unbounded key state does not survive
+    100 TB/day).  Note `ts` is deliberately NOT part of the key here: the
+    key is the event id alone, the shape where WithinWatermark semantics
+    actually differ from exact dedup."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )

@@ -669,3 +669,16 @@ def test_observation_metrics_on_pipeline(spark):
     assert sum(r["count"] for r in out) == direct.n
     assert obs.get["n_rows"] == direct.n
     assert obs.get["qty_cents"] == direct.q
+
+
+def test_mg_twophase_equals_plain_groupby(spark):
+    """The Misra-Gries two-phase plan is EXACT: same rows as the plain
+    groupBy-HAVING twin (sf0.01 — the threshold is non-vacuous there)."""
+    from map_reduce485_spark.queries.text_analysis import (
+        heavy_hitter_tokens,
+        heavy_hitters_mg_twophase,
+    )
+
+    mg = {(r.token, r.freq) for r in heavy_hitters_mg_twophase(spark, SF_CORRECT).collect()}
+    plain = {(r.token, r.freq) for r in heavy_hitter_tokens(spark, SF_CORRECT).collect()}
+    assert mg == plain and len(mg) > 0
