@@ -384,3 +384,55 @@ def variant_semistructured(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("k_value").alias("max_k"),
         )
     )
+
+
+@query(
+    "collated_join_casefold",
+    """
+    WITH mixed AS (
+      SELECT p_partkey,
+             CASE WHEN p_partkey % 2 = 0
+                  THEN upper(substr(p_type, 1, 1)) || lower(substr(p_type, 2))
+                  ELSE p_type END AS mixed_type,
+             CAST(ROUND(p_retailprice * 100) AS BIGINT) AS price_cents
+      FROM part
+    ),
+    dim AS (SELECT DISTINCT lower(p_type) AS canon_type FROM part)
+    SELECT d.canon_type, CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(m.price_cents) AS BIGINT) AS sum_price_cents
+    FROM mixed m JOIN dim d ON lower(m.mixed_type) = d.canon_type
+    GROUP BY d.canon_type
+    """,
+    tags=("functions", "string"),
+)
+def collated_join_casefold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Case-insensitive equi-join through COLLATIONS (Spark 4's
+    `collate(..., 'UTF8_LCASE')`): the fact side carries mixed-case type
+    strings (half the rows re-cased, simulating uncanonicalized feeds);
+    the dimension is lowercase-canonical; the join matches under the
+    case-folding collation WITHOUT rewriting either side — the engine-
+    level answer to the lower()-wrapper idiom the oracle replays.  Still
+    a hash join on the collation-aware key (plan-visible; not a filter
+    scan), so the 100 TB story is unchanged: shuffle on the folded key.
+    Every row must match — a case-sensitive comparison would drop the
+    re-cased half and break count and sum."""
+    (part,) = T(spark, sf_dir, "part")
+    mixed = part.select(
+        "p_partkey",
+        F.when(
+            F.col("p_partkey") % 2 == 0, F.initcap(F.lower(F.col("p_type")))
+        )
+        .otherwise(F.col("p_type"))
+        .alias("mixed_type"),
+        F.round(F.col("p_retailprice") * 100).cast("long").alias("price_cents"),
+    )
+    dim = part.select(F.lower(F.col("p_type")).alias("canon_type")).distinct()
+    joined = mixed.join(
+        dim,
+        F.expr("collate(mixed_type, 'UTF8_LCASE')")
+        == F.expr("collate(canon_type, 'UTF8_LCASE')"),
+    )
+    return joined.groupBy("canon_type").agg(
+        F.count("*").alias("n_parts"),
+        F.sum("price_cents").alias("sum_price_cents"),
+    )
