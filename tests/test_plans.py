@@ -306,3 +306,41 @@ def test_data_quality_audit_anti_joins_broadcast(spark):
     not shuffle the fact table."""
     plan = _q(spark, "data_quality_audit")._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_random_projection_is_shuffle_free(spark):
+    """The JL projection is pure map-side: no Exchange anywhere."""
+    plan = _q(spark, "embedding_random_projection")._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_frame_delta_cuts_no_payload_shuffle(spark):
+    """Per-frame features come out of one mapInPandas pass; the payload
+    bytes never enter an exchange."""
+    plan = _q(spark, "multimodal_frame_delta_cuts")._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" in plan or "MapInPandas" in plan
+
+
+def test_sssp_broadcasts_distances(spark):
+    """Every relaxation round joins broadcast distances against the cached
+    pre-partitioned edges: 4 BroadcastHashJoins, no SortMergeJoin."""
+    plan = _q(spark, "sssp_trade_graph")._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan
+
+
+def test_mg_twophase_candidate_join_broadcasts(spark):
+    """Phase 2 must semi-join the bounded candidate set broadcast-side —
+    re-shuffling the full token stream would defeat the two-phase plan."""
+    plan = _q(spark, "heavy_hitters_mg_twophase")._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_collated_join_is_hash_join(spark):
+    """Collation-aware equality must still plan as a hash equi-join, not
+    degrade to a nested-loop comparison."""
+    plan = _q(spark, "collated_join_casefold")._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
