@@ -526,3 +526,99 @@ def exists_subquery_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+@query(
+    "set_ops_bag_semantics",
+    """
+    WITH diff AS (
+      SELECT l_suppkey AS suppkey FROM lineitem WHERE l_quantity >= 25
+      EXCEPT ALL
+      SELECT l_suppkey AS suppkey FROM lineitem WHERE l_discount >= 0.05
+    ),
+    inter AS (
+      SELECT l_suppkey AS suppkey FROM lineitem WHERE l_quantity >= 25
+      INTERSECT ALL
+      SELECT l_suppkey AS suppkey FROM lineitem WHERE l_discount >= 0.05
+    )
+    SELECT 'except_all' AS op, suppkey, CAST(COUNT(*) AS BIGINT) AS n
+    FROM diff GROUP BY suppkey
+    UNION ALL
+    SELECT 'intersect_all' AS op, suppkey, CAST(COUNT(*) AS BIGINT) AS n
+    FROM inter GROUP BY suppkey
+    """,
+    tags=("relational", "setops"),
+)
+def set_ops_bag_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL / INTERSECT ALL — the BAG (multiplicity-preserving)
+    set operations `set_ops_except`/`set_ops_intersect` don't cover:
+    per-element counts subtract (max(m−n, 0)) and take minimums (min(m,
+    n)) instead of collapsing to membership — what reconciliation jobs
+    need when the NUMBER of occurrences is the signal (double-billing,
+    lost deliveries).  Multiplicities re-aggregated per key so the gate
+    hashes counts, not just membership.  Spark plans both as aggregate-
+    and-replicate over a single shuffle key — no join at all."""
+    (li,) = T(spark, sf_dir, "lineitem")
+    hi_qty = li.filter(F.col("l_quantity") >= 25).select(
+        F.col("l_suppkey").alias("suppkey")
+    )
+    hi_disc = li.filter(F.col("l_discount") >= 0.05).select(
+        F.col("l_suppkey").alias("suppkey")
+    )
+    diff = (
+        hi_qty.exceptAll(hi_disc)
+        .groupBy("suppkey")
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("except_all").alias("op"), "suppkey", "n")
+    )
+    inter = (
+        hi_qty.intersectAll(hi_disc)
+        .groupBy("suppkey")
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("intersect_all").alias("op"), "suppkey", "n")
+    )
+    return diff.unionAll(inter)
+
+
+@query(
+    "null_safe_join",
+    """
+    WITH a AS (
+      SELECT NULLIF(l_returnflag, 'A') AS mode_key, CAST(COUNT(*) AS BIGINT) AS n_hi_qty
+      FROM lineitem WHERE l_quantity >= 25 GROUP BY 1
+    ),
+    b AS (
+      SELECT NULLIF(l_returnflag, 'A') AS mode_key, CAST(COUNT(*) AS BIGINT) AS n_hi_disc
+      FROM lineitem WHERE l_discount >= 0.05 GROUP BY 1
+    )
+    SELECT a.mode_key, a.n_hi_qty, b.n_hi_disc
+    FROM a JOIN b ON a.mode_key IS NOT DISTINCT FROM b.mode_key
+    """,
+    tags=("relational", "join"),
+)
+def null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-safe equi-join (`eqNullSafe` / SQL `<=>`): NULL keys MATCH
+    each other instead of silently dropping — the semantics every
+    reconciliation join over nullable business keys needs (a plain `=`
+    would make the NULL bucket vanish from both sides with no error).
+    The NULL key is manufactured deterministically (NULLIF on one
+    return flag) so the gate proves the NULL row actually joins: lose it and
+    the row count drops by one.  `<=>` keys still hash-partition (NULL
+    hashes like any value here) — same shuffle story as `=`, unlike the
+    OR-based `(a = b OR (a IS NULL AND b IS NULL))` rewrite, which
+    degrades to a nested loop."""
+    (li,) = T(spark, sf_dir, "lineitem")
+    key = F.nullif(F.col("l_returnflag"), F.lit("A")).alias("mode_key")
+    a = (
+        li.filter(F.col("l_quantity") >= 25)
+        .groupBy(key)
+        .agg(F.count("*").alias("n_hi_qty"))
+    )
+    b = (
+        li.filter(F.col("l_discount") >= 0.05)
+        .groupBy(key)
+        .agg(F.count("*").alias("n_hi_disc"))
+    )
+    return a.join(b, a["mode_key"].eqNullSafe(b["mode_key"])).select(
+        a["mode_key"].alias("mode_key"), "n_hi_qty", "n_hi_disc"
+    )
