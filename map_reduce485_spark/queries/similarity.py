@@ -1766,3 +1766,112 @@ def centroid_drift_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cos, 6).alias("centroid_cos"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka truncation evaluation (prefix-dim retrieval recall)
+# ---------------------------------------------------------------------------
+
+_MRL_PREFIX = 16  # prefix dims scored against the full 64
+
+
+def _duck_cos_prefix(a: str, b: str, dim: int) -> str:
+    return (
+        f"(list_reduce(list_transform(generate_series(1, {dim}),"
+        f" i -> {a}[i] * {b}[i]), (acc, el) -> acc + el)"
+        f" / (sqrt(list_reduce(list_transform(generate_series(1, {dim}),"
+        f" i -> {a}[i] * {a}[i]), (acc, el) -> acc + el))"
+        f" * sqrt(list_reduce(list_transform(generate_series(1, {dim}),"
+        f" i -> {b}[i] * {b}[i]), (acc, el) -> acc + el))))"
+    )
+
+
+_MRL_ORACLE = f"""
+WITH {_DUCK_EMB_CTE},
+full_rank AS (
+  SELECT query_id, cid, rnk FROM (
+    SELECT q.vec_id AS query_id, n.vec_id AS cid,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                              ORDER BY {_duck_cos('q.v', 'n.v')} DESC, n.vec_id) AS rnk
+    FROM emb q JOIN emb n ON n.vec_id <> q.vec_id WHERE q.vec_id < 5
+  ) WHERE rnk <= 10),
+prefix_rank AS (
+  SELECT query_id, cid FROM (
+    SELECT q.vec_id AS query_id, n.vec_id AS cid,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                              ORDER BY {_duck_cos_prefix('q.v', 'n.v', _MRL_PREFIX)} DESC,
+                              n.vec_id) AS rnk
+    FROM emb q JOIN emb n ON n.vec_id <> q.vec_id WHERE q.vec_id < 5
+  ) WHERE rnk <= 10)
+SELECT f.query_id,
+       CAST(COUNT(p.cid) AS BIGINT) AS n_overlap,
+       CAST(COUNT(p.cid) AS DOUBLE) / 10 AS recall_at_10
+FROM full_rank f
+LEFT JOIN prefix_rank p ON p.query_id = f.query_id AND p.cid = f.cid
+GROUP BY f.query_id
+"""
+
+
+@query("matryoshka_recall_eval", _MRL_ORACLE, tags=("similarity", "eval"))
+def matryoshka_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-truncation evaluation: score retrieval with only the
+    FIRST 16 of 64 dims and measure recall@10 against the full-dim
+    ranking — the measurement that decides how far MRL-style prefix
+    truncation (4× less vector memory and shuffle here) can go before
+    quality falls off.  The evaluation twin of
+    `embedding_random_projection` (which compresses by sketching) and
+    `minhash_estimate_quality` (the same estimator-vs-exact layer for
+    set similarity).  Both rankings are broadcast-scored windows with the
+    house fold cosines (`slice` gives the prefix on the Spark side,
+    bounded generate_series on DuckDB); recall is an int/10 division.
+    Scale: two corpus scans, Q·k-row join — corpus-linear like every
+    scoring pass here."""
+    from pyspark.sql import Window as W
+
+    (emb,) = T(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    n = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("n_emb"))
+    scored = (
+        F.broadcast(q)
+        .join(n, F.col("cid") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cid",
+            cosine_col("q_emb", "n_emb").alias("sim_full"),
+            F.expr(
+                f"aggregate(zip_with(slice(q_emb, 1, {_MRL_PREFIX}),"
+                f" slice(n_emb, 1, {_MRL_PREFIX}),"
+                " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)"
+                f" / (sqrt(aggregate(transform(slice(q_emb, 1, {_MRL_PREFIX}),"
+                " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0D, (acc, v) -> acc + v))"
+                f" * sqrt(aggregate(transform(slice(n_emb, 1, {_MRL_PREFIX}),"
+                " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0D, (acc, v) -> acc + v)))"
+            ).alias("sim_prefix"),
+        )
+    )
+    wf = W.partitionBy("query_id").orderBy(F.col("sim_full").desc(), "cid")
+    wp = W.partitionBy("query_id").orderBy(F.col("sim_prefix").desc(), "cid")
+    ranked = scored.select(
+        "query_id",
+        "cid",
+        F.row_number().over(wf).alias("rf"),
+        F.row_number().over(wp).alias("rp"),
+    )
+    full10 = ranked.filter(F.col("rf") <= 10).select("query_id", "cid")
+    pref10 = ranked.filter(F.col("rp") <= 10).select(
+        F.col("query_id").alias("pq"), F.col("cid").alias("pc")
+    )
+    return (
+        full10.join(
+            pref10,
+            (F.col("query_id") == F.col("pq")) & (F.col("cid") == F.col("pc")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count("pc").alias("n_overlap"),
+            (F.count("pc").cast("double") / 10).alias("recall_at_10"),
+        )
+    )
