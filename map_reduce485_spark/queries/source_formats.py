@@ -627,3 +627,77 @@ def python_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("score_units").cast("double") / F.count("*") / 97.0
         ).alias("avg_score"),
     )
+
+
+_IVM_ORACLE = """
+WITH v2 AS (
+  SELECT s_suppkey,
+         CAST(ROUND(
+           CASE WHEN s_suppkey % 2 = 0 THEN s_acctbal * 2 ELSE s_acctbal END * 100
+         ) AS BIGINT) AS cents
+  FROM supplier
+),
+direct AS (
+  SELECT s_suppkey % 10 AS bucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(cents) AS BIGINT) AS bal_cents
+  FROM v2 GROUP BY 1
+)
+SELECT bucket, n_rows, bal_cents,
+       n_rows AS n_rows_direct, bal_cents AS bal_cents_direct
+FROM direct
+"""
+
+
+@query("incremental_view_maintenance", _IVM_ORACLE, tags=("sources", "etl"))
+def incremental_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL VIEW MAINTENANCE over the snapshot pair: the per-bucket
+    (count, exact-cents sum) aggregate of v2 is NOT recomputed from v2 —
+    it is the v1 aggregate plus the change feed's algebraic delta
+    (insert → +1/+b₂, update → +0/+(b₂−b₁)), the classic self-maintainable
+    (SUM, COUNT) view algebra that turns a 100 TB re-aggregation into
+    work proportional to the CHANGES.  The query emits the maintained
+    aggregate NEXT TO the directly-computed v2 aggregate; the oracle
+    asserts both pairs equal — any error in the delta algebra (a missed
+    insert class, a sign error on updates) breaks the hash.  Both the
+    base aggregate and the delta shuffle on the same bucket key; the diff
+    join is the `snapshot_diff` full-outer on the snapshot key."""
+    base = _versions_base(spark, sf_dir)
+    v1 = spark.read.parquet(str(base / "v1")).select(
+        "s_suppkey", F.round(F.col("s_acctbal") * 100).cast("long").alias("cents")
+    )
+    v2 = spark.read.parquet(str(base / "v2")).select(
+        "s_suppkey", F.round(F.col("s_acctbal") * 100).cast("long").alias("cents")
+    )
+    bucket = (F.col("s_suppkey") % 10).alias("bucket")
+    base_agg = v1.groupBy(bucket).agg(
+        F.count("*").alias("n1"), F.sum("cents").alias("s1")
+    )
+    d = v1.select(F.col("s_suppkey").alias("k1"), F.col("cents").alias("c1")).join(
+        v2.select(F.col("s_suppkey").alias("k2"), F.col("cents").alias("c2")),
+        F.col("k1") == F.col("k2"),
+        "full_outer",
+    )
+    delta = (
+        d.select(
+            F.coalesce(F.col("k2"), F.col("k1")).alias("k"),
+            F.when(F.col("k1").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("dn"),
+            F.when(F.col("k1").isNull(), F.col("c2"))
+            .otherwise(F.col("c2") - F.col("c1"))
+            .alias("dc"),
+        )
+        .groupBy((F.col("k") % 10).alias("bucket"))
+        .agg(F.sum("dn").alias("dn"), F.sum("dc").alias("dc"))
+    )
+    maintained = (
+        base_agg.join(delta, "bucket", "full_outer")
+        .select(
+            "bucket",
+            (F.coalesce(F.col("n1"), F.lit(0)) + F.coalesce(F.col("dn"), F.lit(0))).alias("n_rows"),
+            (F.coalesce(F.col("s1"), F.lit(0)) + F.coalesce(F.col("dc"), F.lit(0))).alias("bal_cents"),
+        )
+    )
+    direct = v2.groupBy(bucket).agg(
+        F.count("*").alias("n_rows_direct"),
+        F.sum("cents").alias("bal_cents_direct"),
+    )
+    return maintained.join(direct, "bucket")
