@@ -1475,3 +1475,52 @@ def heavy_hitters_mg_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("freq"))
         .filter(F.col("freq") >= _MG_THRESHOLD)
     )
+
+
+_READABILITY_ORACLE = """
+WITH feats AS (
+  SELECT doc_id, lang,
+         len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_words,
+         len(regexp_extract_all(lower(text), '[aeiouy]+')) AS n_syllables
+  FROM documents
+)
+SELECT doc_id, lang, n_words, n_syllables,
+       CAST(n_syllables AS DOUBLE) / n_words AS syllables_per_word,
+       206.835e0 - 1.015e0 * n_words
+                 - 84.6e0 * (CAST(n_syllables AS DOUBLE) / n_words) AS flesch
+FROM feats WHERE n_words > 0
+"""
+
+
+@query("readability_scores", _READABILITY_ORACLE, tags=("text",))
+def readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch-style readability per document — the classic text-quality
+    feature `quality_score`'s length/punctuation ratios don't capture:
+    syllable density, counted as maximal vowel-group runs ([aeiouy]+, the
+    standard dictionary-free approximation), via one vectorized JVM regex
+    per row.  The synthetic corpus has no sentence punctuation, so the
+    words-per-sentence term runs with one sentence per doc (the formula's
+    shape, coefficients as e0-literals — see `benford_digit_audit` on why
+    constants are data); on real prose, swap in a sentence splitter
+    upstream and nothing else changes.  Pure map-side: no shuffle at any
+    corpus size."""
+    (docs,) = T(spark, sf_dir, "documents")
+    feats = docs.select(
+        "doc_id",
+        "lang",
+        F.size(F.expr("filter(split(text, ' '), x -> x <> '')")).alias("n_words"),
+        F.size(
+            F.expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)")
+        ).alias("n_syllables"),
+    ).filter(F.col("n_words") > 0)
+    spw = F.col("n_syllables").cast("double") / F.col("n_words")
+    return feats.select(
+        "doc_id",
+        "lang",
+        "n_words",
+        "n_syllables",
+        spw.alias("syllables_per_word"),
+        (
+            F.lit(206.835) - F.lit(1.015) * F.col("n_words") - F.lit(84.6) * spw
+        ).alias("flesch"),
+    )
