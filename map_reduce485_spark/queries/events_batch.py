@@ -1780,3 +1780,112 @@ def streaming_dedup_watermark_gate(spark: SparkSession, sf_dir: str) -> DataFram
             F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_value_cents"),
         )
     )
+
+
+_CONCURRENCY_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS is_new_session
+  FROM events
+),
+sessions AS (
+  SELECT user_id, MIN(ts) AS s_start, MAX(ts) AS s_last
+  FROM (
+    SELECT user_id, ts,
+           SUM(is_new_session) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+    FROM ordered)
+  GROUP BY user_id, session_id
+),
+points AS (
+  SELECT s_start AS ts, 1 AS delta, user_id FROM sessions
+  UNION ALL
+  SELECT s_last, -1, user_id FROM sessions
+),
+swept AS (
+  SELECT ts, SUM(delta) OVER (
+           ORDER BY ts, delta DESC, user_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS concurrency
+  FROM points
+),
+mx AS (SELECT MAX(concurrency) AS peak FROM swept)
+SELECT CAST(mx.peak AS BIGINT) AS peak_concurrency,
+       strftime(MIN(swept.ts), '%Y-%m-%d %H:%M:%S') AS first_peak_ts,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM sessions) AS n_sessions
+FROM swept, mx WHERE swept.concurrency = mx.peak GROUP BY mx.peak
+"""
+
+
+@query("peak_concurrency_sweep", _CONCURRENCY_ORACLE, tags=("events", "window"))
+def peak_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions via SWEEP LINE — the interval-analytics
+    primitive (capacity planning, license counting, connection-pool
+    sizing) that no plain aggregate expresses: sessions become ±1 events
+    at their endpoints, a running sum over the sorted points is the live
+    concurrency curve, and the answer is its max with the first timestamp
+    achieving it.  Endpoint ties are pinned (+1 before −1 → closed-
+    interval overlap counts; user_id last) so both engines sweep the
+    identical order.  The sweep window runs over SESSION ENDPOINTS —
+    two rows per session, orders of magnitude below raw events — the same
+    post-aggregation-bounded justification as `ewma_hourly_value`; at
+    larger scales the sweep shards by day with per-shard carry-in."""
+    from pyspark.sql import Window as W
+
+    (events,) = T(spark, sf_dir, "events")
+    w_user = W.partitionBy("user_id").orderBy("ts", "event_id")
+    sessions = (
+        events.select(
+            "user_id",
+            "ts",
+            F.when(
+                (
+                    # microsecond compare — timestamps here carry sub-second
+                    # precision, so a seconds cast would truncate a
+                    # 1800.4 s gap to exactly 1800 and flip the boundary
+                    F.unix_micros(F.col("ts"))
+                    - F.unix_micros(F.lag(F.col("ts")).over(w_user))
+                    > 1_800_000_000
+                )
+                | F.lag("ts").over(w_user).isNull(),
+                1,
+            )
+            .otherwise(0)
+            .alias("is_new_session"),
+            "event_id",
+        )
+        .select(
+            "user_id",
+            "ts",
+            F.sum("is_new_session")
+            .over(w_user.rowsBetween(W.unboundedPreceding, 0))
+            .alias("session_id"),
+        )
+        .groupBy("user_id", "session_id")
+        .agg(F.min("ts").alias("s_start"), F.max("ts").alias("s_last"))
+    )
+    points = sessions.select(
+        F.col("s_start").alias("ts"), F.lit(1).alias("delta"), "user_id"
+    ).unionAll(
+        sessions.select(F.col("s_last").alias("ts"), F.lit(-1).alias("delta"), "user_id")
+    )
+    w_sweep = W.orderBy(F.col("ts"), F.col("delta").desc(), F.col("user_id")).rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    swept = points.select("ts", F.sum("delta").over(w_sweep).alias("concurrency"))
+    mx = swept.agg(F.max("concurrency").alias("peak"))
+    n_sessions = sessions.agg(F.count("*").alias("n_sessions"))
+    return (
+        swept.join(F.broadcast(mx), swept.concurrency == mx.peak)
+        .groupBy("peak")
+        .agg(F.min("ts").alias("first_peak"))
+        .crossJoin(F.broadcast(n_sessions))
+        .select(
+            F.col("peak").cast("long").alias("peak_concurrency"),
+            fmt_ts("first_peak", "first_peak_ts"),
+            "n_sessions",
+        )
+    )
