@@ -2051,3 +2051,106 @@ def quantile_normalize_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("cents") / 100.0).alias("value"),
         (F.col("p_cents") / 100.0).alias("normalized"),
     )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit (privacy screening for released/training data)
+# ---------------------------------------------------------------------------
+
+_KANON_K = 5
+
+_KANON_ORACLE = f"""
+WITH cells AS (
+  SELECT c_nationkey, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n
+  FROM customer GROUP BY c_nationkey, c_mktsegment
+)
+SELECT c_nationkey, c_mktsegment, n,
+       CAST(n < {_KANON_K} AS INT) AS at_risk
+FROM cells
+"""
+
+
+@query("k_anonymity_audit", _KANON_ORACLE, tags=("advanced", "privacy"))
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over quasi-identifiers (nation × market segment):
+    a released record is re-identifiable when its quasi-identifier cell
+    holds fewer than k individuals, so the audit is the per-cell census
+    with an at-risk flag at k=5 — the screen a training-data release
+    runs BEFORE `sensitive_term_mask`-style scrubbing (masking direct
+    identifiers does nothing about quasi-identifier uniqueness).  One
+    map-side-combinable aggregation; the generalization fix (coarsen
+    cells until every n ≥ k) reruns the same query on coarsened columns."""
+    (cust,) = T(spark, sf_dir, "customer")
+    return cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count("*").alias("n")
+    ).select(
+        "c_nationkey",
+        "c_mktsegment",
+        "n",
+        (F.col("n") < _KANON_K).cast("int").alias("at_risk"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# weekday seasonal index
+# ---------------------------------------------------------------------------
+
+_SEASONAL_ORACLE = """
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS day, isodow(ts) AS weekday,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS day_cents
+  FROM events GROUP BY 1, 2
+),
+wk AS (
+  SELECT weekday, CAST(COUNT(*) AS BIGINT) AS n_days,
+         CAST(SUM(day_cents) AS BIGINT) AS cents
+  FROM daily GROUP BY weekday
+),
+tot AS (
+  SELECT CAST(SUM(cents) AS BIGINT) AS all_cents,
+         CAST(SUM(n_days) AS BIGINT) AS all_days
+  FROM wk
+)
+SELECT weekday, n_days,
+       CAST(cents AS DOUBLE) / n_days / 100.0 AS mean_daily_value,
+       (CAST(cents AS DOUBLE) / n_days)
+         / (CAST(tot.all_cents AS DOUBLE) / tot.all_days) AS seasonal_index
+FROM wk, tot
+"""
+
+
+@query("weekday_seasonal_index", _SEASONAL_ORACLE, tags=("advanced", "timeseries"))
+def weekday_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonal indices — the multiplicative decomposition
+    step a forecast applies before trend fitting: each weekday's mean
+    daily value relative to the overall mean (index 1.0 = no weekday
+    effect; `autocorrelation_hourly`'s lag-24 number says whether daily
+    structure exists, this says WHICH days carry it).  ISO weekday
+    numbering on both engines; all sums exact bigint cents, two float
+    divisions per row against a 1-row broadcast total."""
+    (events,) = T(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.date_trunc("day", "ts").alias("day"),
+        F.dayofweek("ts").alias("dow_sun1"),
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("day_cents"))
+    # convert Spark's Sunday=1 convention to ISO (Mon=1..Sun=7)
+    wk = daily.select(
+        F.when(F.col("dow_sun1") == 1, 7).otherwise(F.col("dow_sun1") - 1).alias("weekday"),
+        "day_cents",
+    ).groupBy("weekday").agg(
+        F.count("*").alias("n_days"), F.sum("day_cents").alias("cents")
+    )
+    tot = wk.agg(
+        F.sum("cents").alias("all_cents"), F.sum("n_days").alias("all_days")
+    )
+    return wk.crossJoin(F.broadcast(tot)).select(
+        "weekday",
+        "n_days",
+        (F.col("cents").cast("double") / F.col("n_days") / 100.0).alias(
+            "mean_daily_value"
+        ),
+        (
+            (F.col("cents").cast("double") / F.col("n_days"))
+            / (F.col("all_cents").cast("double") / F.col("all_days"))
+        ).alias("seasonal_index"),
+    )

@@ -84,6 +84,12 @@ KNOWN_BNLJ = {
     "rrf_fusion_topk",
     # L x L pairwise centroid comparison (L = |labels|, ~10 rows a side)
     "centroid_drift_matrix",
+    # 1-row scalar broadcasts (session total / weekday grand total) — the
+    # q22 free-probe class
+    "peak_concurrency_sweep",
+    "weekday_seasonal_index",
+    # 5-row query fan-out against the corpus, the cosine_topk class
+    "matryoshka_recall_eval",
 }
 
 
