@@ -1524,3 +1524,56 @@ def readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(206.835) - F.lit(1.015) * F.col("n_words") - F.lit(84.6) * spw
         ).alias("flesch"),
     )
+
+
+from map_reduce485_spark.queries import REGISTRY as _REGISTRY
+
+_QUALITY_DUP_ORACLE = f"""
+WITH q AS ({_REGISTRY["quality_score"].oracle}),
+dup AS (
+  SELECT doc_id,
+         CAST(COUNT(*) OVER (PARTITION BY md5(text)) > 1 AS INT) AS is_dup
+  FROM documents
+)
+SELECT LEAST(CAST(FLOOR(q.quality * 10) AS INT), 9) AS quality_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(dup.is_dup) AS BIGINT) AS n_dup_docs,
+       CAST(SUM(dup.is_dup) AS DOUBLE) / COUNT(*) AS dup_rate
+FROM q JOIN dup USING (doc_id)
+GROUP BY 1
+"""
+
+
+@query("quality_vs_duplication_report", _QUALITY_DUP_ORACLE, tags=("text", "dedup"))
+def quality_vs_duplication_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-operator curation report: duplication rate per quality bucket
+    — the two curation signals (`quality_score`, `dedup_exact`) JOINED,
+    which is how the filtering decision is actually made (low-quality AND
+    duplicated → drop first; high-quality duplicates → keep one).  The
+    oracle literally embeds the registered quality oracle as a CTE, so
+    the two queries cannot drift apart.  Buckets are fixed quality
+    thresholds (floor(q·10), a map-side expression) rather than
+    equal-population deciles — no global rank over the corpus, so the
+    report stays two shuffles (dup-hash window + bucket agg) at any
+    size."""
+    (docs,) = T(spark, sf_dir, "documents")
+    from pyspark.sql import Window as W
+
+    q = quality_score(spark, sf_dir).select("doc_id", "quality")
+    dup = docs.select(
+        "doc_id",
+        (F.count("*").over(W.partitionBy(F.md5("text"))) > 1).cast("int").alias("is_dup"),
+    )
+    return (
+        q.join(dup, "doc_id")
+        .groupBy(
+            F.least(F.floor(F.col("quality") * 10).cast("int"), F.lit(9)).alias(
+                "quality_bucket"
+            )
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("is_dup").alias("n_dup_docs"),
+            (F.sum("is_dup").cast("double") / F.count("*")).alias("dup_rate"),
+        )
+    )
