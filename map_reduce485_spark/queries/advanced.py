@@ -2154,3 +2154,134 @@ def weekday_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("all_cents").cast("double") / F.col("all_days"))
         ).alias("seasonal_index"),
     )
+
+
+# ---------------------------------------------------------------------------
+# join cardinality estimation vs actual (optimizer diagnostics)
+# ---------------------------------------------------------------------------
+
+_JOINCARD_ORACLE = """
+WITH a AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_a,
+         CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS d_a
+  FROM orders
+),
+b AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_b,
+         CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS d_b
+  FROM customer
+),
+actual AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_actual
+  FROM orders JOIN customer ON o_custkey = c_custkey
+)
+SELECT n_a, d_a, n_b, d_b, n_actual,
+       CAST(n_a AS DOUBLE) * n_b / GREATEST(d_a, d_b) AS n_estimated,
+       (CAST(n_a AS DOUBLE) * n_b / GREATEST(d_a, d_b)) / n_actual AS est_over_actual
+FROM a, b, actual
+"""
+
+
+@query("join_cardinality_estimate", _JOINCARD_ORACLE, tags=("advanced", "etl"))
+def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The textbook equi-join cardinality estimate |A||B|/max(d_A, d_B)
+    (System R / Selinger — what every cost-based optimizer, Catalyst's
+    CBO included, computes from column NDV stats) evaluated NEXT TO the
+    true join count — the diagnostic that tells an operator whether stats
+    would have steered the planner right, or whether key correlation
+    makes the uniform-frequency assumption lie (`key_skew_report` is the
+    companion view of the same hazard).  Inputs are three exact
+    aggregates; distinct counts shuffle key-hashes only; the ratio is two
+    float ops on a 1-row frame."""
+    orders, cust = T(spark, sf_dir, "orders", "customer")
+    a = orders.agg(
+        F.count("*").alias("n_a"),
+        F.countDistinct("o_custkey").alias("d_a"),
+    )
+    b = cust.agg(
+        F.count("*").alias("n_b"),
+        F.countDistinct("c_custkey").alias("d_b"),
+    )
+    actual = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .agg(F.count("*").alias("n_actual"))
+    )
+    est = F.col("n_a").cast("double") * F.col("n_b") / F.greatest(
+        F.col("d_a"), F.col("d_b")
+    )
+    return (
+        a.crossJoin(F.broadcast(b))
+        .crossJoin(F.broadcast(actual))
+        .select(
+            "n_a",
+            "d_a",
+            "n_b",
+            "d_b",
+            "n_actual",
+            est.alias("n_estimated"),
+            (est / F.col("n_actual")).alias("est_over_actual"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# anti-entropy content digest
+# ---------------------------------------------------------------------------
+
+_DIGEST_ORACLE = """
+WITH h AS (
+  SELECT CAST('0x' || substr(md5(
+           CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR)
+           || '|' || CAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS VARCHAR)
+         ), 1, 15) AS BIGINT) AS rh
+  FROM lineitem
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(rh AS DECIMAL(38,0))) % 9223372036854775783 AS BIGINT)
+         AS sum_digest,
+       CAST(BIT_XOR(rh) AS BIGINT) AS xor_digest
+FROM h
+"""
+
+
+@query("table_content_digest", _DIGEST_ORACLE, tags=("advanced", "etl"))
+def table_content_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER-INDEPENDENT table content digest — the anti-entropy check two
+    replicas (or a pre/post-migration pair) exchange to prove their row
+    MULTISETS match without moving data: per-row md5 over a canonical
+    key|value encoding, folded with two commutative-associative
+    combiners (bigint SUM catches multiplicity changes, BIT_XOR is the
+    independent witness; together a dropped row, a duplicated row, or a
+    flipped cent all change the digest).  15 hex digits keep the per-row
+    value within bigint; the aggregation is map-side combinable, so the
+    digest of 100 TB costs one scan and shuffles 24 bytes per partition —
+    same contract as the reference's md5 placement check, promoted from
+    partitioning to content verification."""
+    (li,) = T(spark, sf_dir, "lineitem")
+    rh = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col("l_orderkey").cast("string"),
+                    F.col("l_linenumber").cast("string"),
+                    F.round(F.col("l_extendedprice") * 100).cast("long").cast("string"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return li.select(rh.alias("rh")).agg(
+        F.count("*").alias("n_rows"),
+        # sum in decimal(38,0) (a bigint sum overflows at ~10 rows of 60-bit
+        # hashes under ANSI), reduced by a < 2^63 prime into a bigint digest
+        (
+            F.sum(F.col("rh").cast("decimal(38,0)")) % F.lit(9223372036854775783)
+        )
+        .cast("long")
+        .alias("sum_digest"),
+        F.expr("bit_xor(rh)").alias("xor_digest"),
+    )
