@@ -1448,24 +1448,22 @@ def heavy_hitters_mg_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def mg_candidates(batches):
+        # Batched Misra-Gries via summary MERGE (Agarwal et al., "Mergeable
+        # Summaries"): each Arrow batch reduces to exact counts in C
+        # (value_counts — no per-row Python), merges into the running
+        # summary, and when the summary exceeds m counters every counter
+        # drops by the (m+1)-th largest value (the batch form of MG's
+        # decrement-all).  Cumulative undercount stays ≤ N_p/(m+1), so the
+        # survival guarantee is the classic one-at-a-time bound.
         import pandas as pd
 
         counters: dict[str, int] = {}
         for pdf in batches:
-            for tok in pdf["token"]:
-                if tok in counters:
-                    counters[tok] += 1
-                elif len(counters) < _MG_COUNTERS:
-                    counters[tok] = 1
-                else:
-                    # decrement-all step, dropping zeroed counters
-                    dead = []
-                    for k in counters:
-                        counters[k] -= 1
-                        if counters[k] == 0:
-                            dead.append(k)
-                    for k in dead:
-                        del counters[k]
+            for tok, cnt in pdf["token"].value_counts().items():
+                counters[tok] = counters.get(tok, 0) + int(cnt)
+            if len(counters) > _MG_COUNTERS:
+                t = sorted(counters.values(), reverse=True)[_MG_COUNTERS]
+                counters = {k: v - t for k, v in counters.items() if v > t}
         yield pd.DataFrame({"token": list(counters.keys())})
 
     candidates = tokens.mapInPandas(mg_candidates, schema="token string").distinct()

@@ -90,6 +90,8 @@ KNOWN_BNLJ = {
     "weekday_seasonal_index",
     # 5-row query fan-out against the corpus, the cosine_topk class
     "matryoshka_recall_eval",
+    # 1-row × 1-row stats assembly (the hll/kmv report class)
+    "join_cardinality_estimate",
 }
 
 
