@@ -1413,6 +1413,22 @@ _MG_COUNTERS = 4096
 _MG_THRESHOLD = 500
 
 
+def mg_merge_batch(counters: dict, tokens, m: int) -> dict:
+    """Batched Misra-Gries merge step (Agarwal et al., "Mergeable
+    Summaries"): reduce the batch to exact counts in C (value_counts — no
+    per-row Python), merge into the running summary, and when the summary
+    exceeds m counters drop every counter by the (m+1)-th largest value —
+    the batch form of MG's decrement-all.  Cumulative undercount stays
+    ≤ N/(m+1), so any token with frequency above that bound survives
+    (property-pinned in tests/test_properties.py)."""
+    for tok, cnt in tokens.value_counts().items():
+        counters[tok] = counters.get(tok, 0) + int(cnt)
+    if len(counters) > m:
+        t = sorted(counters.values(), reverse=True)[m]
+        counters = {k: v - t for k, v in counters.items() if v > t}
+    return counters
+
+
 @query(
     "heavy_hitters_mg_twophase",
     """
@@ -1448,22 +1464,11 @@ def heavy_hitters_mg_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def mg_candidates(batches):
-        # Batched Misra-Gries via summary MERGE (Agarwal et al., "Mergeable
-        # Summaries"): each Arrow batch reduces to exact counts in C
-        # (value_counts — no per-row Python), merges into the running
-        # summary, and when the summary exceeds m counters every counter
-        # drops by the (m+1)-th largest value (the batch form of MG's
-        # decrement-all).  Cumulative undercount stays ≤ N_p/(m+1), so the
-        # survival guarantee is the classic one-at-a-time bound.
         import pandas as pd
 
         counters: dict[str, int] = {}
         for pdf in batches:
-            for tok, cnt in pdf["token"].value_counts().items():
-                counters[tok] = counters.get(tok, 0) + int(cnt)
-            if len(counters) > _MG_COUNTERS:
-                t = sorted(counters.values(), reverse=True)[_MG_COUNTERS]
-                counters = {k: v - t for k, v in counters.items() if v > t}
+            counters = mg_merge_batch(counters, pdf["token"], _MG_COUNTERS)
         yield pd.DataFrame({"token": list(counters.keys())})
 
     candidates = tokens.mapInPandas(mg_candidates, schema="token string").distinct()

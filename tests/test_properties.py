@@ -214,3 +214,81 @@ def test_star_components_matches_union_find_random_graphs(spark):
         got = {r.id: r.label for r in labels.collect()}
         assert got == expect, seed
         assert rounds <= 10, (seed, rounds)
+
+
+# ---------------------------------------------------------------------------
+# Pure-operator properties (no Spark in the loop — wide example sweeps)
+# ---------------------------------------------------------------------------
+
+_payloads = st.lists(st.binary(min_size=0, max_size=200), min_size=1, max_size=8)
+
+
+@settings(max_examples=50, deadline=None)
+@given(_payloads)
+def test_frame_delta_cuts_matches_reference(payloads):
+    """Vectorized frame features == a straightforward per-payload reference
+    for arbitrary binary payloads (empty, <1 frame, uneven tails)."""
+    import numpy as np
+    import pandas as pd
+
+    from map_reduce485_spark.operators.multimodal import (
+        CUT_THRESHOLD,
+        FRAME_BYTES,
+        frame_delta_cuts,
+    )
+
+    batch = pd.DataFrame(
+        {"doc_id": list(range(len(payloads))), "payload": payloads}
+    )
+    outs = list(frame_delta_cuts(iter([batch])))
+    got = (
+        pd.concat(outs).sort_values(["doc_id", "frame_idx"]).reset_index(drop=True)
+        if outs
+        else pd.DataFrame(columns=["doc_id", "frame_idx", "brightness", "delta", "is_cut"])
+    )
+
+    exp_rows = []
+    for i, b in enumerate(payloads):
+        n = len(b) // FRAME_BYTES
+        prev = None
+        for f in range(n):
+            br = sum(b[f * FRAME_BYTES : (f + 1) * FRAME_BYTES])
+            delta = 0 if prev is None else br - prev
+            exp_rows.append((i, f, br, delta, int(abs(delta) > CUT_THRESHOLD)))
+            prev = br
+    exp = pd.DataFrame(
+        exp_rows, columns=["doc_id", "frame_idx", "brightness", "delta", "is_cut"]
+    )
+    assert len(got) == len(exp)
+    if len(exp):
+        for col in exp.columns:
+            assert list(got[col].astype(int)) == list(exp[col].astype(int)), col
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.lists(st.sampled_from([f"w{i}" for i in range(30)]), min_size=1, max_size=400),
+    st.integers(min_value=2, max_value=8),
+)
+def test_misra_gries_survival_guarantee(stream, n_batches):
+    """Every token with frequency > N/(m+1) must survive the batched MG
+    summary regardless of how the stream is cut into batches (the
+    mergeable-summaries bound the two-phase heavy-hitter plan relies on).
+    Uses a tiny m so the guarantee is actually exercised."""
+    import pandas as pd
+
+    from map_reduce485_spark.queries.text_analysis import mg_merge_batch
+
+    m = 8
+    counters: dict[str, int] = {}
+    size = max(1, len(stream) // n_batches)
+    for i in range(0, len(stream), size):
+        chunk = pd.Series(stream[i : i + size], dtype="object")
+        counters = mg_merge_batch(counters, chunk, m)
+
+    from collections import Counter as C
+
+    exact = C(stream)
+    for tok, cnt in exact.items():
+        if cnt > len(stream) / (m + 1):
+            assert tok in counters, (tok, cnt, len(stream))
