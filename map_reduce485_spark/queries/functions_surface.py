@@ -436,3 +436,39 @@ def collated_join_casefold(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_parts"),
         F.sum("price_cents").alias("sum_price_cents"),
     )
+
+
+@query(
+    "sql_pipe_syntax",
+    """
+    SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+    FROM lineitem
+    WHERE l_quantity >= 30
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("functions", "sql"),
+)
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL PIPE syntax (Spark 4's `|>` operators, from the GoogleSQL
+    pipe-query proposal): the same scan → filter → aggregate expressed as
+    a top-to-bottom pipeline instead of inside-out SELECT nesting — the
+    SQL-surface twin of the DataFrame API's method chaining, and the form
+    data engineers increasingly write ETL SQL in.  Catalyst resolves the
+    pipe form to the identical logical plan as the oracle's classic
+    GROUP BY (same pushdown, same partial aggregation); the gate proves
+    the equivalence at hash level."""
+    from map_reduce485_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        FROM lineitem
+        |> WHERE l_quantity >= 30
+        |> AGGREGATE COUNT(*) AS n_items,
+                     SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS revenue_cents
+           GROUP BY l_returnflag, l_linestatus
+        |> SELECT l_returnflag, l_linestatus, n_items, revenue_cents
+        """
+    )
