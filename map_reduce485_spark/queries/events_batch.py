@@ -1889,3 +1889,118 @@ def peak_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_sessions",
         )
     )
+
+
+_KM_ORACLE = """
+WITH bounds AS (SELECT MAX(ts) AS data_end FROM events),
+first_view AS (
+  SELECT user_id, MIN(ts) AS v_ts FROM events WHERE event_type = 'view'
+  GROUP BY user_id
+),
+first_purchase AS (
+  SELECT f.user_id, f.v_ts, MIN(p.ts) AS p_ts
+  FROM first_view f LEFT JOIN events p
+    ON p.user_id = f.user_id AND p.event_type = 'purchase' AND p.ts >= f.v_ts
+  GROUP BY f.user_id, f.v_ts
+),
+subjects AS (
+  SELECT user_id,
+         CASE WHEN p_ts IS NOT NULL THEN 1 ELSE 0 END AS converted,
+         CASE WHEN p_ts IS NOT NULL
+              THEN (epoch_us(p_ts) - epoch_us(v_ts)) // 3600000000
+              ELSE (epoch_us(bounds.data_end) - epoch_us(v_ts)) // 3600000000
+         END AS t_hours
+  FROM first_purchase, bounds
+),
+steps AS (
+  SELECT t_hours,
+         CAST(SUM(converted) AS BIGINT) AS d,
+         CAST(SUM(1 - converted) AS BIGINT) AS c,
+         CAST((SELECT COUNT(*) FROM subjects s2 WHERE s2.t_hours >= steps_t.t_hours)
+              AS BIGINT) AS n_at_risk
+  FROM subjects steps_t GROUP BY t_hours
+)
+SELECT t_hours, n_at_risk, d AS n_converted, c AS n_censored,
+       ROUND((SELECT list_reduce(
+                list_prepend(1e0, list(1e0 - CAST(s2.d AS DOUBLE) / s2.n_at_risk
+                                       ORDER BY s2.t_hours)),
+                (acc, x) -> acc * x)
+              FROM steps s2 WHERE s2.t_hours <= steps.t_hours), 6) AS survival
+FROM steps
+"""
+
+
+@query("survival_time_to_convert", _KM_ORACLE, tags=("events", "stats"))
+def survival_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve for view→purchase conversion time —
+    the censoring-aware estimator (users who never converted are RIGHT-
+    CENSORED at end-of-data, not dropped — dropping them biases time-to-
+    convert optimistic, the classic product-limit motivation).  Risk sets
+    and event counts are exact integers; S(t) = Π(1 − dᵢ/nᵢ) is an
+    order-SENSITIVE float product, so both engines evaluate it as the
+    same sorted sequential fold (the multiplicative sibling of
+    `ewma_hourly_value`'s additive fold), seeded with 1.0.  The fold runs
+    per step over ≤ |distinct hours| factors — survival output is
+    post-aggregation bounded, while subjects/risk sets reduce map-side
+    from the raw log at any scale."""
+    from pyspark.sql import Window as W
+
+    (events,) = T(spark, sf_dir, "events")
+    bounds = events.agg(F.max("ts").alias("data_end"))
+    fv = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    p = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    fp = (
+        fv.join(p, (F.col("p_user") == F.col("user_id")) & (F.col("p_ts") >= F.col("v_ts")), "left")
+        .groupBy("user_id", "v_ts")
+        .agg(F.min("p_ts").alias("p_ts"))
+    )
+    subjects = fp.crossJoin(F.broadcast(bounds)).select(
+        "user_id",
+        F.when(F.col("p_ts").isNotNull(), 1).otherwise(0).alias("converted"),
+        F.when(
+            F.col("p_ts").isNotNull(),
+            F.expr("(unix_micros(p_ts) - unix_micros(v_ts)) div 3600000000"),
+        )
+        .otherwise(F.expr("(unix_micros(data_end) - unix_micros(v_ts)) div 3600000000"))
+        .alias("t_hours"),
+    )
+    steps = subjects.groupBy("t_hours").agg(
+        F.sum("converted").alias("d"),
+        F.sum(1 - F.col("converted")).alias("c"),
+    )
+    # risk set n_i = subjects with t >= t_i: a reversed running sum over the
+    # bounded step table
+    w_desc = W.orderBy(F.col("t_hours").desc()).rowsBetween(W.unboundedPreceding, 0)
+    risky = steps.select(
+        "t_hours",
+        "d",
+        "c",
+        F.sum(F.col("d") + F.col("c")).over(w_desc).alias("n_at_risk"),
+    )
+    # sorted multiplicative fold over all steps <= t: collect the factor
+    # series once, then per-row slice-product
+    w_asc = W.orderBy("t_hours").rowsBetween(W.unboundedPreceding, 0)
+    factored = risky.select(
+        "t_hours",
+        "n_at_risk",
+        F.col("d").alias("n_converted"),
+        F.col("c").alias("n_censored"),
+        F.collect_list(1.0 - F.col("d").cast("double") / F.col("n_at_risk"))
+        .over(w_asc)
+        .alias("factors"),
+    )
+    return factored.select(
+        "t_hours",
+        "n_at_risk",
+        "n_converted",
+        "n_censored",
+        F.round(
+            F.expr("aggregate(factors, 1E0, (acc, x) -> acc * x)"), 6
+        ).alias("survival"),
+    )
