@@ -1580,3 +1580,80 @@ def quality_vs_duplication_report(spark: SparkSession, sf_dir: str) -> DataFrame
             (F.sum("is_dup").cast("double") / F.count("*")).alias("dup_rate"),
         )
     )
+
+
+_LEAKAGE_ORACLE = """
+WITH assigned AS (
+  SELECT doc_id,
+         md5(array_to_string(
+           list_filter(string_split(text, ' '), x -> x <> '')[1:10], ' ')) AS h,
+         CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+                   % 100 < 80 THEN 'train'
+              WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+                   % 100 < 90 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+),
+groups AS (
+  SELECT h,
+         CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+         CAST(SUM(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT) AS n_val,
+         CAST(SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS n_test
+  FROM assigned GROUP BY h
+),
+leaky AS (
+  SELECT * FROM groups
+  WHERE (CAST(n_train > 0 AS INT) + CAST(n_val > 0 AS INT) + CAST(n_test > 0 AS INT)) > 1
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_leaky_groups,
+       CAST(COALESCE(SUM(n_train + n_val + n_test), 0) AS BIGINT) AS n_leaky_docs,
+       CAST(COALESCE(SUM(n_val + n_test), 0) AS BIGINT) AS n_eval_docs_compromised
+FROM leaky
+"""
+
+
+@query("split_leakage_check", _LEAKAGE_ORACLE, tags=("text", "etl", "dedup"))
+def split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAIN/EVAL LEAKAGE audit inside the corpus: documents sharing a
+    content key across `dataset_split_assign`'s splits — the in-corpus
+    complement of `decontaminate_eval_overlap` (which screens against an
+    EXTERNAL eval set).  Hash-split assignment is deterministic per
+    doc_id, but shared CONTENT gets independent ids, so near-identical
+    material leaks across splits unless dedup runs BEFORE splitting; the
+    key here is the first-10-words digest (shared boilerplate openings —
+    the corpus has 23 such families; a full-text digest would be vacuous
+    at this SF and MinHash bands are the production key, same plan).
+    Composition of two registered operators' logic (digest grouping +
+    md5 split), one shuffle on the content key."""
+    (docs,) = T(spark, sf_dir, "documents")
+    u = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "bigint"
+    ) % 100
+    assigned = docs.select(
+        F.md5(
+            F.expr(
+                "array_join(slice(filter(split(text, ' '), x -> x <> ''), 1, 10), ' ')"
+            )
+        ).alias("h"),
+        F.when(u < 80, "train").when(u < 90, "val").otherwise("test").alias("split"),
+    )
+    groups = assigned.groupBy("h").agg(
+        F.sum((F.col("split") == "train").cast("long")).alias("n_train"),
+        F.sum((F.col("split") == "val").cast("long")).alias("n_val"),
+        F.sum((F.col("split") == "test").cast("long")).alias("n_test"),
+    )
+    leaky = groups.filter(
+        (F.col("n_train") > 0).cast("int")
+        + (F.col("n_val") > 0).cast("int")
+        + (F.col("n_test") > 0).cast("int")
+        > 1
+    )
+    return leaky.agg(
+        F.count("*").alias("n_leaky_groups"),
+        F.coalesce(
+            F.sum(F.col("n_train") + F.col("n_val") + F.col("n_test")), F.lit(0)
+        ).alias("n_leaky_docs"),
+        F.coalesce(F.sum(F.col("n_val") + F.col("n_test")), F.lit(0)).alias(
+            "n_eval_docs_compromised"
+        ),
+    )
