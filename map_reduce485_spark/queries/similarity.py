@@ -1875,3 +1875,94 @@ def matryoshka_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count("pc").cast("double") / 10).alias("recall_at_10"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# negative sampling (contrastive-training pair generation)
+# ---------------------------------------------------------------------------
+
+_NEG_K = 10
+
+_NEG_ORACLE = f"""
+WITH {_DUCK_EMB_CTE},
+scored AS (
+  SELECT q.vec_id AS query_id, n.vec_id AS cid,
+         {_duck_cos('q.v', 'n.v')} AS sim,
+         CAST('0x' || substr(md5(CAST(q.vec_id AS VARCHAR) || ':' ||
+                                 CAST(n.vec_id AS VARCHAR)), 1, 15) AS BIGINT) AS u
+  FROM emb q JOIN emb n ON n.vec_id <> q.vec_id
+  WHERE q.vec_id < 5
+),
+ranked AS (
+  SELECT query_id, cid, sim, u,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, cid) AS sim_rank
+  FROM scored
+)
+SELECT query_id, cid AS negative_id, neg_rank, ROUND(sim, 6) AS sim
+FROM (
+  SELECT query_id, cid, sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY u, cid) AS neg_rank
+  FROM ranked WHERE sim_rank > {_NEG_K}
+) WHERE neg_rank <= {_NEG_K}
+"""
+
+
+@query("negative_sampling_pairs", _NEG_ORACLE, tags=("similarity", "training"))
+def negative_sampling_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training NEGATIVE sampling: for each query, 10 corpus
+    vectors drawn uniformly by an md5(query:candidate) key — deterministic
+    and rerun-stable where `rand()` is neither — EXCLUDING the top-10
+    most-similar (those are potential false negatives; filtering them is
+    the standard hard-negative hygiene).  Emits (query, negative, rank,
+    sim) ready to pair with the positives from `cosine_topk_bruteforce`.
+    The exclusion needs the similarity rank, so the test-SF plan scores
+    the corpus exactly (the ANN twins bound WHICH candidates get scored
+    at 100 TB); the sampling itself is one hash expression and one
+    per-query window — no RNG state, no skew."""
+    from pyspark.sql import Window as W
+
+    (emb,) = T(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    n = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("n_emb"))
+    scored = (
+        F.broadcast(q)
+        .join(n, F.col("cid") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cid",
+            cosine_col("q_emb", "n_emb").alias("sim"),
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":",
+                            F.col("query_id").cast("string"),
+                            F.col("cid").cast("string"),
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("u"),
+        )
+    )
+    w_sim = W.partitionBy("query_id").orderBy(F.col("sim").desc(), "cid")
+    w_u = W.partitionBy("query_id").orderBy("u", "cid")
+    ranked = scored.withColumn("sim_rank", F.row_number().over(w_sim))
+    return (
+        ranked.filter(F.col("sim_rank") > _NEG_K)
+        .withColumn("neg_rank", F.row_number().over(w_u))
+        .filter(F.col("neg_rank") <= _NEG_K)
+        .select(
+            "query_id",
+            F.col("cid").alias("negative_id"),
+            "neg_rank",
+            F.round("sim", 6).alias("sim"),
+        )
+    )
