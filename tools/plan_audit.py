@@ -92,6 +92,10 @@ KNOWN_BNLJ = {
     "matryoshka_recall_eval",
     # 1-row × 1-row stats assembly (the hll/kmv report class)
     "join_cardinality_estimate",
+    # 1-row data-end broadcast onto the per-user first-touch frame
+    "survival_time_to_convert",
+    # 5-row query fan-out against the corpus, the cosine_topk class
+    "negative_sampling_pairs",
 }
 
 
