@@ -622,3 +622,75 @@ def null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.join(b, a["mode_key"].eqNullSafe(b["mode_key"])).select(
         a["mode_key"].alias("mode_key"), "n_hi_qty", "n_hi_disc"
     )
+
+
+@query(
+    "share_of_parent",
+    """
+    WITH nat AS (
+      SELECT n.n_regionkey AS regionkey, n.n_nationkey AS nationkey, n.n_name AS nation,
+             CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS nation_cents
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY 1, 2, 3
+    ),
+    reg AS (
+      SELECT regionkey, CAST(SUM(nation_cents) AS BIGINT) AS region_cents
+      FROM nat GROUP BY regionkey
+    ),
+    tot AS (SELECT CAST(SUM(region_cents) AS BIGINT) AS all_cents FROM reg)
+    SELECT r.r_name AS region, nat.nation,
+           nat.nation_cents / 100.0 AS nation_revenue,
+           CAST(nat.nation_cents AS DOUBLE) / reg.region_cents AS share_of_region,
+           CAST(reg.region_cents AS DOUBLE) / tot.all_cents AS region_share_of_total
+    FROM nat JOIN reg USING (regionkey) JOIN region r ON r.r_regionkey = nat.regionkey, tot
+    """,
+    tags=("relational", "agg"),
+)
+def share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical share-of-parent — the drill-down ratio every BI layer
+    computes (nation within region, region within total), generalizing
+    `pct_of_total`'s single level to a two-level hierarchy WITHOUT a
+    window over raw data: aggregate once at the leaf level, re-aggregate
+    the (tiny) leaf table upward, broadcast-join the levels back.  All
+    sums exact bigint cents; each share is one float division.  At 100 TB
+    the only fact-sized work is the leaf aggregation — the parent and
+    grand-total rollups run on |nations| rows."""
+    orders, cust, nation, region = T(
+        spark, sf_dir, "orders", "customer", "nation", "region"
+    )
+    nat = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(nation, nation.n_nationkey == cust.c_nationkey)
+        .groupBy(
+            F.col("n_regionkey").alias("regionkey"),
+            "n_nationkey",
+            F.col("n_name").alias("nation"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "nation_cents"
+            )
+        )
+    )
+    reg = nat.groupBy("regionkey").agg(F.sum("nation_cents").alias("region_cents"))
+    tot = reg.agg(F.sum("region_cents").alias("all_cents"))
+    return (
+        nat.join(F.broadcast(reg), "regionkey")
+        .join(
+            F.broadcast(region), F.col("r_regionkey") == F.col("regionkey")
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("r_name").alias("region"),
+            "nation",
+            (F.col("nation_cents") / 100.0).alias("nation_revenue"),
+            (F.col("nation_cents").cast("double") / F.col("region_cents")).alias(
+                "share_of_region"
+            ),
+            (F.col("region_cents").cast("double") / F.col("all_cents")).alias(
+                "region_share_of_total"
+            ),
+        )
+    )

@@ -1657,3 +1657,97 @@ def split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_eval_docs_compromised"
         ),
     )
+
+
+_SEARCH_TERMS = ("spark", "table", "merge")
+
+_SEARCH_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, UNNEST(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS t
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS tf FROM tok
+  WHERE t IN ('spark', 'table', 'merge') GROUP BY doc_id, t
+),
+df AS (
+  SELECT t, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM tf GROUP BY t
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id,
+         CAST(SUM(CASE WHEN tf.t = 'spark' THEN tf.tf * n.n_docs ELSE 0 END) AS BIGINT) AS w_spark,
+         CAST(MAX(CASE WHEN tf.t = 'spark' THEN df.df END) AS BIGINT) AS df_spark,
+         CAST(SUM(CASE WHEN tf.t = 'table' THEN tf.tf * n.n_docs ELSE 0 END) AS BIGINT) AS w_table,
+         CAST(MAX(CASE WHEN tf.t = 'table' THEN df.df END) AS BIGINT) AS df_table,
+         CAST(SUM(CASE WHEN tf.t = 'merge' THEN tf.tf * n.n_docs ELSE 0 END) AS BIGINT) AS w_merge,
+         CAST(MAX(CASE WHEN tf.t = 'merge' THEN df.df END) AS BIGINT) AS df_merge
+  FROM tf JOIN df ON df.t = tf.t, n
+  GROUP BY tf.doc_id
+),
+final AS (
+  SELECT doc_id,
+         COALESCE(CAST(w_spark AS DOUBLE) / df_spark, 0e0)
+           + COALESCE(CAST(w_table AS DOUBLE) / df_table, 0e0)
+           + COALESCE(CAST(w_merge AS DOUBLE) / df_merge, 0e0) AS score
+  FROM scored
+)
+SELECT doc_id, ROUND(score, 6) AS score, rank FROM (
+  SELECT doc_id, score, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+  FROM final
+) WHERE rank <= 25
+"""
+
+
+@query("keyword_search_rank", _SEARCH_ORACLE, tags=("text", "search"))
+def keyword_search_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranked keyword retrieval — the inverted-index → score → top-k
+    pipeline behind every search box, on the `inverted_index` foundation:
+    per-(doc, term) term frequencies for the query terms, document
+    frequencies, and a LOG-FREE tf·idf score tf·N/df per term (libm log
+    is not cross-engine-exact — see `basket_brand_lift`; N/df preserves
+    the idf ordering and keeps every input an exact integer).  The three
+    term contributions sum in FIXED term order as one explicit a+b+c
+    expression — never a data-dependent float fold.  Scale shape: the
+    term filter prunes the token explosion BEFORE any shuffle, df and N
+    are broadcast-sized, and the top-k is TakeOrdered — no global sort."""
+    from pyspark.sql import Window as W
+
+    (docs,) = T(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.expr("filter(split(lower(text), ' '), x -> x <> '')")).alias("t"),
+    ).filter(F.col("t").isin(*_SEARCH_TERMS))
+    tf = tok.groupBy("doc_id", "t").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("t").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "t")
+        .crossJoin(F.broadcast(n))
+        .groupBy("doc_id")
+        .agg(
+            *[
+                a
+                for term in _SEARCH_TERMS
+                for a in (
+                    F.sum(
+                        F.when(F.col("t") == term, F.col("tf") * F.col("n_docs")).otherwise(0)
+                    ).alias(f"w_{term}"),
+                    F.max(F.when(F.col("t") == term, F.col("df"))).alias(f"df_{term}"),
+                )
+            ]
+        )
+    )
+    score = None
+    for term in _SEARCH_TERMS:
+        contrib = F.coalesce(
+            F.col(f"w_{term}").cast("double") / F.col(f"df_{term}"), F.lit(0.0)
+        )
+        score = contrib if score is None else score + contrib
+    final = scored.select("doc_id", score.alias("score"))
+    w = W.orderBy(F.col("score").desc(), "doc_id")
+    return (
+        final.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 25)
+        .select("doc_id", F.round("score", 6).alias("score"), "rank")
+    )
