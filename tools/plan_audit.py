@@ -96,6 +96,9 @@ KNOWN_BNLJ = {
     "survival_time_to_convert",
     # 5-row query fan-out against the corpus, the cosine_topk class
     "negative_sampling_pairs",
+    # 1-row corpus-count / grand-total broadcasts — the q22 free-probe class
+    "keyword_search_rank",
+    "share_of_parent",
 }
 
 
