@@ -701,3 +701,62 @@ def incremental_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cents").alias("bal_cents_direct"),
     )
     return maintained.join(direct, "bucket")
+
+
+from map_reduce485_spark.queries import REGISTRY as _REG
+
+_PIT_ORACLE = f"""
+WITH dim AS ({_REG["scd2_dimension_build"].oracle}),
+facts AS (
+  SELECT l_suppkey,
+         CASE WHEN l_shipdate < DATE '1995-06-01' THEN 1 ELSE 2 END AS as_of_version,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS price_cents
+  FROM lineitem
+)
+SELECT f.as_of_version, CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(f.price_cents) AS BIGINT) AS price_cents,
+       CAST(SUM(d.bal_cents) AS BIGINT) AS dim_bal_cents
+FROM facts f
+JOIN dim d
+  ON d.s_suppkey = f.l_suppkey
+ AND d.version_start <= f.as_of_version
+ AND (d.version_end IS NULL OR f.as_of_version < d.version_end)
+GROUP BY f.as_of_version
+"""
+
+
+@query("scd2_point_in_time_join", _PIT_ORACLE, tags=("sources", "etl", "join"))
+def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINT-IN-TIME enrichment against the SCD2 dimension — the read
+    side that justifies `scd2_dimension_build`'s write side: every fact
+    row joins the dimension VERSION that was current as of the fact's
+    epoch (early shipments see the v1 balance, late ones the v2 one),
+    never today's value — the temporal-correctness join that prevents
+    feature leakage in training data (enriching history with future
+    attribute values).  The oracle embeds the registered SCD2 oracle as
+    a CTE, so the two stay in lockstep.  Equi-key (suppkey) carries the
+    shuffle; the validity predicate filters within each key's ≤2
+    versions — same plan class as `interval_join_attribution`."""
+    dim = scd2_dimension_build(spark, sf_dir)
+    (li,) = tables(spark, sf_dir, "lineitem")
+    facts = li.select(
+        "l_suppkey",
+        F.when(F.col("l_shipdate") < F.lit("1995-06-01").cast("date"), 1)
+        .otherwise(2)
+        .alias("as_of_version"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("price_cents"),
+    )
+    joined = facts.join(
+        dim,
+        (F.col("s_suppkey") == F.col("l_suppkey"))
+        & (F.col("version_start") <= F.col("as_of_version"))
+        & (
+            F.col("version_end").isNull()
+            | (F.col("as_of_version") < F.col("version_end"))
+        ),
+    )
+    return joined.groupBy("as_of_version").agg(
+        F.count("*").alias("n_items"),
+        F.sum("price_cents").alias("price_cents"),
+        F.sum("bal_cents").alias("dim_bal_cents"),
+    )
