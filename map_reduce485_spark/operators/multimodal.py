@@ -346,3 +346,54 @@ def frame_delta_cuts(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 "is_cut": (np.abs(delta) > CUT_THRESHOLD).astype(np.int32),
             }
         )
+
+
+IMG_SIDE = 16   # synthetic grayscale image side (first IMG_SIDE² payload bytes)
+POOL_GRID = 4   # output grid: POOL_GRID × POOL_GRID tile means
+
+
+def tile_mean_pool(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """REAL spatial-pooling math over binary payloads (the resize/thumbnail
+    sibling of `image_ahash`): interpret each payload's first IMG_SIDE²
+    bytes as a grayscale IMG_SIDE×IMG_SIDE image and average-pool it to a
+    POOL_GRID×POOL_GRID grid — the downsampling step of every thumbnail /
+    patch-embedding pipeline, with the arithmetic done for real: exact
+    integer tile sums, one IEEE division per tile.  A real decoder swaps
+    the frombuffer for a luma plane; the gather/reshape/mean pipeline is
+    unchanged.
+
+    Vectorized: one (n, SIDE, SIDE) gather via cumsum offsets, one
+    4-D reshape, one sum over tile axes — no per-row Python.
+
+    Input batches: (doc_id: int64, payload: bytes >= IMG_SIDE² bytes).
+    Output: (doc_id, tile_row, tile_col, tile_sum, tile_mean) — one row
+    per tile, tile_mean = tile_sum / (tile side)².
+    """
+    import numpy as np
+
+    tile = IMG_SIDE // POOL_GRID
+    for pdf in batches:
+        if len(pdf) == 0:
+            continue
+        payloads = pdf["payload"]
+        lens = payloads.str.len().to_numpy(np.int64)
+        all_bytes = np.frombuffer(b"".join(payloads.tolist()), dtype=np.uint8)
+        starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        imgs = (
+            all_bytes[starts[:, None] + np.arange(IMG_SIDE * IMG_SIDE)]
+            .astype(np.int64)
+            .reshape(len(pdf), POOL_GRID, tile, POOL_GRID, tile)
+        )
+        sums = imgs.sum(axis=(2, 4))  # (n, POOL_GRID, POOL_GRID)
+        n = len(pdf)
+        rows = np.repeat(np.arange(POOL_GRID), POOL_GRID)
+        cols = np.tile(np.arange(POOL_GRID), POOL_GRID)
+        yield pd.DataFrame(
+            {
+                "doc_id": np.repeat(pdf["doc_id"].to_numpy(), POOL_GRID * POOL_GRID),
+                "tile_row": np.tile(rows, n).astype(np.int32),
+                "tile_col": np.tile(cols, n).astype(np.int32),
+                "tile_sum": sums.reshape(n, -1).ravel(),
+                "tile_mean": sums.reshape(n, -1).ravel() / (tile * tile),
+            }
+        )

@@ -402,3 +402,47 @@ def multimodal_frame_delta_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
         frame_delta_cuts,
         schema="doc_id bigint, frame_idx bigint, brightness bigint, delta bigint, is_cut int",
     )
+
+
+_TILE_ORACLE = """
+WITH p AS (
+  SELECT doc_id, hex(encode(text)) AS hx
+  FROM documents WHERE octet_length(encode(text)) >= 256
+),
+byt AS (
+  SELECT doc_id,
+         ((i - 1) // 16) // 4 AS tile_row,
+         ((i - 1) % 16) // 4 AS tile_col,
+         (strpos('0123456789ABCDEF', substr(hx, 2 * i - 1, 1)) - 1) * 16
+           + strpos('0123456789ABCDEF', substr(hx, 2 * i, 1)) - 1 AS b
+  FROM (SELECT doc_id, hx, UNNEST(generate_series(1, 256)) AS i FROM p)
+)
+SELECT doc_id, tile_row, tile_col,
+       CAST(SUM(b) AS BIGINT) AS tile_sum,
+       CAST(SUM(b) AS DOUBLE) / 16 AS tile_mean
+FROM byt GROUP BY doc_id, tile_row, tile_col
+"""
+
+
+@query("multimodal_tile_means", _TILE_ORACLE, tags=("multimodal",))
+def multimodal_tile_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average-pooled tile grid — the fifth REAL-math multimodal extractor
+    (histogram, RMS, aHash, scene cuts, now spatial pooling): each
+    payload's leading 16×16 bytes pooled to a 4×4 grid of exact integer
+    tile sums + one division per tile (`operators/multimodal.py::
+    tile_mean_pool`, a single vectorized gather-reshape-sum).  This is
+    the thumbnail/patch-grid step the `multimodal_resize_stub` fakes for
+    lack of a codec, done with real arithmetic on the bytes we do have.
+    Map-side only; the 16-rows-per-doc feature output is what shuffles,
+    never payloads."""
+    from map_reduce485_spark.operators.multimodal import tile_mean_pool
+
+    (docs,) = T(spark, sf_dir, "documents")
+    payloads = (
+        docs.select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
+        .filter(F.octet_length("payload") >= 256)
+    )
+    return payloads.mapInPandas(
+        tile_mean_pool,
+        schema="doc_id bigint, tile_row int, tile_col int, tile_sum bigint, tile_mean double",
+    )

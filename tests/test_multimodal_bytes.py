@@ -213,3 +213,23 @@ def test_frame_delta_cuts_fixture():
     # the first frame of a LATER row must not inherit the previous row's
     # brightness as a delta (row-boundary reset)
     assert int(out[(out.doc_id == 11)].delta.iloc[0]) == 0
+
+
+def test_tile_mean_pool_fixture():
+    """Tile sums/means on a hand-built 16x16 'image' with a known pattern,
+    plus the short-payload exclusion contract."""
+    import numpy as np
+    import pandas as pd
+
+    from map_reduce485_spark.operators.multimodal import IMG_SIDE, tile_mean_pool
+
+    img = np.arange(IMG_SIDE * IMG_SIDE, dtype=np.uint8).reshape(IMG_SIDE, IMG_SIDE)
+    payload = img.tobytes() + b"trailing-ignored"
+    batch = pd.DataFrame({"doc_id": [7], "payload": [payload]})
+    (out,) = list(tile_mean_pool(iter([batch])))
+    assert len(out) == 16
+    for _, r in out.iterrows():
+        tr, tc = int(r.tile_row), int(r.tile_col)
+        tile = img[tr * 4 : tr * 4 + 4, tc * 4 : tc * 4 + 4].astype(int)
+        assert int(r.tile_sum) == tile.sum()
+        assert r.tile_mean == tile.sum() / 16
