@@ -2004,3 +2004,83 @@ def survival_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("aggregate(factors, 1E0, (acc, x) -> acc * x)"), 6
         ).alias("survival"),
     )
+
+
+_HOLT_ORACLE = """
+WITH RECURSIVE hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS v
+  FROM events GROUP BY event_type, date_trunc('hour', ts)
+),
+arr AS (
+  SELECT event_type, v,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS i
+  FROM hourly
+),
+n AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_hours FROM arr GROUP BY event_type),
+-- sequential Holt recurrence; DuckDB 1.0 list_reduce mutates struct
+-- accumulators FIELD-BY-FIELD (acc.l inside the 'b' field already sees the
+-- new l — probed empirically), so the fold is replayed as a recursive CTE
+-- with standard evaluation semantics instead
+rec AS (
+  SELECT a1.event_type, CAST(2 AS BIGINT) AS i, a1.v AS l, a2.v - a1.v AS b
+  FROM arr a1 JOIN arr a2 ON a2.event_type = a1.event_type AND a1.i = 1 AND a2.i = 2
+  UNION ALL
+  SELECT r.event_type, r.i + 1,
+         3e-1 * a.v + 7e-1 * (r.l + r.b),
+         2e-1 * (3e-1 * a.v + 7e-1 * (r.l + r.b) - r.l) + 8e-1 * r.b
+  FROM rec r JOIN arr a ON a.event_type = r.event_type AND a.i = r.i + 1
+)
+SELECT rec.event_type, n.n_hours,
+       ROUND(rec.l, 6) AS level, ROUND(rec.b, 6) AS trend,
+       ROUND(rec.l + rec.b, 6) AS forecast_next
+FROM rec JOIN n ON n.event_type = rec.event_type AND rec.i = n.n_hours
+"""
+
+
+@query("holt_linear_forecast", _HOLT_ORACLE, tags=("events", "timeseries"))
+def holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing (level α=0.3 + trend β=0.2) per
+    event type, with the one-step-ahead forecast l+b — the trend-aware
+    upgrade of `ewma_hourly_value`, and the structural step up in the
+    sequential-fold technique: the accumulator is a STRUCT of two coupled
+    recurrences, folded over the sorted hourly series identically on both
+    engines — Spark as `aggregate` with a named_struct accumulator (the
+    l′ subexpression textually duplicated inside the trend update so both
+    fields read only OLD state), DuckDB as a recursive CTE: its 1.0
+    `list_reduce` mutates struct accumulators field-by-field (acc.l
+    inside the 'b' field already sees the new l — probed empirically and
+    pinned in the oracle comment), so the same fold is replayed with
+    standard evaluation semantics instead.  Seeded the standard way: l₀ = v₁, b₀ = v₂ − v₁,
+    fold over v₃….  Scale: fold length = series length, after the exact
+    map-side hourly reduction."""
+    (events,) = T(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(
+        (F.sum(F.round(F.col("value") * 100).cast("long")).cast("double") / 100.0).alias("v")
+    )
+    arrs = hourly.groupBy("event_type").agg(
+        F.count("*").alias("n_hours"),
+        F.expr("transform(array_sort(collect_list(struct(h, v))), s -> s.v)").alias("vs"),
+    )
+    fitted = arrs.select(
+        "event_type",
+        "n_hours",
+        F.expr(
+            "aggregate(slice(vs, 3, size(vs) - 2),"
+            " named_struct('l', element_at(vs, 1),"
+            "              'b', element_at(vs, 2) - element_at(vs, 1)),"
+            " (acc, x) -> named_struct("
+            "   'l', 3E-1 * x + 7E-1 * (acc.l + acc.b),"
+            "   'b', 2E-1 * (3E-1 * x + 7E-1 * (acc.l + acc.b) - acc.l)"
+            "        + 8E-1 * acc.b))"
+        ).alias("s"),
+    )
+    return fitted.select(
+        "event_type",
+        "n_hours",
+        F.round(F.col("s.l"), 6).alias("level"),
+        F.round(F.col("s.b"), 6).alias("trend"),
+        F.round(F.col("s.l") + F.col("s.b"), 6).alias("forecast_next"),
+    )
