@@ -2084,3 +2084,54 @@ def holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("s.b"), 6).alias("trend"),
         F.round(F.col("s.l") + F.col("s.b"), 6).alias("forecast_next"),
     )
+
+
+_PATHS_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         LEAD(event_type, 1) OVER w AS t2,
+         LEAD(event_type, 2) OVER w AS t3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+paths AS (
+  SELECT event_type || '>' || t2 || '>' || t3 AS path
+  FROM seq WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+)
+SELECT path, n_users AS n_occurrences, rank FROM (
+  SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users,
+         ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, path) AS rank
+  FROM paths GROUP BY path
+) WHERE rank <= 15
+"""
+
+
+@query("top_event_paths", _PATHS_ORACLE, tags=("events", "window"))
+def top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path analysis: the most common 3-step event sequences across all
+    user journeys — the product-analytics view that finds the dominant
+    flows (and the dead ends) which per-pair transition rates
+    (`event_transition_matrix`) average away.  Consecutive triples come
+    from two LEAD windows over each user's ordered stream (one shuffle on
+    user_id), the path key is a bounded string, and the top-15 is
+    TakeOrdered over the tiny |event_types|³ path space — nothing here
+    retains per-user state beyond the window sort."""
+    from pyspark.sql import Window as W
+
+    (events,) = T(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    ).filter(F.col("t2").isNotNull() & F.col("t3").isNotNull())
+    paths = seq.select(
+        F.concat_ws(">", "event_type", "t2", "t3").alias("path")
+    )
+    counted = paths.groupBy("path").agg(F.count("*").alias("n_occurrences"))
+    wr = W.orderBy(F.col("n_occurrences").desc(), "path")
+    return (
+        counted.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= 15)
+        .select("path", "n_occurrences", "rank")
+    )
