@@ -35,33 +35,81 @@ from map_reduce485_spark.queries._util import T, dsum, oracle_dsum
 _N_BUCKETS = 8
 
 
+def _src_fingerprint(sf_dir: str, table: str) -> str:
+    """md5 over the source table's file names/sizes/mtimes (the
+    `_util.land_parquet` keying discipline)."""
+    from pathlib import Path
+
+    src = Path(sf_dir) / f"{table}.parquet"
+    files = sorted(p for p in src.rglob("*") if p.is_file()) if src.is_dir() else [src]
+    h = hashlib.md5(f"{sf_dir}:{table}".encode())
+    for f in files:
+        st = f.stat()
+        h.update(f"{f.name}:{st.st_size}:{st.st_mtime_ns}".encode())
+    return h.hexdigest()[:12]
+
+
 def _ensure_bucketed_facts(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
-    """Write lineitem/orders bucketed+sorted by order key (once per
-    session+sf_dir; table names are sf-scoped so different scale factors
-    never collide in one catalog)."""
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    li_t, ord_t = f"b_lineitem_{tag}", f"b_orders_{tag}"
-    # external tables at an explicitly writable location: a vanilla
-    # SparkSession's warehouse dir is cwd-relative, and the gate may run
-    # from a read-only cwd
-    root = os.path.join(tempfile.gettempdir(), "mr485_bucketed")
-    if not (spark.catalog.tableExists(li_t) and spark.catalog.tableExists(ord_t)):
-        li, orders = T(spark, sf_dir, "lineitem", "orders")
-        write_bucketed(
-            li.select("l_orderkey", "l_extendedprice", "l_discount"),
-            li_t,
+    """Bucketed+sorted lineitem/orders tables, built once per SOURCE
+    FINGERPRINT and shared across processes safely (the round-4 verdict's
+    cross-process race: two engines both passing a session-catalog
+    `tableExists` check and clobbering one shared path).
+
+    Discipline mirrors `_util.land_parquet`: the data dir is keyed on the
+    source files' fingerprint, written via `saveAsTable` into a
+    process-unique temp location, atomically renamed into place (losers
+    discard their copy), and NEVER mutated again — each session then
+    registers an EXTERNAL bucketed table over the immutable dir with
+    `CREATE TABLE IF NOT EXISTS ... CLUSTERED BY`, which touches only its
+    own catalog.  Table names are fingerprint-scoped, so different scale
+    factors or regenerated source data never collide."""
+    import shutil
+    from pathlib import Path
+
+    specs = [
+        (
+            "lineitem",
+            ["l_orderkey", "l_extendedprice", "l_discount"],
+            "l_orderkey BIGINT, l_extendedprice DOUBLE, l_discount DOUBLE",
             "l_orderkey",
-            _N_BUCKETS,
-            path=os.path.join(root, li_t),
-        )
-        write_bucketed(
-            orders.select("o_orderkey", "o_orderpriority"),
-            ord_t,
+        ),
+        (
+            "orders",
+            ["o_orderkey", "o_orderpriority"],
+            "o_orderkey BIGINT, o_orderpriority STRING",
             "o_orderkey",
-            _N_BUCKETS,
-            path=os.path.join(root, ord_t),
-        )
-    return li_t, ord_t
+        ),
+    ]
+    names = []
+    root = Path(tempfile.gettempdir()) / "mr485_bucketed"
+    for table, cols, ddl_cols, key in specs:
+        tag = _src_fingerprint(sf_dir, table)
+        t_name = f"b_{table}_{tag}"
+        final = root / t_name
+        if not (final / "_SUCCESS").exists():
+            if final.exists():  # broken leftover: complete dirs have _SUCCESS
+                shutil.rmtree(final, ignore_errors=True)
+            (df,) = T(spark, sf_dir, table)
+            tmp_table = f"{t_name}_tmp{os.getpid()}"
+            tmp_path = final.with_name(f"{t_name}.tmp{os.getpid()}")
+            write_bucketed(
+                df.select(*cols), tmp_table, key, _N_BUCKETS, path=str(tmp_path)
+            )
+            spark.sql(f"DROP TABLE IF EXISTS {tmp_table}")  # keep the files
+            try:
+                os.rename(tmp_path, final)
+            except OSError:
+                shutil.rmtree(tmp_path, ignore_errors=True)
+                if not (final / "_SUCCESS").exists():
+                    raise RuntimeError(f"bucketed dir {final} unusable after race")
+        if not spark.catalog.tableExists(t_name):
+            spark.sql(
+                f"CREATE TABLE IF NOT EXISTS {t_name} ({ddl_cols}) USING PARQUET "
+                f"CLUSTERED BY ({key}) SORTED BY ({key}) INTO {_N_BUCKETS} BUCKETS "
+                f"LOCATION '{final}'"
+            )
+        names.append(t_name)
+    return names[0], names[1]
 
 
 @query(

@@ -72,3 +72,63 @@ def test_bucketed_join_is_shuffle_free_and_correct(spark):
         .collect()
     )
     assert [tuple(r) for r in got] == [tuple(r) for r in exp]
+
+
+def test_bucketed_scratch_cross_process_safe(spark, tmp_path):
+    """Round-4 verdict item: two engine PROCESSES racing the first build of
+    the shared bucketed scratch must both succeed with correct results.
+    The source is a fresh copy (fresh fingerprint → genuinely first-run),
+    and a subprocess engine runs the same query concurrently with this
+    session's run."""
+    import shutil
+    import subprocess
+    import sys
+
+    from map_reduce485_spark.queries.bucketed import bucketed_fact_join_revenue
+
+    src = tmp_path / "sf"
+    src.mkdir()
+    for t in ("lineitem", "orders"):
+        copy_from = f"/root/testdata/sf0.001/{t}.parquet"
+        shutil.copy(copy_from, src / f"{t}.parquet")
+
+    code = (
+        "import sys; sys.path.insert(0, '/root/repo');"
+        "from map_reduce485_spark import get_spark;"
+        "from map_reduce485_spark.queries.bucketed import bucketed_fact_join_revenue;"
+        f"s = get_spark('race_proc', cpus=2, shuffle_partitions=2);"
+        f"rows = bucketed_fact_join_revenue(s, {str(src)!r}).collect();"
+        "print('SUBPROC_ROWS', len(rows))"
+    )
+    proc = subprocess.Popen(
+        [sys.executable, "-c", code],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT,
+        text=True,
+    )
+    try:
+        here = {
+            r.o_orderpriority: (r.n_items, r.revenue)
+            for r in bucketed_fact_join_revenue(spark, str(src)).collect()
+        }
+    finally:
+        out, _ = proc.communicate(timeout=300)
+    assert proc.returncode == 0, out[-2000:]
+    assert "SUBPROC_ROWS" in out
+
+    import duckdb
+
+    con = duckdb.connect()
+    exp = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(
+            f"""
+            SELECT o_orderpriority, COUNT(*) AS n,
+                   SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) / 100.0
+            FROM read_parquet('{src}/lineitem.parquet') l
+            JOIN read_parquet('{src}/orders.parquet') o ON l_orderkey = o_orderkey
+            GROUP BY 1
+            """
+        ).fetchall()
+    }
+    assert here == exp
