@@ -760,3 +760,59 @@ def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("price_cents").alias("price_cents"),
         F.sum("bal_cents").alias("dim_bal_cents"),
     )
+
+
+_PYSS_ORACLE = """
+SELECT CAST(id % 16 AS INT) AS k, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM((id * id) % 9973) AS BIGINT) AS sum_cents
+FROM (SELECT UNNEST(generate_series(0, 1999)) AS id)
+GROUP BY 1
+"""
+
+
+@query(
+    "streaming_python_source_gate", _PYSS_ORACLE, tags=("source", "streaming")
+)
+def streaming_python_source_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM PYTHON STREAMING SOURCE under the hash gate (13th gated
+    streaming run): a `SimpleDataSourceStreamReader` feed
+    (`sources/pyds.py`) drained through TEN successive availableNow runs
+    sharing one checkpoint — each run consumes exactly one offset step
+    (200 rows), commits {"pos"} to the offset log, and the next run
+    RESUMES from it, so what is witnessed is the full offset lifecycle
+    (initialOffset → read → commit → recover) of a driver-tracked Python
+    source, plus complete-mode aggregation state surviving across query
+    RESTARTS (the state store under the shared checkpoint).  The final
+    complete-mode table must equal the batch aggregate over all 2000
+    synthetic rows — any lost/duplicated offset range breaks count and
+    exact integer sum.  Checkpoint is process-unique, so every invocation
+    replays the full schedule deterministically."""
+    import os
+    import tempfile
+
+    from map_reduce485_spark.sources.pyds import (
+        STREAM_N,
+        STREAM_STEP,
+        register,
+    )
+
+    register(spark)
+    ckpt = tempfile.mkdtemp(prefix="mr485_pyss_ckpt_")
+    agg = (
+        spark.readStream.format("mr485_synthetic_stream")
+        .load()
+        .groupBy(F.col("k"))
+        .agg(F.count("*").alias("n"), F.sum("cents").alias("sum_cents"))
+    )
+    name = f"pyss_gate_{os.getpid()}_{abs(hash(ckpt)) % 10_000_000}"
+    for _ in range(STREAM_N // STREAM_STEP):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name)

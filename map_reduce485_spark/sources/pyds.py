@@ -15,7 +15,12 @@ read), not just "some rows came back".
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 
 class SyntheticRowsDataSource(DataSource):
@@ -53,7 +58,51 @@ class SyntheticRowsReader(DataSourceReader):
 
 def register(spark) -> None:
     """Idempotent registration (a name can only be bound once per session)."""
-    try:
-        spark.dataSource.register(SyntheticRowsDataSource)
-    except Exception:
-        pass
+    for src in (SyntheticRowsDataSource, SyntheticStreamDataSource):
+        try:
+            spark.dataSource.register(src)
+        except Exception:
+            pass
+
+
+STREAM_N = 2000     # total rows the synthetic stream ever produces
+STREAM_STEP = 200   # rows surfaced per micro-batch read
+
+
+class SyntheticStreamDataSource(DataSource):
+    """STREAMING Python data source (`simpleStreamReader`): a bounded
+    synthetic feed of STREAM_N rows surfaced STREAM_STEP per micro-batch,
+    with driver-tracked offsets ({"pos": n}) the engine checkpoints and
+    replays — the Spark 4 path for ingesting a bespoke feed (an internal
+    queue, a poll-based API) without a JVM connector.  Row content is a
+    pure function of the row id (k = id % 16, cents = (id*id) % 9973), so
+    any offset schedule produces the same multiset and a SQL oracle can
+    replay it."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "mr485_synthetic_stream"
+
+    def schema(self) -> str:
+        return "id bigint, k int, cents bigint"
+
+    def simpleStreamReader(self, schema) -> "SyntheticStreamReader":
+        return SyntheticStreamReader()
+
+
+def _stream_rows(lo: int, hi: int):
+    return iter([(i, i % 16, (i * i) % 9973) for i in range(lo, hi)])
+
+
+class SyntheticStreamReader(SimpleDataSourceStreamReader):
+    def initialOffset(self) -> dict:
+        return {"pos": 0}
+
+    def read(self, start: dict):
+        pos = start["pos"]
+        end = min(pos + STREAM_STEP, STREAM_N)
+        return _stream_rows(pos, end), {"pos": end}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        # exact replay between checkpointed offsets (crash recovery path)
+        return _stream_rows(start["pos"], end["pos"])
