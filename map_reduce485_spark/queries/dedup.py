@@ -1438,3 +1438,81 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             cb.alias("containment_b"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# content-defined chunking (rolling-hash boundaries)
+# ---------------------------------------------------------------------------
+
+_CDC_ORACLE = """
+WITH p AS (
+  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+  FROM documents WHERE octet_length(encode(text)) >= 8
+),
+byt AS (
+  SELECT doc_id, i,
+         substr(hx, 2 * i - 1, 2) AS pair,
+         (strpos('0123456789ABCDEF', substr(hx, 2 * i - 1, 1)) - 1) * 16
+           + strpos('0123456789ABCDEF', substr(hx, 2 * i, 1)) - 1 AS b
+  FROM (SELECT doc_id, hx, n, UNNEST(generate_series(1, n)) AS i FROM p)
+),
+hashed AS (
+  SELECT doc_id, i, pair,
+         CASE WHEN i >= 8 THEN
+           (LAG(b, 0) OVER w) + (LAG(b, 1) OVER w) * 31
+           + (LAG(b, 2) OVER w) * 961 + (LAG(b, 3) OVER w) * 29791
+           + (LAG(b, 4) OVER w) * 923521 + (LAG(b, 5) OVER w) * 28629151
+           + (LAG(b, 6) OVER w) * 887503681 + (LAG(b, 7) OVER w) * 27512614111
+         END AS h
+  FROM byt
+  WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+),
+flagged AS (
+  SELECT doc_id, i, pair,
+         CASE WHEN h IS NOT NULL AND h % 64 = 0 THEN 1 ELSE 0 END AS is_boundary
+  FROM hashed
+),
+chunked AS (
+  SELECT doc_id, i, pair,
+         COALESCE(SUM(is_boundary) OVER (
+           PARTITION BY doc_id ORDER BY i
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_idx
+  FROM flagged
+)
+SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       CAST(MIN(i) - 1 AS BIGINT) AS start_pos,
+       CAST(COUNT(*) AS BIGINT) AS chunk_len,
+       md5(string_agg(pair, '' ORDER BY i)) AS chunk_md5
+FROM chunked GROUP BY doc_id, chunk_idx
+"""
+
+
+@query("dedup_cdc_chunking", _CDC_ORACLE, tags=("dedup", "text"))
+def dedup_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTENT-DEFINED chunking (Rabin/LBFS rolling-hash boundaries) — the
+    storage-dedup primitive fixed-size chunking can't replace: insert one
+    byte and fixed windows (`doc_chunking`) shift EVERY later boundary,
+    while content-defined cuts (hash of the trailing 8 bytes ≡ 0 mod 64)
+    realign immediately, so near-identical documents still share most
+    chunk digests — feed these to `dedup_chunk_spans`-style grouping for
+    sub-document dedup at storage granularity.  The polynomial hash stays
+    exact in int64 (no modular reduction → both engines compute the same
+    integer; the oracle replays it as 8 LAG terms with literal 31-powers);
+    chunk digests hash the uppercase hex so any byte content is SQL-
+    expressible.  Map-side only (`operators/chunking.py`, one vectorized
+    rolling-hash pass per batch); only (doc, chunk-digest) rows shuffle —
+    never payloads — exactly like `dedup_exact`."""
+    from map_reduce485_spark.operators.chunking import cdc_chunks
+
+    (docs,) = T(spark, sf_dir, "documents")
+    payloads = (
+        docs.select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
+        .filter(F.octet_length("payload") >= 8)
+    )
+    return payloads.mapInPandas(
+        cdc_chunks,
+        schema=(
+            "doc_id bigint, chunk_idx bigint, start_pos bigint,"
+            " chunk_len bigint, chunk_md5 string"
+        ),
+    )

@@ -292,3 +292,40 @@ def test_misra_gries_survival_guarantee(stream, n_batches):
     for tok, cnt in exact.items():
         if cnt > len(stream) / (m + 1):
             assert tok in counters, (tok, cnt, len(stream))
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.binary(min_size=100, max_size=400), st.binary(min_size=1, max_size=10))
+def test_cdc_chunks_realign_after_insertion(doc, insertion):
+    """The content-defined property itself: inserting bytes at the front
+    changes at most the chunks BEFORE the first shared boundary — all
+    boundaries after it realign, so the chunk-digest multisets overlap
+    from the first post-insertion boundary on (fixed-size chunking would
+    shift every boundary).  Also pins the partition invariants: chunks
+    tile the payload exactly."""
+    import pandas as pd
+
+    from map_reduce485_spark.operators.chunking import cdc_chunks
+
+    def chunks(payload):
+        outs = list(
+            cdc_chunks(iter([pd.DataFrame({"doc_id": [1], "payload": [payload]})]))
+        )
+        (out,) = outs
+        out = out.sort_values("chunk_idx")
+        # tiling invariants
+        assert list(out.start_pos) == [0] + list(
+            (out.start_pos + out.chunk_len).iloc[:-1]
+        )
+        assert int(out.chunk_len.sum()) == len(payload)
+        assert (out.chunk_len > 0).all()
+        return list(out.chunk_md5)
+
+    orig = chunks(doc)
+    shifted = chunks(insertion + doc)
+    # every chunk of the original that starts at-or-after the original's
+    # first boundary must reappear verbatim in the shifted doc's chunks
+    if len(orig) > 1:
+        tail = orig[1:]
+        shifted_set = set(shifted)
+        assert all(c in shifted_set for c in tail)
