@@ -1516,3 +1516,48 @@ def dedup_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
             " chunk_len bigint, chunk_md5 string"
         ),
     )
+
+
+_CDC_SHARED_ORACLE = f"""
+WITH chunks AS ({_CDC_ORACLE}),
+shared AS (
+  SELECT chunk_md5, CAST(COUNT(*) AS BIGINT) AS n_copies,
+         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         CAST(MAX(chunk_len) AS BIGINT) AS chunk_len
+  FROM chunks GROUP BY chunk_md5 HAVING COUNT(DISTINCT doc_id) > 1
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_shared_chunks,
+       CAST(COALESCE(SUM(n_copies), 0) AS BIGINT) AS n_chunk_copies,
+       CAST(COALESCE(SUM(chunk_len * (n_copies - 1)), 0) AS BIGINT)
+         AS dedupable_bytes
+FROM shared
+"""
+
+
+@query("dedup_cdc_shared_chunks", _CDC_SHARED_ORACLE, tags=("dedup",))
+def dedup_cdc_shared_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage-dedup yield report over the content-defined chunks: chunk
+    digests appearing in MORE THAN ONE document, and the bytes a
+    chunk-store would reclaim by keeping one copy of each
+    (Σ len·(copies−1)) — the number that justifies deploying CDC at all,
+    computed from `dedup_cdc_chunking`'s output (oracle embeds that
+    query's SQL as a CTE).  Complements `dedup_chunk_spans` (fixed
+    word-window spans): these chunks realign across insertions, so the
+    yield survives edits.  Shuffle carries (digest, len) pairs only."""
+    chunks = dedup_cdc_chunking(spark, sf_dir)
+    shared = (
+        chunks.groupBy("chunk_md5")
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.max("chunk_len").alias("chunk_len"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+    return shared.agg(
+        F.count("*").alias("n_shared_chunks"),
+        F.coalesce(F.sum("n_copies"), F.lit(0)).alias("n_chunk_copies"),
+        F.coalesce(
+            F.sum(F.col("chunk_len") * (F.col("n_copies") - 1)), F.lit(0)
+        ).alias("dedupable_bytes"),
+    )
