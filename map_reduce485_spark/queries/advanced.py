@@ -2285,3 +2285,98 @@ def table_content_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("sum_digest"),
         F.expr("bit_xor(rh)").alias("xor_digest"),
     )
+
+
+# ---------------------------------------------------------------------------
+# two-sample Kolmogorov-Smirnov test (exact integer CDF gap)
+# ---------------------------------------------------------------------------
+
+_KS_ORACLE = """
+WITH s AS (
+  SELECT CAST(ROUND(value * 100) AS BIGINT) AS cents,
+         CAST(event_type = 'view' AS INT) AS is_a
+  FROM events WHERE event_type IN ('view', 'purchase')
+),
+n AS (
+  SELECT CAST(SUM(is_a) AS BIGINT) AS n_a,
+         CAST(SUM(1 - is_a) AS BIGINT) AS n_b
+  FROM s
+),
+steps AS (
+  SELECT cents,
+         SUM(SUM(is_a)) OVER (ORDER BY cents) AS c_a,
+         SUM(SUM(1 - is_a)) OVER (ORDER BY cents) AS c_b
+  FROM s GROUP BY cents
+),
+gaps AS (
+  -- n_a·n_b·|F_a − F_b| stays an exact bigint: the argmax is decided on
+  -- integers, one float division at the very end
+  SELECT steps.cents, abs(c_a * n.n_b - c_b * n.n_a) AS gap_scaled, n.n_a, n.n_b
+  FROM steps, n
+),
+mx AS (SELECT MAX(gap_scaled) AS peak FROM gaps)
+SELECT g.n_a, g.n_b,
+       CAST(g.gap_scaled AS BIGINT) AS gap_scaled,
+       CAST(g.gap_scaled AS DOUBLE) / (g.n_a * g.n_b) AS ks_statistic,
+       MIN(g.cents) / 100.0 AS at_value
+FROM gaps g, mx WHERE g.gap_scaled = mx.peak
+GROUP BY g.n_a, g.n_b, g.gap_scaled
+"""
+
+
+@query("ks_two_sample_test", _KS_ORACLE, tags=("advanced", "stats"))
+def ks_two_sample_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov distance between the view and
+    purchase value distributions — the distribution-drift test a data
+    pipeline runs between cohorts/snapshots (z-tests compare means; KS
+    catches shape changes anywhere in the CDF).  The whole sup-norm
+    search is EXACT integer arithmetic: at each distinct value the scaled
+    gap n_a·n_b·|F_a−F_b| = |c_a·n_b − c_b·n_a| is a bigint, the argmax
+    is decided on bigints (no float comparisons anywhere), and the
+    statistic's single division happens once at the end.  The running
+    CDFs are one ordered window over the DISTINCT-value steps (bounded by
+    the value domain, not the row count; at 100 TB pre-bin values first —
+    `approx_percentile_binned`'s move)."""
+    from pyspark.sql import Window as W
+
+    (events,) = T(spark, sf_dir, "events")
+    s = events.filter(F.col("event_type").isin("view", "purchase")).select(
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        (F.col("event_type") == "view").cast("int").alias("is_a"),
+    )
+    n = s.agg(
+        F.sum("is_a").alias("n_a"),
+        F.sum(1 - F.col("is_a")).alias("n_b"),
+    )
+    per_v = s.groupBy("cents").agg(
+        F.sum("is_a").alias("da"), F.sum(1 - F.col("is_a")).alias("db")
+    )
+    w = W.orderBy("cents").rowsBetween(W.unboundedPreceding, 0)
+    steps = per_v.select(
+        "cents",
+        F.sum("da").over(w).alias("c_a"),
+        F.sum("db").over(w).alias("c_b"),
+    )
+    gaps = steps.crossJoin(F.broadcast(n)).select(
+        "cents",
+        F.abs(F.col("c_a") * F.col("n_b") - F.col("c_b") * F.col("n_a")).alias(
+            "gap_scaled"
+        ),
+        "n_a",
+        "n_b",
+    )
+    mx = gaps.agg(F.max("gap_scaled").alias("peak"))
+    return (
+        gaps.join(F.broadcast(mx), gaps.gap_scaled == mx.peak)
+        .groupBy("n_a", "n_b", "gap_scaled")
+        .agg((F.min("cents") / 100.0).alias("at_value"))
+        .select(
+            "n_a",
+            "n_b",
+            "gap_scaled",
+            (F.col("gap_scaled").cast("double") / (F.col("n_a") * F.col("n_b"))).alias(
+                "ks_statistic"
+            ),
+            "at_value",
+        )
+    )

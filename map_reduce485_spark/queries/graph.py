@@ -287,3 +287,94 @@ def sssp_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("dist").alias("dist"))
         )
     return dist.select("node", (F.col("dist") / 100.0).alias("min_cost"))
+
+
+# ---------------------------------------------------------------------------
+# degree assortativity (network-science summary statistic)
+# ---------------------------------------------------------------------------
+
+_ASSORT_ORACLE = """
+WITH e0 AS (
+  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+),
+edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY src),
+pairs AS (
+  SELECT da.d AS x, db.d AS y
+  FROM edges e JOIN deg da ON da.node = e.src JOIN deg db ON db.node = e.dst
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS m,
+         CAST(CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS DOUBLE) AS sx,
+         CAST(CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS DOUBLE) AS sy,
+         CAST(CAST(SUM(CAST(x * x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS DOUBLE) AS sxx,
+         CAST(CAST(SUM(CAST(y * y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS DOUBLE) AS syy,
+         CAST(CAST(SUM(CAST(x * y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS DOUBLE) AS sxy
+  FROM pairs
+)
+SELECT m AS n_directed_edges,
+       (m * sxy - sx * sy)
+         / (sqrt(m * sxx - sx * sx) * sqrt(m * syy - sy * sy)) AS assortativity
+FROM agg
+"""
+
+
+@query("degree_assortativity", _ASSORT_ORACLE, tags=("graph", "stats"))
+def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the trade graph — Newman's r: the Pearson
+    correlation of endpoint degrees over all directed edges, THE summary
+    of whether hubs attach to hubs (r>0, social nets) or to leaves (r<0,
+    bipartite/infra nets — expected here).  Built from pieces already
+    proven: degree table (one groupBy), two broadcast joins of degrees
+    onto edges, then the `exact_corr_stats` decimal-moment discipline
+    over the (deg_src, deg_dst) pairs — shuffle carries one long pair per
+    edge, the correlation runs on six scalars.  No new machinery; the
+    point is the composition."""
+    orders, lineitem = T(spark, sf_dir, "orders", "lineitem")
+    e0 = (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = e0.unionAll(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    deg = edges.groupBy("src").agg(F.count("*").alias("d")).select(
+        F.col("src").alias("node"), "d"
+    )
+    pairs = (
+        edges.join(
+            F.broadcast(deg.select(F.col("node").alias("src"), F.col("d").alias("x"))),
+            "src",
+        )
+        .join(
+            F.broadcast(deg.select(F.col("node").alias("dst"), F.col("d").alias("y"))),
+            "dst",
+        )
+        .select("x", "y")
+    )
+
+    def mom(e):
+        return F.sum(e.cast("decimal(38,0)")).cast("double")
+
+    agg = pairs.agg(
+        F.count("*").alias("m"),
+        mom(F.col("x")).alias("sx"),
+        mom(F.col("y")).alias("sy"),
+        mom(F.col("x") * F.col("x")).alias("sxx"),
+        mom(F.col("y") * F.col("y")).alias("syy"),
+        mom(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    m = F.col("m")
+    return agg.select(
+        m.alias("n_directed_edges"),
+        (
+            (m * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (
+                F.sqrt(m * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * F.sqrt(m * F.col("syy") - F.col("sy") * F.col("sy"))
+            )
+        ).alias("assortativity"),
+    )
