@@ -99,6 +99,8 @@ KNOWN_BNLJ = {
     # 1-row corpus-count / grand-total broadcasts — the q22 free-probe class
     "keyword_search_rank",
     "share_of_parent",
+    # 1-row sample-size + argmax-peak broadcasts onto the bounded step table
+    "ks_two_sample_test",
 }
 
 
