@@ -1966,3 +1966,113 @@ def negative_sampling_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("sim", 6).alias("sim"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# scalar-quantization retrieval evaluation (the SQ sibling of matryoshka)
+# ---------------------------------------------------------------------------
+
+_SQ_EVAL_ORACLE = f"""
+WITH {_DUCK_EMB_CTE},
+deq AS (
+  SELECT vec_id, v,
+         CASE WHEN list_max(v) = list_min(v) THEN v ELSE
+           list_transform(v, x -> list_min(v)
+             + CAST(ROUND((x - list_min(v)) * 255.0 / (list_max(v) - list_min(v)))
+                    AS INTEGER) * (list_max(v) - list_min(v)) / 255.0) END AS vhat
+  FROM emb
+),
+full_rank AS (
+  SELECT query_id, cid FROM (
+    SELECT q.vec_id AS query_id, n.vec_id AS cid,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                              ORDER BY {_duck_cos('q.v', 'n.v')} DESC, n.vec_id) AS rnk
+    FROM emb q JOIN emb n ON n.vec_id <> q.vec_id WHERE q.vec_id < 5
+  ) WHERE rnk <= 10),
+sq_rank AS (
+  SELECT query_id, cid FROM (
+    SELECT q.vec_id AS query_id, n.vec_id AS cid,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                              ORDER BY {_duck_cos('q.v', 'n.vhat')} DESC, n.vec_id) AS rnk
+    FROM emb q JOIN deq n ON n.vec_id <> q.vec_id WHERE q.vec_id < 5
+  ) WHERE rnk <= 10)
+SELECT f.query_id,
+       CAST(COUNT(p.cid) AS BIGINT) AS n_overlap,
+       CAST(COUNT(p.cid) AS DOUBLE) / 10 AS recall_at_10
+FROM full_rank f
+LEFT JOIN sq_rank p ON p.query_id = f.query_id AND p.cid = f.cid
+GROUP BY f.query_id
+"""
+
+
+@query("sq_recall_eval", _SQ_EVAL_ORACLE, tags=("similarity", "eval"))
+def sq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantization retrieval evaluation: recall@10 of ASYMMETRIC
+    int8 search (full-precision query against per-vector-dequantized int8
+    corpus — the FAISS SQ8 shape, 4× less vector memory/shuffle) versus
+    the exact ranking.  Completes the compression-eval trio with
+    `embedding_random_projection` (sketch) and `matryoshka_recall_eval`
+    (truncation): three ways to shrink vectors, each with its measured
+    quality cost.  Dequantization is one per-element expression (same
+    round/scale ops both engines, mn=mx guard for constant vectors);
+    scoring/ranking is the standard broadcast-window plan."""
+    from pyspark.sql import Window as W
+
+    (emb,) = T(spark, sf_dir, "embeddings")
+    deq = emb.select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("n_emb"),
+        F.expr(
+            "CASE WHEN array_max(embedding) = array_min(embedding) THEN"
+            " transform(embedding, x -> CAST(x AS DOUBLE)) ELSE"
+            " transform(embedding, x -> CAST(array_min(embedding) AS DOUBLE)"
+            "   + CAST(ROUND((CAST(x AS DOUBLE) - CAST(array_min(embedding) AS DOUBLE))"
+            "          * 255.0 / (CAST(array_max(embedding) AS DOUBLE)"
+            "                     - CAST(array_min(embedding) AS DOUBLE))) AS INT)"
+            "   * (CAST(array_max(embedding) AS DOUBLE)"
+            "      - CAST(array_min(embedding) AS DOUBLE)) / 255.0) END"
+        ).alias("vhat"),
+    )
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    scored = (
+        F.broadcast(q)
+        .join(deq, F.col("cid") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cid",
+            cosine_col("q_emb", "n_emb").alias("sim_full"),
+            F.expr(
+                "aggregate(zip_with(q_emb, vhat,"
+                " (x, y) -> CAST(x AS DOUBLE) * y), 0D, (acc, v) -> acc + v)"
+                " / (sqrt(aggregate(transform(q_emb,"
+                " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0D, (acc, v) -> acc + v))"
+                " * sqrt(aggregate(transform(vhat, x -> x * x), 0D, (acc, v) -> acc + v)))"
+            ).alias("sim_sq"),
+        )
+    )
+    wf = W.partitionBy("query_id").orderBy(F.col("sim_full").desc(), "cid")
+    ws = W.partitionBy("query_id").orderBy(F.col("sim_sq").desc(), "cid")
+    ranked = scored.select(
+        "query_id",
+        "cid",
+        F.row_number().over(wf).alias("rf"),
+        F.row_number().over(ws).alias("rs"),
+    )
+    full10 = ranked.filter(F.col("rf") <= 10).select("query_id", "cid")
+    sq10 = ranked.filter(F.col("rs") <= 10).select(
+        F.col("query_id").alias("pq"), F.col("cid").alias("pc")
+    )
+    return (
+        full10.join(
+            sq10,
+            (F.col("query_id") == F.col("pq")) & (F.col("cid") == F.col("pc")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count("pc").alias("n_overlap"),
+            (F.count("pc").cast("double") / 10).alias("recall_at_10"),
+        )
+    )
