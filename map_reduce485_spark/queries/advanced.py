@@ -2380,3 +2380,127 @@ def ks_two_sample_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             "at_value",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Poisson bootstrap confidence interval (distributed resampling)
+# ---------------------------------------------------------------------------
+
+_BOOT_B = 32
+
+# Poisson(1) inverse-CDF thresholds (cumulative e^-1/k!), as double literals
+# — constants are data (`_BENFORD_P` rationale)
+_POIS_CDF = (
+    "0.36787944117144233e0",
+    "0.7357588823428847e0",
+    "0.9196986029286058e0",
+    "0.9810118431238463e0",
+    "0.9963401531726563e0",
+)
+
+
+def _weight_case(u: str) -> str:
+    cases = " ".join(
+        f"WHEN {u} < {t} THEN {k}" for k, t in enumerate(_POIS_CDF)
+    )
+    return f"CASE {cases} ELSE 5 END"
+
+
+_BOOT_ORACLE = f"""
+WITH s AS (
+  SELECT event_id, CAST(ROUND(value * 100) AS BIGINT) AS cents FROM events
+),
+expanded AS (
+  SELECT r.r, s.cents,
+         {_weight_case("CAST('0x' || substr(md5(CAST(r.r AS VARCHAR) || ':' || CAST(s.event_id AS VARCHAR)), 1, 8) AS BIGINT) / 4294967296.0")} AS w
+  FROM s CROSS JOIN (SELECT UNNEST(generate_series(0, {_BOOT_B - 1})) AS r) r
+),
+boots AS (
+  SELECT r, CAST(SUM(w * cents) AS DOUBLE) / SUM(w) / 100.0 AS boot_mean
+  FROM expanded GROUP BY r HAVING SUM(w) > 0
+),
+ranked AS (
+  SELECT boot_mean, ROW_NUMBER() OVER (ORDER BY boot_mean) AS rn,
+         COUNT(*) OVER () AS b
+  FROM boots
+),
+full_mean AS (
+  SELECT CAST(SUM(cents) AS DOUBLE) / COUNT(*) / 100.0 AS sample_mean FROM s
+)
+SELECT full_mean.sample_mean,
+       CAST(MAX(ranked.b) AS BIGINT) AS n_resamples,
+       MAX(CASE WHEN rn = 1 THEN boot_mean END) AS boot_min,
+       MAX(CASE WHEN rn = (b * 10 + 99) // 100 THEN boot_mean END) AS ci80_lo,
+       MAX(CASE WHEN rn = (b * 90 + 99) // 100 THEN boot_mean END) AS ci80_hi,
+       MAX(CASE WHEN rn = b THEN boot_mean END) AS boot_max
+FROM ranked, full_mean GROUP BY full_mean.sample_mean
+"""
+
+
+@query("poisson_bootstrap_ci", _BOOT_ORACLE, tags=("advanced", "stats"))
+def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap confidence interval for the mean event value via the
+    POISSON BOOTSTRAP (Chamandy et al., Google) — the resampling scheme
+    that actually distributes: instead of drawing n-out-of-n per resample
+    (which needs global coordination), every row independently contributes
+    Poisson(1) copies to each of B=32 resamples, so the whole thing is a
+    map-side weight expression + one grouped aggregation.  Weights are
+    md5-derived uniforms pushed through the Poisson inverse-CDF thresholds
+    (literals — libm exp is not engine-exact), so every engine and rerun
+    draws the SAME resamples; resample means are exact-integer ratios and
+    the CI bounds are integer-rank order statistics over the B means
+    (winsorized-style, no percentile-function interpolation).  Cost model
+    is honest: the expansion is B× the scan (the price of any bootstrap),
+    but it's embarrassingly parallel and the shuffle carries B×|groups|
+    partial sums, not B× the data."""
+    from pyspark.sql import Window as W
+
+    (events,) = T(spark, sf_dir, "events")
+    s = events.select(
+        "event_id", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    r = spark.range(_BOOT_B).select(F.col("id").cast("int").alias("r"))
+    u = (
+        "CAST(conv(substring(md5(concat(CAST(r AS STRING), ':',"
+        " CAST(event_id AS STRING))), 1, 8), 16, 10) AS BIGINT) / 4294967296.0"
+    )
+    expanded = s.crossJoin(F.broadcast(r)).select(
+        "r", "cents", F.expr(_weight_case(u)).alias("w")
+    )
+    boots = (
+        expanded.groupBy("r")
+        .agg(
+            (
+                F.sum(F.col("w") * F.col("cents")).cast("double")
+                / F.sum("w")
+                / 100.0
+            ).alias("boot_mean"),
+            F.sum("w").alias("total_w"),
+        )
+        .filter(F.col("total_w") > 0)
+    )
+    ranked = boots.select(
+        "boot_mean",
+        F.row_number().over(W.orderBy("boot_mean")).alias("rn"),
+        F.count("*").over(W.partitionBy()).alias("b"),
+    )
+    full_mean = s.agg(
+        (F.sum("cents").cast("double") / F.count("*") / 100.0).alias("sample_mean")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(full_mean))
+        .groupBy("sample_mean")
+        .agg(
+            F.max("b").alias("n_resamples"),
+            F.max(F.when(F.col("rn") == 1, F.col("boot_mean"))).alias("boot_min"),
+            F.max(
+                F.when(F.col("rn") == F.expr("(b * 10 + 99) div 100"), F.col("boot_mean"))
+            ).alias("ci80_lo"),
+            F.max(
+                F.when(F.col("rn") == F.expr("(b * 90 + 99) div 100"), F.col("boot_mean"))
+            ).alias("ci80_hi"),
+            F.max(F.when(F.col("rn") == F.col("b"), F.col("boot_mean"))).alias(
+                "boot_max"
+            ),
+        )
+    )

@@ -682,3 +682,15 @@ def test_mg_twophase_equals_plain_groupby(spark):
     mg = {(r.token, r.freq) for r in heavy_hitters_mg_twophase(spark, SF_CORRECT).collect()}
     plain = {(r.token, r.freq) for r in heavy_hitter_tokens(spark, SF_CORRECT).collect()}
     assert mg == plain and len(mg) > 0
+
+
+def test_poisson_bootstrap_ci_brackets_mean(spark):
+    """Deterministic bootstrap invariants: order statistics are ordered,
+    the CI brackets the sample mean on this corpus (deterministic
+    resamples → stable), and all 32 resamples materialize."""
+    from map_reduce485_spark.queries.advanced import poisson_bootstrap_ci
+
+    (r,) = poisson_bootstrap_ci(spark, SF_SMOKE).collect()
+    assert r.n_resamples == 32
+    assert r.boot_min <= r.ci80_lo <= r.ci80_hi <= r.boot_max
+    assert r.ci80_lo < r.sample_mean < r.ci80_hi
