@@ -44,6 +44,20 @@ def main() -> None:
         loadavg = round(os.getloadavg()[0], 2)
     except OSError:
         loadavg = None
+    # Box-level gate (round-5 verdict item 4): a bench started while the box
+    # is already busy (loadavg > half the worker threads) is machine noise by
+    # construction — wait up to 5 minutes for quiet, and if it never comes,
+    # stamp the whole artifact `box_contended` so the judge discounts it.
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 32))
+    box_contended = False
+    if loadavg is not None:
+        waited = 0.0
+        while loadavg > cpus / 2 and waited < 300:
+            print(f"# loadavg {loadavg} > {cpus/2}; waiting for quiet box", file=sys.stderr)
+            time.sleep(15)
+            waited += 15
+            loadavg = round(os.getloadavg()[0], 2)
+        box_contended = loadavg > cpus / 2
 
     def _calibrate() -> float:
         runs = []
@@ -100,13 +114,15 @@ def main() -> None:
             t0 = time.perf_counter()
             n_rows = run_once(spec)
             runs.append(time.perf_counter() - t0)
-        # Contention self-labeling (round-4 verdict item 6): a band wider than
-        # 2x the best means some run was fighting the box, not the plan.  Take
-        # up to 3 extra runs to find a clean minimum; if the band stays >2x,
-        # record the query as "contended" so a cross-round diff on it reads as
-        # machine state rather than a plan regression.
+        # Contention self-labeling (round-4 verdict item 6, tightened in
+        # round 6 after the r5 artifact recorded +50% on unchanged plans at
+        # loadavg 9.5 with contended=[]): a band wider than 1.5x the best
+        # means some run was fighting the box, not the plan.  Take up to 3
+        # extra runs to find a clean minimum; if the band stays >1.5x,
+        # record the query as "contended" so a cross-round diff on it reads
+        # as machine state rather than a plan regression.
         extra = 0
-        while max(runs) > 2.0 * min(runs) and extra < 3:
+        while max(runs) > 1.5 * min(runs) and extra < 3:
             t0 = time.perf_counter()
             n_rows = run_once(spec)
             runs.append(time.perf_counter() - t0)
@@ -114,7 +130,7 @@ def main() -> None:
         dt = round(min(runs), 3)
         timings[name] = dt
         bands[name] = [dt, round(max(runs), 3)]
-        if max(runs) > 2.0 * min(runs):
+        if max(runs) > 1.5 * min(runs):
             contended.append(name)
         total += dt
         print(f"# {name}: {dt:.3f}s (worst {max(runs):.3f}s, {n_rows} rows)", file=sys.stderr)
@@ -132,6 +148,7 @@ def main() -> None:
                 "queries": timings,
                 "bands": bands,
                 "contended": contended,
+                "box_contended": box_contended,
                 "loadavg_1m": loadavg,
                 "calibration_sec": calibration_sec,
                 "sf": sf,

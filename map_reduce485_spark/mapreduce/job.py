@@ -37,13 +37,30 @@ unlike the reference's in-memory ``list.sort()`` (``worker/__main__.py:158``).
 from __future__ import annotations
 
 import hashlib
-import shutil
 from collections.abc import Callable, Iterable, Iterator
 from dataclasses import dataclass
 from itertools import groupby
-from pathlib import Path
 
 from pyspark.sql import SparkSession
+
+
+def delete_output_dir(spark: SparkSession, path: str) -> bool:
+    """Recursively delete ``path`` through the Hadoop FileSystem API.
+
+    Resolves the filesystem FROM the path URI (``file:``, ``hdfs://``,
+    ``s3a://`` all work), mirroring the reference's clear-on-submission
+    contract (``manager/__main__.py:95-101``) without the local-disk
+    assumption a ``shutil.rmtree`` would bake in.  Returns True when
+    something was deleted, False when the path did not exist.
+    """
+    jvm = spark._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(hconf)
+    if fs.exists(jpath):
+        fs.delete(jpath, True)
+        return True
+    return False
 
 
 def md5_partition(key: str, num_partitions: int) -> int:
@@ -96,12 +113,12 @@ class MapReduceJob:
     def run(self) -> None:
         req = self.request
         sc = self.spark.sparkContext
-        out_dir = Path(req.output_directory)
         # Overwrite semantics: output dir cleared on submission
-        # (manager/__main__.py:95-101).  On a real cluster this would go
-        # through the Hadoop FileSystem API; local-mode uses the local FS.
-        if out_dir.exists():
-            shutil.rmtree(out_dir)
+        # (manager/__main__.py:95-101).  Goes through the Hadoop FileSystem
+        # API so the same code path overwrites local, file:-URI, HDFS, or
+        # s3a: outputs — on a real cluster the output dir is never on the
+        # driver's local disk, so a pathlib/shutil delete would be wrong.
+        delete_output_dir(self.spark, req.output_directory)
 
         lines = sc.textFile(req.input_directory, minPartitions=req.num_mappers)
 
@@ -123,7 +140,7 @@ class MapReduceJob:
 
         reduced = self._apply_reducer(shuffled)
 
-        reduced.saveAsTextFile(str(out_dir))
+        reduced.saveAsTextFile(req.output_directory)
 
     # -- mapper / reducer application -------------------------------------
 

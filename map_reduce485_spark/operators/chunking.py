@@ -7,7 +7,8 @@ after edits, which is what makes chunk-level dedup work on near-identical
 documents.  The hash here is the exact polynomial Σ b[p-W+1+j]·31^(W-1-j)
 in int64 (W=8, max value ≈ 5.6e13 — no modular reduction needed, so both
 engines compute the identical integer), and the boundary rule is
-h % 64 == 0 at byte positions ≥ W.
+h % 64 == 0 at 0-based byte positions ≥ W−1 (the first full window ends at
+index W−1; the SQL oracle states the same rule 1-based as i ≥ W).
 
 Vectorized: the rolling hash for ALL positions of a batch's concatenated
 payloads is a sum of 8 shifted views × constant powers (one numpy pass);

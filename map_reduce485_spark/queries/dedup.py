@@ -416,7 +416,7 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_simhash_banded", _SIMHASH_PAIRS_ORACLE, tags=("dedup",), bench=True, bench_sink=True)
+@query("dedup_simhash_banded", _SIMHASH_PAIRS_ORACLE, tags=("dedup",))
 def dedup_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs via chunk banding — same result set as
     `dedup_simhash_pairs`, scalable plan.
@@ -463,6 +463,34 @@ def dedup_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.bit_count(F.col("a_sh").bitwiseXOR(F.col("b_sh"))).alias("hamming"),
         )
         .filter(F.col("hamming") <= 3)
+    )
+
+
+_SIMHASH_SUMMARY_ORACLE = f"""
+WITH pairs AS ({_SIMHASH_PAIRS_ORACLE})
+SELECT hamming, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(COUNT(DISTINCT a_id) AS BIGINT) AS n_left_docs,
+       CAST(COUNT(DISTINCT b_id) AS BIGINT) AS n_right_docs
+FROM pairs GROUP BY hamming
+"""
+
+
+@query("dedup_simhash_summary", _SIMHASH_SUMMARY_ORACLE, tags=("dedup",), bench=True)
+def dedup_simhash_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup SUMMARY — the 100 TB OUTPUT SHAPE for the banded
+    plan (round-5 verdict item 5): per-Hamming-distance pair counts and
+    distinct-doc counts instead of the raw pair list.  A near-dup-dense
+    corpus makes the pair set quadratic in cluster size (337 M rows at the
+    10x smoke — nothing downstream ever consumes them raw); the decision
+    a pipeline actually takes needs the aggregate, so the verify stage
+    feeds a ≤4-row map-side-combinable groupBy and the sink is constant
+    size at any corpus scale.  `dedup_simhash_banded` remains the
+    pair-level oracle twin; this query wraps its exact plan."""
+    pairs = dedup_simhash_banded(spark, sf_dir)
+    return pairs.groupBy("hamming").agg(
+        F.count("*").alias("n_pairs"),
+        F.count_distinct("a_id").alias("n_left_docs"),
+        F.count_distinct("b_id").alias("n_right_docs"),
     )
 
 
@@ -1561,3 +1589,46 @@ def dedup_cdc_shared_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("chunk_len") * (F.col("n_copies") - 1)), F.lit(0)
         ).alias("dedupable_bytes"),
     )
+
+
+_XLANG_ORACLE = f"""
+WITH pairs AS ({_MINHASH_ORACLE}),
+labeled AS (
+  SELECT least(da.lang, db.lang) AS lang_a,
+         greatest(da.lang, db.lang) AS lang_b
+  FROM pairs p
+  JOIN documents da ON da.doc_id = p.a_id
+  JOIN documents db ON db.doc_id = p.b_id
+)
+SELECT lang_a, lang_b, CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM labeled GROUP BY lang_a, lang_b
+"""
+
+
+@query("cross_lang_dup_matrix", _XLANG_ORACLE, tags=("dedup",))
+def cross_lang_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language × language near-duplicate matrix — the corpus diagnostic
+    that tells a multilingual pipeline whether its duplicates live WITHIN
+    a language (true re-crawls → dedup per shard) or ACROSS languages
+    (templated/machine-translated boilerplate → a different filter).
+    Pairs come from the scalable banded `dedup_minhash_lsh` plan (its
+    oracle is embedded as a CTE so the two stay in lockstep); each side
+    is labeled by an equi-join to the documents table and the unordered
+    (lang_a ≤ lang_b) cell counted.  The label join adds two shuffles on
+    doc_id over the (small) pair set — at 100 TB the pair set is the
+    LSH output, orders of magnitude under the corpus, and the matrix is
+    |langs|² rows."""
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    (docs,) = T(spark, sf_dir, "documents")
+    langs = docs.select("doc_id", "lang")
+    da = langs.alias("da")
+    db = langs.alias("db")
+    labeled = (
+        pairs.join(da, F.col("da.doc_id") == F.col("a_id"))
+        .join(db, F.col("db.doc_id") == F.col("b_id"))
+        .select(
+            F.least(F.col("da.lang"), F.col("db.lang")).alias("lang_a"),
+            F.greatest(F.col("da.lang"), F.col("db.lang")).alias("lang_b"),
+        )
+    )
+    return labeled.groupBy("lang_a", "lang_b").agg(F.count("*").alias("n_pairs"))

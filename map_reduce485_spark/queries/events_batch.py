@@ -2063,12 +2063,16 @@ def holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     arrs = hourly.groupBy("event_type").agg(
         F.count("*").alias("n_hours"),
         F.expr("transform(array_sort(collect_list(struct(h, v))), s -> s.v)").alias("vs"),
-    )
+    ).filter(F.col("n_hours") >= 2)
+    # n_hours >= 2 matches the oracle's recursive seed (which requires i=1
+    # and i=2 to exist); greatest(..., 0) keeps the slice length legal under
+    # ANSI mode if the filter is ever relaxed — a 1-point group would
+    # otherwise request a length of −1 and throw at runtime.
     fitted = arrs.select(
         "event_type",
         "n_hours",
         F.expr(
-            "aggregate(slice(vs, 3, size(vs) - 2),"
+            "aggregate(slice(vs, 3, greatest(size(vs) - 2, 0)),"
             " named_struct('l', element_at(vs, 1),"
             "              'b', element_at(vs, 2) - element_at(vs, 1)),"
             " (acc, x) -> named_struct("

@@ -653,7 +653,8 @@ def incremental_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INCREMENTAL VIEW MAINTENANCE over the snapshot pair: the per-bucket
     (count, exact-cents sum) aggregate of v2 is NOT recomputed from v2 —
     it is the v1 aggregate plus the change feed's algebraic delta
-    (insert → +1/+b₂, update → +0/+(b₂−b₁)), the classic self-maintainable
+    (insert → +1/+b₂, update → +0/+(b₂−b₁), delete → −1/−b₁), the
+    classic self-maintainable
     (SUM, COUNT) view algebra that turns a 100 TB re-aggregation into
     work proportional to the CHANGES.  The query emits the maintained
     aggregate NEXT TO the directly-computed v2 aggregate; the oracle
@@ -680,8 +681,16 @@ def incremental_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     delta = (
         d.select(
             F.coalesce(F.col("k2"), F.col("k1")).alias("k"),
-            F.when(F.col("k1").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("dn"),
+            # insert → +1, delete → −1, update → 0 (full (SUM, COUNT)
+            # self-maintenance algebra; the snapshot pair currently contains
+            # no deletes, but a missing delete branch would silently diverge
+            # the maintained aggregate on a real change feed)
+            F.when(F.col("k1").isNull(), F.lit(1))
+            .when(F.col("k2").isNull(), F.lit(-1))
+            .otherwise(F.lit(0))
+            .alias("dn"),
             F.when(F.col("k1").isNull(), F.col("c2"))
+            .when(F.col("k2").isNull(), -F.col("c1"))
             .otherwise(F.col("c2") - F.col("c1"))
             .alias("dc"),
         )
@@ -816,3 +825,51 @@ def streaming_python_source_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
     return spark.table(name)
+
+
+_JSON_NESTED_ORACLE = """
+SELECT o_orderpriority AS priority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS price_cents
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+@query("json_nested_extract", _JSON_NESTED_ORACLE, tags=("sources", "semistructured"))
+def json_nested_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMI-STRUCTURED surface: every order is serialized to a nested JSON
+    document (`to_json(struct(...))` — the shape events arrive in from app
+    logs / Kafka payloads), then parsed back through BOTH extraction APIs —
+    `from_json` with an explicit nested schema (the typed bulk path: one
+    parse per row, columnar after) and `get_json_object` with a JSONPath
+    (the ad-hoc single-field path) — and aggregated.  The oracle states the
+    aggregate over the base table directly, so any value the JSON
+    round-trip mangles (long precision, nested field routing, decimal
+    formatting) breaks the hash.  Scale: parsing is per-row JVM work with
+    no shuffle; the single groupBy shuffles ~|priorities| per-partition
+    partials.  A production pipeline points `schema_of_json`-derived
+    schemas at the same plan."""
+    (orders,) = tables(spark, sf_dir, "orders")
+    j = orders.select(
+        F.to_json(
+            F.struct(
+                F.col("o_orderkey").alias("k"),
+                F.struct(
+                    F.col("o_orderpriority").alias("p"),
+                    F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+                ).alias("meta"),
+            )
+        ).alias("doc")
+    )
+    parsed = j.select(
+        F.from_json(
+            "doc", "k LONG, meta STRUCT<p: STRING, cents: LONG>"
+        ).alias("s"),
+        F.get_json_object("doc", "$.meta.p").alias("priority"),
+    )
+    return parsed.groupBy("priority").agg(
+        F.count("*").alias("n_orders"),
+        F.sum("s.k").alias("key_sum"),
+        F.sum("s.meta.cents").alias("price_cents"),
+    )

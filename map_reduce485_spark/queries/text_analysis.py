@@ -1467,8 +1467,22 @@ def heavy_hitters_mg_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
         import pandas as pd
 
         counters: dict[str, int] = {}
+        n_p = 0
         for pdf in batches:
+            n_p += len(pdf)
             counters = mg_merge_batch(counters, pdf["token"], _MG_COUNTERS)
+        # EXACTNESS PRECONDITION, enforced at runtime rather than by
+        # docstring: MG's survival guarantee covers freq >= threshold only
+        # while threshold > N_p/(m+1) on every partition.  On a corpus big
+        # enough to break it, fail loudly (the fix is more partitions or a
+        # larger m), never silently drop heavy hitters.
+        if n_p >= _MG_THRESHOLD * (_MG_COUNTERS + 1):
+            raise ValueError(
+                f"Misra-Gries exactness precondition violated: partition has "
+                f"{n_p} tokens >= threshold*(m+1) = "
+                f"{_MG_THRESHOLD * (_MG_COUNTERS + 1)}; raise _MG_COUNTERS or "
+                f"split the input into more partitions"
+            )
         yield pd.DataFrame({"token": list(counters.keys())})
 
     candidates = tokens.mapInPandas(mg_candidates, schema="token string").distinct()
@@ -1750,4 +1764,68 @@ def keyword_search_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         final.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 25)
         .select("doc_id", F.round("score", 6).alias("score"), "rank")
+    )
+
+
+_ENTROPY_ORACLE = """
+WITH tokens AS (
+  SELECT doc_id,
+         UNNEST(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS token
+  FROM documents
+),
+counts AS (
+  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS c
+  FROM tokens GROUP BY doc_id, token
+)
+SELECT doc_id,
+       CAST(SUM(c) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       ROUND(
+         log2(CAST(SUM(c) AS DOUBLE))
+         - list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                                    list(c * log2(CAST(c AS DOUBLE)) ORDER BY c, token)),
+                       (a, b) -> a + b) / SUM(c),
+         6) AS entropy
+FROM counts GROUP BY doc_id
+"""
+
+
+@query("token_entropy", _ENTROPY_ORACLE, tags=("text",))
+def token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon entropy of the token distribution — the
+    information-theoretic quality signal (low entropy = repetitive/spammy
+    text, high = diverse vocabulary) that complements the ratio-based
+    `quality_score` and the pairwise `repetition_ratio`.  H = log2(n) −
+    (Σ c·log2 c)/n restated so the only order-sensitive float work is the
+    Σ c·log2 c term, which both engines evaluate as a SEQUENTIAL FOLD over
+    the (count, token)-sorted list (the `chi_square_independence`
+    technique) and round to 6 decimals.  Scale: one (doc_id, token)
+    groupBy then one doc_id groupBy — both map-side combinable; the
+    collected list is per-document vocabulary, bounded by doc length."""
+    (docs,) = T(spark, sf_dir, "documents")
+    tokens = docs.select(
+        "doc_id",
+        F.explode(F.expr("filter(split(lower(text), ' '), x -> x <> '')")).alias(
+            "token"
+        ),
+    )
+    counts = tokens.groupBy("doc_id", "token").agg(F.count("*").alias("c"))
+    per_doc = counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count("*").alias("n_distinct"),
+        F.expr(
+            "aggregate(transform(array_sort(collect_list(struct(c, token))),"
+            " s -> s.c * log2(CAST(s.c AS DOUBLE))), CAST(0.0 AS DOUBLE),"
+            " (a, v) -> a + v)"
+        ).alias("clogc"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        F.round(
+            F.log2(F.col("n_tokens").cast("double"))
+            - F.col("clogc") / F.col("n_tokens"),
+            6,
+        ).alias("entropy"),
     )

@@ -101,6 +101,13 @@ KNOWN_BNLJ = {
     "share_of_parent",
     # 1-row sample-size + argmax-peak broadcasts onto the bounded step table
     "ks_two_sample_test",
+    # 1-row mean broadcast + broadcast replicate-index fan-out
+    # (advanced.py: crossJoin(broadcast(reps)) and crossJoin(broadcast(mean)))
+    # — the q22 free-probe class plus a deliberate B-row replicate table
+    "poisson_bootstrap_ci",
+    # 5-row query fan-out against the int8-quantized corpus — the
+    # cosine_topk_bruteforce class (similarity.py: broadcast(queries))
+    "sq_recall_eval",
 }
 
 

@@ -118,7 +118,9 @@ def main() -> int:
         "decontaminate_eval_overlap",
         "bpe_train_merges",
         "dedup_minhash_lsh",
-        "dedup_simhash_banded",
+        # summary twin: same banded plan, constant-size output — the pair
+        # query's 337 M-row sink at 10x was 63% of the whole smoke
+        "dedup_simhash_summary",
         "dedup_winnowing_pairs",
         "dedup_incremental_arrivals",
         "multimodal_byte_histogram",

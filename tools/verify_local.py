@@ -106,6 +106,7 @@ def check_query(spark, con, spec, sf_dir: str) -> tuple[str, str]:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("--json", default=None, help="write a per-query summary artifact")
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
@@ -118,11 +119,18 @@ def main() -> int:
     n_pass = n_fail = n_rows_only = 0
     from map_reduce485_spark.queries._util import release_scoped_caches
 
+    results: dict[str, dict] = {}
     for name in names:
         t0 = time.time()
         status, detail = check_query(spark, con, REGISTRY[name], args.sf)
         release_scoped_caches()  # 187-query session must not hoard storage
-        print(f"{status:<5} {name}: {detail} ({time.time()-t0:.1f}s)")
+        dt = round(time.time() - t0, 1)
+        print(f"{status:<5} {name}: {detail} ({dt}s)")
+        results[name] = {
+            "status": status,
+            "detail": detail if status != "PASS" else detail.split(" (")[0],
+            "sec": dt,
+        }
         if status == "PASS":
             n_pass += 1
         elif status == "rows":
@@ -131,6 +139,23 @@ def main() -> int:
             n_fail += 1
 
     print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")
+    if args.json:
+        import json
+
+        with open(args.json, "w") as fh:
+            json.dump(
+                {
+                    "sf": args.sf,
+                    "n_queries": len(names),
+                    "n_pass": n_pass,
+                    "n_fail": n_fail,
+                    "n_rows_only": n_rows_only,
+                    "queries": results,
+                },
+                fh,
+                indent=1,
+            )
+        print(f"wrote {args.json}")
     return 1 if n_fail else 0
 
 
