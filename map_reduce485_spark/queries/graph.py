@@ -378,3 +378,80 @@ def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("assortativity"),
     )
+
+
+_KCORE_K = 4
+_KCORE_ROUNDS = 4
+
+
+def _oracle_kcore() -> str:
+    """Unrolled peeling rounds as chained CTEs — the literal loop the
+    Spark side runs, with per-round survivor stats."""
+    ctes = [
+        "e0 AS (SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst"
+        " FROM orders JOIN lineitem ON l_orderkey = o_orderkey)",
+        "edges0 AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)",
+    ]
+    stats = []
+    for r in range(1, _KCORE_ROUNDS + 1):
+        p = r - 1
+        ctes.append(f"deg{r} AS (SELECT src, COUNT(*) AS c FROM edges{p} GROUP BY src)")
+        ctes.append(
+            f"keep{r} AS (SELECT src AS node FROM deg{r} WHERE c >= {_KCORE_K})"
+        )
+        ctes.append(
+            f"edges{r} AS (SELECT e.src, e.dst FROM edges{p} e"
+            f" JOIN keep{r} a ON a.node = e.src JOIN keep{r} b ON b.node = e.dst)"
+        )
+        stats.append(
+            f"SELECT {r} AS round,"
+            f" (SELECT CAST(COUNT(*) AS BIGINT) FROM keep{r}) AS n_nodes,"
+            f" (SELECT CAST(COUNT(*) AS BIGINT) FROM edges{r}) AS n_edges"
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + " UNION ALL ".join(stats)
+
+
+@query("kcore_peeling", _oracle_kcore(), tags=("graph",))
+def kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative k-core PEELING over the trade graph: each round drops
+    every node whose surviving degree is < k and the edges touching it,
+    emitting (round, n_nodes, n_edges) — the degeneracy decomposition
+    that separates a graph's dense trading core from its sparse fringe
+    (and, in dedup/graph-quality work, cliquish duplicate families from
+    chains).  {_KCORE_ROUNDS} unrolled rounds at k={_KCORE_K}; the oracle
+    replays the identical peel as chained CTEs, so every per-round count
+    is hash-checked.  Scale: a round is one degree aggregation plus two
+    semi-joins, all shuffling on node keys bounded by the live edge list
+    — the standard distributed peeling step; each round's survivors are
+    cached so lineage stays flat (the `sssp`/`pagerank` discipline)."""
+    orders, lineitem = T(spark, sf_dir, "orders", "lineitem")
+    e0 = (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = cache_scoped(
+        e0.unionAll(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    )
+    stats = None
+    for r in range(1, _KCORE_ROUNDS + 1):
+        deg = edges.groupBy("src").agg(F.count("*").alias("c"))
+        keep = cache_scoped(
+            deg.filter(F.col("c") >= _KCORE_K).select(F.col("src").alias("node"))
+        )
+        edges = cache_scoped(
+            edges.join(keep.select(F.col("node").alias("src")), "src", "left_semi")
+            .join(keep.select(F.col("node").alias("dst")), "dst", "left_semi")
+            .select("src", "dst")
+        )
+        # 1-row × 1-row stat assembly (the hll/kmv report class)
+        stat = (
+            keep.agg(F.count("*").alias("n_nodes"))
+            .crossJoin(edges.agg(F.count("*").alias("n_edges")))
+            .select(F.lit(r).alias("round"), "n_nodes", "n_edges")
+        )
+        stats = stat if stats is None else stats.unionAll(stat)
+    return stats

@@ -1829,3 +1829,82 @@ def token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("entropy"),
     )
+
+
+_VOCAB_GROWTH_ORACLE = """
+WITH tokens AS (
+  SELECT doc_id,
+         UNNEST(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS token
+  FROM documents
+),
+firsts AS (SELECT token, MIN(doc_id) AS first_doc FROM tokens GROUP BY token),
+maxd AS (SELECT MAX(doc_id) AS m FROM documents),
+deciles AS (SELECT UNNEST(range(1, 11)) AS decile),
+bounds AS (SELECT decile, (m * decile) // 10 AS bound FROM deciles, maxd),
+doc_toks AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS c FROM tokens GROUP BY doc_id)
+SELECT b.decile,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM documents d WHERE d.doc_id <= b.bound)
+         AS n_docs,
+       (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) FROM doc_toks t
+         WHERE t.doc_id <= b.bound) AS n_tokens,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM firsts f WHERE f.first_doc <= b.bound)
+         AS vocab_size
+FROM bounds b
+"""
+
+
+@query("vocabulary_growth", _VOCAB_GROWTH_ORACLE, tags=("text",))
+def vocabulary_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary-growth curve: distinct-token count and
+    cumulative token count at each corpus-prefix decile (by doc_id order)
+    — the planning diagnostic that tells a pipeline how vocabulary (and
+    thus tokenizer/embedding-table pressure) grows as the crawl grows,
+    and whose flattening reveals when new data stops adding new language.
+    Restated scalably: each token's FIRST-OCCURRENCE doc (one groupBy over
+    the token stream) is compared against the 10 decile boundaries via a
+    broadcast of the 10-row bounds table — never a cumulative-distinct
+    window over the corpus.  All arithmetic integer; counts coalesce to 0
+    for empty prefixes so both engines agree on every decile."""
+    (docs,) = T(spark, sf_dir, "documents")
+    tokens = docs.select(
+        "doc_id",
+        F.explode(F.expr("filter(split(lower(text), ' '), x -> x <> '')")).alias(
+            "token"
+        ),
+    )
+    firsts = tokens.groupBy("token").agg(F.min("doc_id").alias("first_doc"))
+    maxd = docs.agg(F.max("doc_id").alias("m"))
+    deciles = spark.range(1, 11).select(F.col("id").cast("int").alias("decile"))
+    # 10-row × 1-row broadcast assembly, then 10-row broadcast fan-outs
+    bounds = deciles.crossJoin(F.broadcast(maxd)).select(
+        "decile", ((F.col("m") * F.col("decile")) / F.lit(10)).cast("long").alias("bound")
+    )
+    n_docs = (
+        docs.select("doc_id")
+        .join(F.broadcast(bounds), F.col("doc_id") <= F.col("bound"))
+        .groupBy("decile")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    doc_toks = tokens.groupBy("doc_id").agg(F.count("*").alias("c"))
+    n_toks = (
+        doc_toks.join(F.broadcast(bounds), F.col("doc_id") <= F.col("bound"))
+        .groupBy("decile")
+        .agg(F.sum("c").alias("n_tokens"))
+    )
+    vocab = (
+        firsts.join(F.broadcast(bounds), F.col("first_doc") <= F.col("bound"))
+        .groupBy("decile")
+        .agg(F.count("*").alias("vocab_size"))
+    )
+    return (
+        bounds.select("decile")
+        .join(n_docs, "decile", "left")
+        .join(n_toks, "decile", "left")
+        .join(vocab, "decile", "left")
+        .select(
+            "decile",
+            F.coalesce("n_docs", F.lit(0)).alias("n_docs"),
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.coalesce("vocab_size", F.lit(0)).alias("vocab_size"),
+        )
+    )

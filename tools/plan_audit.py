@@ -108,6 +108,13 @@ KNOWN_BNLJ = {
     # 5-row query fan-out against the int8-quantized corpus — the
     # cosine_topk_bruteforce class (similarity.py: broadcast(queries))
     "sq_recall_eval",
+    # per-round 1-row × 1-row survivor-stat assembly (the hll/kmv report
+    # class — graph.py kcore loop crossJoins two single-row aggregates)
+    "kcore_peeling",
+    # 10-row decile-bounds broadcast fan-outs + the 1-row max-doc scalar
+    # (text_analysis.py: crossJoin(broadcast(maxd)) and inequality joins
+    # against broadcast(bounds)) — deliberate tiny-side BNLJ
+    "vocabulary_growth",
 }
 
 
