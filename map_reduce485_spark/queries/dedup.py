@@ -424,11 +424,17 @@ def dedup_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pigeonhole: Hamming distance ≤ 3 over a 16-bit fingerprint split into 4
     nibbles ⇒ at least one nibble is identical, so the all-pairs join is
     replaced *exactly* (not approximately — hence the identical oracle) by
-    4 equi-joins on (chunk_id, nibble) + distinct + Hamming verify.  Cost is
-    driven by bucket sizes (64 buckets here; 2^16 chunks of a 64-bit
-    fingerprint in production), never by corpus².  This is the plan that
-    survives 100 TB; `dedup_simhash_pairs` is its brute-force twin for
-    test-SF cross-checking."""
+    4 equi-joins on (chunk_id, nibble) + Hamming verify.  A pair whose
+    fingerprints agree on several nibbles matches several bands; instead
+    of a global `distinct` over the candidate pairs (a shuffle of the
+    full — quadratic-in-cluster-size — pair stream), each pair is kept
+    only at its FIRST matching band: both join sides carry the whole
+    fingerprint, so "no earlier nibble of a⊕b is zero" is a map-side
+    expression and every qualifying pair survives exactly once with ZERO
+    post-join shuffle.  Cost is driven by bucket sizes (64 buckets here;
+    2^16 chunks of a 64-bit fingerprint in production), never by corpus².
+    This is the plan that survives 100 TB; `dedup_simhash_pairs` is its
+    brute-force twin for test-SF cross-checking."""
     fp = cache_scoped(simhash_fingerprints(spark, sf_dir))
     chunks = None
     for c in range(4):
@@ -441,26 +447,29 @@ def dedup_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         chunks = ch if chunks is None else chunks.unionAll(ch)
     a = chunks.alias("a")
     b = chunks.alias("b")
-    cand = (
+    x = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    # first-match-band dedup: all nibbles below chunk_id differ, i.e. the
+    # low 4*chunk_id bits of a⊕b have no zero nibble.  Build the check as
+    # "every earlier nibble is nonzero" with a bounded AND chain (chunk_id
+    # is one of 4 literals per union branch, so this folds per branch).
+    earlier_nonzero = F.lit(True)
+    for c in range(1, 4):
+        earlier_nonzero = earlier_nonzero & (
+            (F.col("a.chunk_id") < c)
+            | (F.shiftright(x, 4 * (c - 1)).bitwiseAND(F.lit(15)) != 0)
+        )
+    return (
         a.join(
             b,
             (F.col("a.chunk_id") == F.col("b.chunk_id"))
             & (F.col("a.chunk") == F.col("b.chunk"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
+        .filter(earlier_nonzero)
         .select(
             F.col("a.doc_id").alias("a_id"),
-            F.col("a.simhash").alias("a_sh"),
             F.col("b.doc_id").alias("b_id"),
-            F.col("b.simhash").alias("b_sh"),
-        )
-        .distinct()
-    )
-    return (
-        cand.select(
-            "a_id",
-            "b_id",
-            F.bit_count(F.col("a_sh").bitwiseXOR(F.col("b_sh"))).alias("hamming"),
+            F.bit_count(x).alias("hamming"),
         )
         .filter(F.col("hamming") <= 3)
     )

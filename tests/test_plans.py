@@ -344,3 +344,20 @@ def test_collated_join_is_hash_join(spark):
     plan = _q(spark, "collated_join_casefold")._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_simhash_banded_no_pair_dedup_shuffle(spark):
+    """The banded SimHash plan keeps each pair at its FIRST matching band
+    via a map-side expression on a⊕b — there must be NO aggregate (the
+    old `distinct`) between the band equi-join and the output: the only
+    aggregates allowed in the plan are the fingerprint vote groupBys."""
+    df = _q(spark, "dedup_simhash_banded")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    import re
+
+    # the decisive pin: no aggregate keyed on two doc ids (pair dedup) —
+    # the only aggregates are the per-doc fingerprint vote groupBys
+    agg_keys = re.findall(r"HashAggregate\(keys=\[([^\]]*)\]", plan)
+    assert not [k for k in agg_keys if k.count("doc_id") >= 2], agg_keys
