@@ -260,16 +260,34 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             for j in range(_N_PERM)
         ]
     )
+    # every band row carries ALL band digests (d0, d1, ...) so a pair that
+    # collides in several bands can be kept at its FIRST matching band by a
+    # map-side filter — no global `distinct` shuffle over the candidate-pair
+    # stream (the same first-match-banding move as `dedup_simhash_banded`;
+    # exactly-once emission is what lets the verify join count safely)
+    digests = sig.select(
+        "doc_id",
+        *[
+            F.md5(F.concat(*[F.col(f"h{j}") for j in band])).alias(f"d{bi}")
+            for bi, band in enumerate(_BANDS)
+        ],
+    )
     bands = None
-    for bi, band in enumerate(_BANDS):
-        b = sig.select(
+    for bi in range(len(_BANDS)):
+        b = digests.select(
             "doc_id",
             F.lit(bi).alias("band_id"),
-            F.md5(F.concat(*[F.col(f"h{j}") for j in band])).alias("band"),
+            F.col(f"d{bi}").alias("band"),
+            *[F.col(f"d{k}") for k in range(len(_BANDS))],
         )
         bands = b if bands is None else bands.unionAll(b)
     a = bands.alias("a")
     b = bands.alias("b")
+    first_match = F.lit(True)
+    for k in range(1, len(_BANDS)):
+        first_match = first_match & (
+            (F.col("a.band_id") < k) | (F.col(f"a.d{k - 1}") != F.col(f"b.d{k - 1}"))
+        )
     cand = (
         a.join(
             b,
@@ -277,8 +295,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.band_id") == F.col("b.band_id"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
+        .filter(first_match)
         .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
-        .distinct()
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     x = sh.alias("x")
