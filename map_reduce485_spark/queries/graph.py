@@ -442,10 +442,17 @@ def kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
         keep = cache_scoped(
             deg.filter(F.col("c") >= _KCORE_K).select(F.col("src").alias("node"))
         )
-        edges = cache_scoped(
+        # Each round MUST be materialized before the next references it:
+        # the round's plan references the previous round's frame three ways
+        # (the degree agg and both semi-joins), so a fully lazy build has
+        # branch factor ~3 per round and the final 4-stat union re-derives
+        # the base edge build dozens of times (348 s at sf0.01 before this;
+        # the `star_components` lineage-cut discipline, applied here).
+        edges = (
             edges.join(keep.select(F.col("node").alias("src")), "src", "left_semi")
             .join(keep.select(F.col("node").alias("dst")), "dst", "left_semi")
             .select("src", "dst")
+            .localCheckpoint(eager=True)
         )
         # 1-row × 1-row stat assembly (the hll/kmv report class)
         stat = (
