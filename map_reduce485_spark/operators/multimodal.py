@@ -397,3 +397,51 @@ def tile_mean_pool(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 "tile_mean": sums.reshape(n, -1).ravel() / (tile * tile),
             }
         )
+
+
+_SILENCE_THRESHOLD = 12288  # |int16 sample| below this is "silent"
+_SILENCE_MIN_RUN = 2  # spans shorter than this are ignored
+
+
+def audio_silence_spans(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Silence-span detection (the VAD primitive): payload bytes as
+    little-endian int16 PCM, a sample is silent when |s| < threshold, and
+    a SPAN is a maximal run of >= min_run consecutive silent samples.
+    Emits one row per payload that has at least one span: span count,
+    total silent samples inside spans, and the longest span — all exact
+    integers (run boundaries via one `np.diff` over the silence mask per
+    payload).
+
+    Input batches: (doc_id: int64, payload: bytes).
+    """
+    import numpy as np
+
+    for pdf in batches:
+        out: dict[str, list[int]] = {
+            "doc_id": [],
+            "n_spans": [],
+            "silent_samples": [],
+            "longest_span": [],
+        }
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            trimmed = payload[: len(payload) - (len(payload) % 2)]
+            samples = np.frombuffer(trimmed, dtype="<i2").astype(np.int64)
+            mask = np.abs(samples) < _SILENCE_THRESHOLD
+            if mask.size == 0:
+                continue
+            d = np.diff(mask.astype(np.int8))
+            starts = np.flatnonzero(d == 1) + 1
+            ends = np.flatnonzero(d == -1) + 1
+            if mask[0]:
+                starts = np.concatenate(([0], starts))
+            if mask[-1]:
+                ends = np.concatenate((ends, [mask.size]))
+            spans = ends - starts
+            spans = spans[spans >= _SILENCE_MIN_RUN]
+            if spans.size == 0:
+                continue
+            out["doc_id"].append(int(doc_id))
+            out["n_spans"].append(int(spans.size))
+            out["silent_samples"].append(int(spans.sum()))
+            out["longest_span"].append(int(spans.max()))
+        yield pd.DataFrame(out, dtype="int64")

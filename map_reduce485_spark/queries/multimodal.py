@@ -446,3 +446,67 @@ def multimodal_tile_means(spark: SparkSession, sf_dir: str) -> DataFrame:
         tile_mean_pool,
         schema="doc_id bigint, tile_row int, tile_col int, tile_sum bigint, tile_mean double",
     )
+
+
+def _silence_oracle() -> str:
+    from map_reduce485_spark.operators.multimodal import (
+        _SILENCE_MIN_RUN,
+        _SILENCE_THRESHOLD,
+    )
+
+    return f"""
+WITH p AS (
+  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) // 2 AS n
+  FROM documents WHERE octet_length(encode(text)) >= 2
+),
+sm AS (
+  SELECT doc_id, i,
+         ((strpos('0123456789ABCDEF', substr(hx, 4*i - 3, 1)) - 1) * 16
+           + strpos('0123456789ABCDEF', substr(hx, 4*i - 2, 1)) - 1)
+         + 256 * ((strpos('0123456789ABCDEF', substr(hx, 4*i - 1, 1)) - 1) * 16
+           + strpos('0123456789ABCDEF', substr(hx, 4*i, 1)) - 1) AS raw
+  FROM (SELECT doc_id, hx, UNNEST(generate_series(1, n)) AS i FROM p)
+),
+sv AS (
+  SELECT doc_id, i, raw - CASE WHEN raw >= 32768 THEN 65536 ELSE 0 END AS s
+  FROM sm
+),
+silent AS (
+  SELECT doc_id, i, i - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+  FROM sv WHERE abs(s) < {_SILENCE_THRESHOLD}
+),
+spans AS (
+  SELECT doc_id, grp, CAST(COUNT(*) AS BIGINT) AS len
+  FROM silent GROUP BY doc_id, grp
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+       CAST(SUM(len) AS BIGINT) AS silent_samples,
+       CAST(MAX(len) AS BIGINT) AS longest_span
+FROM spans WHERE len >= {_SILENCE_MIN_RUN} GROUP BY doc_id
+"""
+
+
+@query("multimodal_audio_silence", _silence_oracle(), tags=("multimodal",))
+def multimodal_audio_silence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Silence-span detection over PCM payloads — the VAD (voice-activity
+    detection) primitive an audio pipeline runs before transcription or
+    segmentation: maximal runs of consecutive low-amplitude int16 samples,
+    reported per payload as span count / silent-sample total / longest
+    span (all exact integers).  The numpy run-length logic lives in
+    `operators/multimodal.audio_silence_spans`; the oracle re-derives
+    every sample from the hex expansion and replays the runs as a
+    gaps-and-islands grouping, so the span arithmetic is value-checked
+    end to end.  Map-side only — payloads never shuffle; the 4-column
+    feature row is the entire output."""
+    from map_reduce485_spark.operators.multimodal import audio_silence_spans
+
+    (docs,) = T(spark, sf_dir, "documents")
+    payloads = (
+        docs.select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
+        .filter(F.octet_length("payload") >= 2)
+    )
+    return payloads.mapInPandas(
+        audio_silence_spans,
+        schema="doc_id bigint, n_spans bigint, silent_samples bigint,"
+        " longest_span bigint",
+    )
