@@ -873,3 +873,46 @@ def json_nested_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("s.k").alias("key_sum"),
         F.sum("s.meta.cents").alias("price_cents"),
     )
+
+
+@query(
+    "xml_source_roundtrip",
+    """
+    SELECT n_regionkey, CAST(COUNT(*) AS BIGINT) AS n_nations,
+           MIN(n_name) AS first_name, CAST(MAX(n_nationkey) AS BIGINT) AS max_key
+    FROM nation GROUP BY n_regionkey
+    """,
+    tags=("sources",),
+)
+def xml_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML reader/writer surface (built into Spark 4 — the feed format
+    enterprise integrations still exchange): nation → XML row documents →
+    explicit-schema read → aggregate, oracle on the original parquet so
+    element naming, escaping, and numeric round-tripping must all be
+    lossless.  Schema is explicit (`rowTag` + StructType) — XML schema
+    inference at 100 TB would be a full extra pass, same discipline as
+    the CSV/JSON readers."""
+    (nation,) = tables(spark, sf_dir, "nation")
+    path = _scratch("xml", sf_dir)
+    nation.write.mode("overwrite").format("xml").option("rootTag", "nations").option(
+        "rowTag", "nation"
+    ).save(path)
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "nation")
+        .schema(
+            T.StructType(
+                [
+                    T.StructField("n_nationkey", T.LongType()),
+                    T.StructField("n_name", T.StringType()),
+                    T.StructField("n_regionkey", T.IntegerType()),
+                ]
+            )
+        )
+        .load(path)
+    )
+    return back.groupBy("n_regionkey").agg(
+        F.count("*").alias("n_nations"),
+        F.min("n_name").alias("first_name"),
+        F.max("n_nationkey").alias("max_key"),
+    )
