@@ -361,3 +361,26 @@ def test_simhash_banded_no_pair_dedup_shuffle(spark):
     # the only aggregates are the per-doc fingerprint vote groupBys
     agg_keys = re.findall(r"HashAggregate\(keys=\[([^\]]*)\]", plan)
     assert not [k for k in agg_keys if k.count("doc_id") >= 2], agg_keys
+
+
+def test_minhash_banded_no_pair_dedup_shuffle(spark):
+    """Same first-match-banding pin for MinHash LSH: candidate pairs must
+    be deduplicated by the map-side earlier-band-digests-differ filter,
+    never by a distinct — the only aggregates keyed on doc ids are the
+    per-doc signature/size groupBys and the (a_id, b_id) intersection
+    COUNT of the verify stage (which is an aggregation of verified pairs,
+    not a dedup of the raw candidate stream).  The witness: the verify
+    aggregate consumes the shingle join, so no HashAggregate may sit
+    directly on top of the band self-join."""
+    import re
+
+    df = _q(spark, "dedup_minhash_lsh")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    # exactly one aggregate keyed on two doc ids is allowed: the verify
+    # intersection count (keys a_id, b_id).  The old plan had two (the
+    # candidate distinct + the verify count).
+    agg_keys = re.findall(r"HashAggregate\(keys=\[([^\]]*)\]", plan)
+    pair_aggs = [k for k in agg_keys if ("a_id" in k and "b_id" in k) or k.count("doc_id") >= 2]
+    # partial + final of the ONE verify aggregate (2 plan nodes)
+    assert len(pair_aggs) <= 2, pair_aggs
