@@ -1908,3 +1908,91 @@ def vocabulary_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("vocab_size", F.lit(0)).alias("vocab_size"),
         )
     )
+
+
+_PII_ORACLE = """
+WITH aug AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 3 > 0
+                 THEN ' contact user' || doc_id || '@example.com'
+                 ELSE '' END
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' cc admin' || doc_id || '@example.com'
+                 ELSE '' END
+         || CASE WHEN doc_id % 2 = 0
+                 THEN ' call 555-' || lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0')
+                 ELSE '' END AS t
+  FROM documents
+),
+scanned AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(t, '[a-z0-9]+@[a-z]+\\.com')) AS BIGINT) AS n_emails,
+         CAST(len(regexp_extract_all(t, '555-[0-9]{4}')) AS BIGINT) AS n_phones,
+         regexp_replace(regexp_replace(t, '[a-z0-9]+@[a-z]+\\.com', '<EMAIL>', 'g'),
+                        '555-[0-9]{4}', '<PHONE>', 'g') AS masked
+  FROM aug
+)
+SELECT doc_id, n_emails, n_phones,
+       CAST(len(regexp_extract_all(masked, '[a-z0-9]+@[a-z]+\\.com')) AS BIGINT)
+         + CAST(len(regexp_extract_all(masked, '555-[0-9]{4}')) AS BIGINT) AS n_residual,
+       md5(masked) AS masked_md5
+FROM scanned
+"""
+
+
+@query("pii_mask_audit", _PII_ORACLE, tags=("text", "etl"))
+def pii_mask_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scan → mask → residual-verify, the audit loop a training-data
+    pipeline runs before release: count pattern families per document
+    (email, phone), rewrite them to typed placeholders, and PROVE the
+    rewrite left zero residual matches — with the masked text's md5
+    emitted so the exact rewritten bytes are value-checked, not just the
+    counts.  The synthetic corpus contains no PII, so deterministic
+    synthetic PII is injected first (doc_id-derived, so both engines
+    build the identical text) — the scan/mask/verify machinery is the
+    operator under test, exactly like the multimodal fakes stand in for
+    codecs.  All map-side JVM regex; nothing shuffles but the 5-column
+    report."""
+    (docs,) = T(spark, sf_dir, "documents")
+    email_re = "[a-z0-9]+@[a-z]+\\.com"
+    phone_re = "555-[0-9]{4}"
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 > 0,
+                F.concat(F.lit(" contact user"), F.col("doc_id"), F.lit("@example.com")),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(F.lit(" cc admin"), F.col("doc_id"), F.lit("@example.com")),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.concat(
+                    F.lit(" call 555-"),
+                    F.lpad(((F.col("doc_id") * 7) % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("t"),
+    )
+    scanned = aug.select(
+        "doc_id",
+        F.regexp_count("t", F.lit(email_re)).alias("n_emails"),
+        F.regexp_count("t", F.lit(phone_re)).alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace("t", email_re, "<EMAIL>"), phone_re, "<PHONE>"
+        ).alias("masked"),
+    )
+    return scanned.select(
+        "doc_id",
+        "n_emails",
+        "n_phones",
+        (
+            F.regexp_count("masked", F.lit(email_re))
+            + F.regexp_count("masked", F.lit(phone_re))
+        ).alias("n_residual"),
+        F.md5("masked").alias("masked_md5"),
+    )
