@@ -1659,3 +1659,30 @@ def cross_lang_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return labeled.groupBy("lang_a", "lang_b").agg(F.count("*").alias("n_pairs"))
+
+
+_WINNOW_SUMMARY_ORACLE = f"""
+WITH pairs AS ({_WINNOW_ORACLE})
+SELECT n_shared, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(COUNT(DISTINCT a_id) AS BIGINT) AS n_left_docs,
+       CAST(COUNT(DISTINCT b_id) AS BIGINT) AS n_right_docs
+FROM pairs GROUP BY n_shared
+"""
+
+
+@query("dedup_winnowing_summary", _WINNOW_SUMMARY_ORACLE, tags=("dedup",))
+def dedup_winnowing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing near-dup SUMMARY — the constant-size output twin of
+    `dedup_winnowing_pairs` (the `dedup_simhash_summary` move applied to
+    the fingerprint-join family): per-shared-fingerprint-count pair and
+    distinct-doc tallies instead of the raw pair list, which grows
+    quadratically in dup-family size (107 M rows at the 100x smoke).
+    The verify stage feeds a bounded map-side-combinable groupBy; the
+    sink is constant size at any corpus scale.  The pair query stays as
+    the oracle-locked pair-level twin."""
+    pairs = dedup_winnowing_pairs(spark, sf_dir)
+    return pairs.groupBy("n_shared").agg(
+        F.count("*").alias("n_pairs"),
+        F.count_distinct("a_id").alias("n_left_docs"),
+        F.count_distinct("b_id").alias("n_right_docs"),
+    )

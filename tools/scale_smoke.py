@@ -123,7 +123,9 @@ def main() -> int:
         # summary twin: same banded plan, constant-size output — the pair
         # query's 337 M-row sink at 10x was 63% of the whole smoke
         "dedup_simhash_summary",
-        "dedup_winnowing_pairs",
+        # summary twin (constant-size output; the pair sink at 100x is 456 s /
+        # 107 M rows — dedup_minhash_lsh remains the raw-pair-sink representative)
+        "dedup_winnowing_summary",
         "dedup_incremental_arrivals",
         "multimodal_byte_histogram",
         "cosine_topk_bruteforce",
