@@ -48,9 +48,17 @@ def main() -> None:
     # is already busy (loadavg > half the worker threads) is machine noise by
     # construction — wait up to 5 minutes for quiet, and if it never comes,
     # stamp the whole artifact `box_contended` so the judge discounts it.
-    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 32))
+    try:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", ""))
+    except ValueError:
+        cpus = os.cpu_count() or 32
     box_contended = False
-    if loadavg is not None:
+    # SPARK_GRAFT_BENCH_NO_WAIT=1 skips the quiet-box wait (deliberately
+    # loaded runs); the artifact still stamps box_contended honestly.
+    no_wait = os.environ.get("SPARK_GRAFT_BENCH_NO_WAIT", "") == "1"
+    if loadavg is not None and no_wait:
+        box_contended = loadavg > cpus / 2
+    elif loadavg is not None:
         waited = 0.0
         while loadavg > cpus / 2 and waited < 300:
             print(f"# loadavg {loadavg} > {cpus/2}; waiting for quiet box", file=sys.stderr)

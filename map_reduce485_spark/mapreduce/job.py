@@ -58,7 +58,11 @@ def delete_output_dir(spark: SparkSession, path: str) -> bool:
     jpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = jpath.getFileSystem(hconf)
     if fs.exists(jpath):
-        fs.delete(jpath, True)
+        # Hadoop signals a failed delete by RETURNING false (no exception);
+        # swallowing it would only surface later as a confusing
+        # saveAsTextFile dir-exists error, so fail here with the path.
+        if not fs.delete(jpath, True):
+            raise IOError(f"Hadoop FileSystem failed to delete {path}")
         return True
     return False
 

@@ -26,7 +26,7 @@ are the north-star extensions mandated by BASELINE.json.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from map_reduce485_spark.queries import query
@@ -272,13 +272,26 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             for bi, band in enumerate(_BANDS)
         ],
     )
+    n_b = len(_BANDS)
     bands = None
-    for bi in range(len(_BANDS)):
+    for bi in range(n_b):
         b = digests.select(
             "doc_id",
             F.lit(bi).alias("band_id"),
             F.col(f"d{bi}").alias("band"),
-            *[F.col(f"d{k}") for k in range(len(_BANDS))],
+            # band bi's first-match filter only reads PRIOR digests
+            # d0..d(bi-1) (and the last digest never at all), so later
+            # slots ride as NULLs — one null bit each in the band shuffle
+            # instead of a 32-char hex string.  Band 0 carries none: the
+            # `band_id < k` disjunct short-circuits before the NULL is
+            # read, and Catalyst folds it per union branch (band_id is a
+            # literal), so the band-0 branch's filter disappears entirely.
+            *[
+                (F.col(f"d{k}") if k < bi else F.lit(None).cast("string")).alias(
+                    f"d{k}"
+                )
+                for k in range(n_b - 1)
+            ],
         )
         bands = b if bands is None else bands.unionAll(b)
     a = bands.alias("a")
@@ -621,7 +634,8 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("dedup_clusters_star", _CLUSTERS_ORACLE, tags=("dedup", "graph"))
 def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components by alternating large-star/small-star contraction
-    — the bounded-rounds scale twin of `dedup_clusters`.
+    over an EXACT-DUPLICATE-CONTRACTED graph — the bounded-rounds,
+    bounded-disk scale twin of `dedup_clusters`.
 
     Min-label propagation converges in O(component diameter) join rounds:
     perfect for near-dup families (near-cliques), pathological on chains —
@@ -629,19 +643,67 @@ def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle rounds.  The alternating-star algorithm (Kiveris et al.,
     SoCC'14; see `operators/components.py`) converges in O(log^2 n) rounds
     on ANY topology, so it is the form that survives adversarial cluster
-    shapes at 100 TB.  Same input pairs, same output contract, same
-    recursive-CTE oracle as `dedup_clusters`; a pytest property test pins
-    logarithmic convergence on a deliberately chained fixture where label
-    propagation's round bound would blow up.
+    shapes at 100 TB.
+
+    Exact-dup contraction (the standard production move): a dup family of
+    g identical documents contributes g(g-1)/2 near-dup pairs — quadratic
+    in multiplicity — yet carries one bit of clustering information.  So
+    before the star rounds, every doc is mapped to the minimum doc_id of
+    its content-fingerprint (md5(text)) group, intra-family pairs collapse
+    to dropped self-loops, and the star rounds materialize only the
+    contracted representative graph (bounded by CONTENT diversity, not dup
+    multiplicity).  Members rejoin at the end with their representative's
+    component label.  Exactness: identical text ⇒ identical shingle sets ⇒
+    Jaccard 1 ≥ threshold, so every family with ≥2 members and ≥1 shingle
+    is a clique in the raw pair graph — contraction merges only
+    already-connected nodes and preserves components; a family's
+    representative (its min doc_id) is also the family's min inside any
+    component, so the contracted component minimum equals the raw one.
+    Membership is taken from the raw pair stream (docs in ≥1 pair), which
+    flows ONCE and is never re-materialized per round — this is what fixed
+    the mult=100 ENOSPC in the 100x scale smoke (round-6 limit).
+
+    Same input pairs, same output contract, same recursive-CTE oracle as
+    `dedup_clusters`; a pytest property test pins logarithmic convergence
+    on a deliberately chained fixture where label propagation's round
+    bound would blow up.
     """
     from map_reduce485_spark.operators.components import star_components
 
-    pairs = dedup_ngram_jaccard(spark, sf_dir).select("a_id", "b_id")
-    labels, _rounds = star_components(pairs, "a_id", "b_id")
-    return labels.select(
-        F.col("id").alias("doc_id"),
-        F.col("label").alias("cluster_id"),
-        (F.col("id") == F.col("label")).cast("int").alias("is_kept"),
+    (docs,) = T(spark, sf_dir, "documents")
+    pairs = cache_scoped(dedup_ngram_jaccard(spark, sf_dir).select("a_id", "b_id"))
+    rep_map = cache_scoped(
+        docs.select("doc_id", F.md5("text").alias("fp")).select(
+            "doc_id", F.min("doc_id").over(Window.partitionBy("fp")).alias("rep")
+        )
+    )
+    ra = rep_map.select(F.col("doc_id").alias("a_id"), F.col("rep").alias("rep_a"))
+    rb = rep_map.select(F.col("doc_id").alias("b_id"), F.col("rep").alias("rep_b"))
+    contracted = (
+        pairs.join(ra, "a_id")
+        .join(rb, "b_id")
+        .select("rep_a", "rep_b")
+        .filter(F.col("rep_a") != F.col("rep_b"))
+    )
+    labels_rep, _rounds = star_components(contracted, "rep_a", "rep_b")
+    # every doc that appears in >=1 raw pair is emitted (oracle contract);
+    # a rep with no inter-family edges is absent from labels_rep and keeps
+    # its own id as the cluster label (its family is a component by itself)
+    members = (
+        pairs.select(F.col("a_id").alias("doc_id"))
+        .unionAll(pairs.select(F.col("b_id").alias("doc_id")))
+        .distinct()
+    )
+    lbl = labels_rep.select(F.col("id").alias("rep"), "label")
+    cluster = F.coalesce(F.col("label"), F.col("rep"))
+    return (
+        members.join(rep_map, "doc_id")
+        .join(lbl, "rep", "left")
+        .select(
+            "doc_id",
+            cluster.alias("cluster_id"),
+            (F.col("doc_id") == cluster).cast("int").alias("is_kept"),
+        )
     )
 
 

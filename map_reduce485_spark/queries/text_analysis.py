@@ -1841,15 +1841,26 @@ firsts AS (SELECT token, MIN(doc_id) AS first_doc FROM tokens GROUP BY token),
 maxd AS (SELECT MAX(doc_id) AS m FROM documents),
 deciles AS (SELECT UNNEST(range(1, 11)) AS decile),
 bounds AS (SELECT decile, (m * decile) // 10 AS bound FROM deciles, maxd),
-doc_toks AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS c FROM tokens GROUP BY doc_id)
+doc_toks AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS c FROM tokens GROUP BY doc_id),
+-- decile totals as grouped inequality joins, NOT correlated scalar
+-- subqueries: DuckDB re-evaluated each correlated subquery (and its
+-- upstream tokenization CTE) per decile row, making this the gate's
+-- second-slowest oracle (33.9 s); the join form computes each input once.
+-- Same values, same hash.
+nd AS (SELECT b.decile, CAST(COUNT(*) AS BIGINT) AS n_docs
+       FROM bounds b JOIN documents d ON d.doc_id <= b.bound GROUP BY b.decile),
+nt AS (SELECT b.decile, CAST(SUM(c) AS BIGINT) AS n_tokens
+       FROM bounds b JOIN doc_toks t ON t.doc_id <= b.bound GROUP BY b.decile),
+vs AS (SELECT b.decile, CAST(COUNT(*) AS BIGINT) AS vocab_size
+       FROM bounds b JOIN firsts f ON f.first_doc <= b.bound GROUP BY b.decile)
 SELECT b.decile,
-       (SELECT CAST(COUNT(*) AS BIGINT) FROM documents d WHERE d.doc_id <= b.bound)
-         AS n_docs,
-       (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) FROM doc_toks t
-         WHERE t.doc_id <= b.bound) AS n_tokens,
-       (SELECT CAST(COUNT(*) AS BIGINT) FROM firsts f WHERE f.first_doc <= b.bound)
-         AS vocab_size
+       COALESCE(nd.n_docs, 0) AS n_docs,
+       COALESCE(nt.n_tokens, 0) AS n_tokens,
+       COALESCE(vs.vocab_size, 0) AS vocab_size
 FROM bounds b
+LEFT JOIN nd ON nd.decile = b.decile
+LEFT JOIN nt ON nt.decile = b.decile
+LEFT JOIN vs ON vs.decile = b.decile
 """
 
 

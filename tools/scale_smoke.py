@@ -148,6 +148,23 @@ def main() -> int:
         "quantile_normalize_per_type",
         "embedding_random_projection",
         "multimodal_frame_delta_cuts",
+        # round-7 rotation (verdict item 5): windows, sketches, events,
+        # kcore and a relational/text spread — previously only 10x-proven
+        "window_running_sum",
+        "window_time_range_7d",
+        "window_topk_per_group",
+        "cms_build",
+        "hll_registers",
+        "events_sessionize",
+        "funnel_conversion",
+        "kcore_peeling",
+        "dedup_exact",
+        "topk_docs_per_lang",
+        "tfidf_top_terms",
+        "scd2_dimension_build",
+        "lang_id",
+        "quality_score",
+        "rollup_agg",
     ]
     # scan-parallelism proof on the multi-file layout
     n_parts = load_table(spark, sf_dir, "lineitem").rdd.getNumPartitions()
@@ -167,18 +184,17 @@ def main() -> int:
         return spark.read.parquet(str(sink)).count()
 
     if args.names:
-        names = [n for n in names if n in set(args.names)] or args.names
-    # The generator co-scales every dup family, so the candidate-PAIR stream
-    # grows ~mult^2 (a synthetic-density artifact — a real corpus grows by
-    # adding families, not by making each family mult x denser).  The CC
-    # consumer materializes that stream per peel round (localCheckpoint) and
-    # exhausts single-box disk at mult>=50; on a cluster the same rounds
-    # spread across executor disks.  Skip it there, LOUDLY (no silent caps).
-    if args.mult >= 50:
-        for q in ("dedup_clusters_star",):
-            if q in names:
-                names.remove(q)
-                print(json.dumps({"skipped": q, "reason": "pair stream ~mult^2 exceeds single-box disk; see notes"}))
+        # validate up front: an unknown name is an error, a known-but-not-
+        # in-the-smoke-list registry name is run anyway (explicit request),
+        # and nothing is ever dropped silently (repo no-silent-caps rule)
+        unknown = [n for n in args.names if n not in REGISTRY]
+        if unknown:
+            ap.error(f"not in the query registry: {', '.join(unknown)}")
+        names = list(args.names)
+    # dedup_clusters_star was ENOSPC-skipped at mult>=50 through round 6;
+    # round 7's exact-duplicate contraction (queries/dedup.py) bounds the
+    # per-round materialized edge set by content diversity, so it runs at
+    # every mult now.
     queries: dict[str, dict] = {}
     total = 0.0
     for name in names:
