@@ -707,6 +707,40 @@ def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CLUSTER_HISTO_ORACLE = f"""
+WITH RECURSIVE {_CLUSTERS_CTES},
+comp AS (SELECT id, MIN(r) AS cid FROM reach GROUP BY id),
+csize AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS cluster_size
+          FROM comp GROUP BY cid)
+SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(SUM(cluster_size) AS BIGINT) AS n_docs,
+       CAST(SUM(cluster_size) - COUNT(*) AS BIGINT) AS n_dropped
+FROM csize GROUP BY cluster_size
+"""
+
+
+@query("dedup_cluster_size_histogram", _CLUSTER_HISTO_ORACLE, tags=("dedup", "graph"))
+def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-size histogram — the 100 TB OUTPUT SHAPE for near-dup
+    CLUSTERING, completing the summary-twin pattern
+    (`dedup_simhash_summary` / `dedup_winnowing_summary` did it for the
+    banded pair stage): per cluster size, how many clusters, how many
+    docs they hold, and how many docs a keep-one policy drops.  That
+    histogram (the corpus's duplication profile) is the number a pipeline
+    operator actually reads before committing a dedup pass; the per-doc
+    assignment list stays distributed.  Plan: the exact-dup-contracted
+    star components of `dedup_clusters_star`, then two map-side-
+    combinable groupBys — output is bounded by the largest cluster size,
+    constant-ish at any corpus scale."""
+    clusters = dedup_clusters_star(spark, sf_dir)
+    csize = clusters.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    return csize.groupBy("cluster_size").agg(
+        F.count("*").alias("n_clusters"),
+        F.sum("cluster_size").alias("n_docs"),
+        (F.sum("cluster_size") - F.count("*")).alias("n_dropped"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # winnowing: strided local fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03)
 # ---------------------------------------------------------------------------
