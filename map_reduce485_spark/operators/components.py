@@ -55,6 +55,14 @@ def star_components(
         .filter(F.col("hi") != F.col("lo"))
         .distinct()
     )
+    # pin true stats before planning the star rounds: `pairs` usually
+    # arrives from a similarity join whose Catalyst row estimate is a
+    # blind post-filter guess; un-materialized, that guess flows into
+    # every round's join and the planner may try to BROADCAST a
+    # multi-million-row edge list (observed as an 8.3 GiB build abort at
+    # the 100x smoke).  Materialized, the InMemoryRelation reports its
+    # real size and each round picks broadcast/shuffle correctly.
+    edges.count()
     nodes = (
         pairs.select(F.col(src).alias("id"))
         .unionAll(pairs.select(F.col(dst).alias("id")))

@@ -631,11 +631,62 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_clusters_star", _CLUSTERS_ORACLE, tags=("dedup", "graph"))
+# the recursive component CTEs over the MINHASH-LSH verified pair stream
+# (the production clustering input) — same reach recursion as
+# _CLUSTERS_CTES, different pair generator: banded LSH candidates with
+# exact-Jaccard verification, exactly dedup_minhash_lsh's oracle
+_LSH_CLUSTERS_CTES = f"""{_ORACLE_SHINGLES},
+sig AS (
+  SELECT doc_id,
+         {_MINHASH_SIG_COLS_SQL}
+  FROM sh GROUP BY doc_id
+),
+bands AS ({_MINHASH_BANDS_SQL}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_id = b.band_id AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inters AS (
+  SELECT c.a_id, c.b_id, COUNT(*) AS intersection
+  FROM cand c
+  JOIN sh x ON x.doc_id = c.a_id
+  JOIN sh y ON y.doc_id = c.b_id AND y.shingle = x.shingle
+  GROUP BY c.a_id, c.b_id
+),
+vpairs AS (
+  SELECT i.a_id, i.b_id
+  FROM inters i
+  JOIN sizes sa ON sa.doc_id = i.a_id
+  JOIN sizes sb ON sb.doc_id = i.b_id
+  WHERE CAST(i.intersection AS DOUBLE) / (sa.n + sb.n - i.intersection)
+        >= {_NGRAM_THRESHOLD}
+),
+edges AS (
+  SELECT a_id AS src, b_id AS dst FROM vpairs
+  UNION ALL SELECT b_id, a_id FROM vpairs
+),
+reach(id, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT reach.id, edges.dst FROM reach JOIN edges ON edges.src = reach.r
+)"""
+
+_LSH_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE {_LSH_CLUSTERS_CTES}
+SELECT id AS doc_id, MIN(r) AS cluster_id,
+       CAST(id = MIN(r) AS INTEGER) AS is_kept
+FROM reach GROUP BY id
+"""
+
+
+@query("dedup_clusters_star", _LSH_CLUSTERS_ORACLE, tags=("dedup", "graph"))
 def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components by alternating large-star/small-star contraction
-    over an EXACT-DUPLICATE-CONTRACTED graph — the bounded-rounds,
-    bounded-disk scale twin of `dedup_clusters`.
+    over the MINHASH-LSH VERIFIED pair stream, with exact-duplicate
+    contraction — the bounded-rounds, bounded-disk scale twin of
+    `dedup_clusters`, wired the way a production pipeline actually runs.
 
     Min-label propagation converges in O(component diameter) join rounds:
     perfect for near-dup families (near-cliques), pathological on chains —
@@ -659,19 +710,57 @@ def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     already-connected nodes and preserves components; a family's
     representative (its min doc_id) is also the family's min inside any
     component, so the contracted component minimum equals the raw one.
-    Membership is taken from the raw pair stream (docs in ≥1 pair), which
-    flows ONCE and is never re-materialized per round — this is what fixed
-    the mult=100 ENOSPC in the 100x scale smoke (round-6 limit).
+    (On a corpus whose duplicates are all NEAR-dups — e.g. the scale
+    smoke's perturbed per-copy texts — exact-dup contraction is a no-op
+    by design; it pays off on real corpora, where exact-dup families
+    dominate.  The round-7 advice was right that contraction alone did
+    NOT fix the mult=100 ENOSPC.  The argument carries over to the LSH
+    pair graph: identical text ⇒ identical minhash signature ⇒ a
+    band-0 collision that verifies at Jaccard 1 ≥ t, so exact-dup
+    families are cliques here too.)
 
-    Same input pairs, same output contract, same recursive-CTE oracle as
-    `dedup_clusters`; a pytest property test pins logarithmic convergence
-    on a deliberately chained fixture where label propagation's round
-    bound would blow up.
+    WHY LSH PAIRS (the round-8 finding, measured): clustering the EXACT
+    all-pairs stream is inherently quadratic in dup multiplicity — not
+    in the star rounds (whose per-round `distinct` collapses
+    near-clique families after round 1) but in pair GENERATION.  At the
+    100x smoke (every doc in a 100-copy near-dup family), the exact
+    inverted-index join must evaluate ~5B single-shingle collisions
+    whatever the verification plan: the explode-join-regroup plan
+    spilled ~4.5 GB/min into a 1.1B-row hash-agg (the round-6 ENOSPC),
+    a fetch-arrays-by-id plan shuffled ~43 GB of array payloads on the
+    candidate stream (round-8 ENOSPC), and the best map-side plan
+    (`dedup_prefix_filter_join`'s first-match + record-carrying
+    verification) ran disk-stable but >40 min of pure collision
+    evaluation.  Banded MinHash keys candidates by 16-byte WHOLE-BAND
+    digests, so a dup family is ~one bucket per band instead of one
+    bucket per shingle: pair generation completed the same corpus in
+    201 s (SCALE_SMOKE_100x).  That is why every production dedup
+    pipeline clusters banded candidates — and why this, the scale twin,
+    consumes `dedup_minhash_lsh`'s verified pairs (banding recall at
+    the threshold is the documented tradeoff), while `dedup_clusters`
+    keeps the exact all-pairs input as the oracle-side baseline.
+
+    Same output contract as `dedup_clusters`; the oracle composes
+    `dedup_minhash_lsh`'s deterministic md5-minhash CTEs with the same
+    recursive reach; a pytest property test pins logarithmic
+    convergence on a deliberately chained fixture where label
+    propagation's round bound would blow up.
     """
     from map_reduce485_spark.operators.components import star_components
 
     (docs,) = T(spark, sf_dir, "documents")
-    pairs = cache_scoped(dedup_ngram_jaccard(spark, sf_dir).select("a_id", "b_id"))
+    pairs = cache_scoped(
+        dedup_minhash_lsh(spark, sf_dir).select("a_id", "b_id")
+    )
+    # materialize the cache BEFORE planning the consumers: Catalyst's
+    # row estimate for the filtered similarity join is a blind guess
+    # ("tiny"), and every downstream join would inherit it and try to
+    # BROADCAST the pair stream (an 8.3 GiB build abort at the 100x
+    # smoke).  A materialized InMemoryRelation reports its true size, so
+    # the planner broadcasts the genuinely-small side (rep_map here, at
+    # test scale) and shuffle-joins when the pairs are big — the right
+    # call at every scale, with no hard-coded strategy.
+    pairs.count()
     rep_map = cache_scoped(
         docs.select("doc_id", F.md5("text").alias("fp")).select(
             "doc_id", F.min("doc_id").over(Window.partitionBy("fp")).alias("rep")
@@ -708,7 +797,7 @@ def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _CLUSTER_HISTO_ORACLE = f"""
-WITH RECURSIVE {_CLUSTERS_CTES},
+WITH RECURSIVE {_LSH_CLUSTERS_CTES},
 comp AS (SELECT id, MIN(r) AS cid FROM reach GROUP BY id),
 csize AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS cluster_size
           FROM comp GROUP BY cid)
@@ -1218,6 +1307,43 @@ def dedup_incremental_arrivals(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _shingle_arrays(docs: DataFrame) -> DataFrame:
+    """(doc_id, sh, n, pref) — each doc's distinct word-3-gram xxhash64
+    shingles as ONE SORTED ARRAY (`sh`, ascending hash = the global
+    canonical order), its size `n`, and the prefix-filter slice `pref`
+    (first n − ceil(t·n) + 1 elements for t = 1/2, integer arithmetic —
+    ceil through float multiplication is off-by-one at exact boundaries).
+
+    Pure JVM array expressions; one row per document, so the similarity
+    join below shuffles O(docs × prefix_len) fixed-width rows instead of
+    exploding per-shingle pairs."""
+    return (
+        docs.select(
+            "doc_id", F.expr("filter(split(text, ' '), x -> x <> '')").alias("w")
+        )
+        .filter(F.size("w") >= 3)
+        .select(
+            "doc_id",
+            F.array_sort(
+                F.array_distinct(
+                    F.expr(
+                        "transform(sequence(1, size(w) - 2),"
+                        " i -> xxhash64(w[i-1], w[i], w[i+1]))"
+                    )
+                )
+            ).alias("sh"),
+        )
+        .select(
+            "doc_id",
+            "sh",
+            F.size("sh").alias("n"),
+            F.expr("slice(sh, 1, size(sh) - (size(sh) + 1) div 2 + 1)").alias(
+                "pref"
+            ),
+        )
+    )
+
+
 @query("dedup_prefix_filter_join", _NGRAM_ORACLE, tags=("dedup",))
 def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT Jaccard similarity join via PREFIX FILTERING (the
@@ -1229,78 +1355,88 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     every qualifying pair collides.
 
     Mechanics: each doc's shingles are ranked in one GLOBAL canonical
-    order (the hash value); with threshold t, a pair at Jaccard >= t must
-    overlap in >= ceil(t*|d|) shingles, so the first
-    |d| - ceil(t*|d|) + 1 ranked shingles of each doc (its PREFIX) must
+    order (ascending xxhash64 value); with threshold t, a pair at
+    Jaccard >= t must overlap in >= ceil(t·|d|) shingles, so the first
+    |d| − ceil(t·|d|) + 1 ranked shingles of each doc (its PREFIX) must
     share at least one token with the other side's prefix (pigeonhole).
     Candidates = prefix-token equi-join + the size filter
-    t*|a| <= |b| <= |a|/t, then exact verification.  Prefix lengths use
-    INTEGER arithmetic — n - ((n + 1) div 2) + 1 for t = 1/2 — because
-    ceil(0.5 * n) through float multiplication is off-by-one at exact
-    boundaries.
+    t·|a| <= |b| <= |a|/t.
 
-    Scale: candidates shuffle on shingle hashes exactly like the LSH
-    band join, but only prefix tokens (about half the index volume at
-    t = 1/2, and the RAREST tokens first under frequency ordering — the
-    classic production refinement) ever enter the join."""
+    Two scale moves beyond the textbook join (both rework round-6/7
+    lessons from the LSH path into the exact path):
+
+    - **first-match emission** (the LSH first-match-banding trick): a
+      pair sharing k prefix tokens surfaces k times in the equi-join;
+      instead of a global `distinct` over that collision stream (a
+      shuffle quadratic in dup-family size), each collision row decides
+      LOCALLY whether its token is the pair's MINIMUM shared prefix
+      token (`array_min(array_intersect(pref_a, pref_b))`) and survives
+      only then: exactly one row per candidate pair, no distinct.
+    - **record-carrying verification** (the VernicaJoin kernel shape):
+      the index rows carry the doc's FULL sorted shingle array, so
+      `size(array_intersect(sh_a, sh_b))` verifies each first-match
+      survivor MAP-SIDE in the self-join stage — one JVM
+      set-intersection per CANDIDATE, and only VERIFIED pairs (three
+      narrow columns) ever leave the stage.  This replaces two earlier
+      plans that both ENOSPC'd the 100x smoke: the explode-join-regroup
+      plan (|pairs| × |shared shingles| ≈ 1.1B-row hash-agg spill,
+      round 6) and a fetch-arrays-by-id plan whose second exchange
+      carried a 400-byte array on every CANDIDATE row (candidates ≫
+      verified pairs, ~43 GB of shuffle, round 8).
+
+    The index is O(prefix_len) rows per doc, each carrying O(doc_len)
+    longs — the record-carrying trade is quadratic in DOC LENGTH, the
+    right call for web/LLM corpora (short docs, huge counts); a
+    long-document corpus would flip to the fetch-by-id shape instead.
+    Intra-family collision rows still grow quadratically with dup
+    multiplicity — inherent to EXACT all-pairs output — but they are
+    map-side evaluate-and-drop rows, never shuffled or spilled."""
     (docs,) = T(spark, sf_dir, "documents")
-    from pyspark.sql import Window as W
-
-    sh = cache_scoped(_spark_shingles(docs))
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    ranked = sh.join(sizes, "doc_id").select(
-        "doc_id",
-        "shingle",
-        "n",
-        F.row_number()
-        .over(W.partitionBy("doc_id").orderBy("shingle"))
-        .alias("rk"),
+    arrs = cache_scoped(_shingle_arrays(docs))
+    idx = arrs.select(
+        "doc_id", "n", "pref", "sh", F.explode("pref").alias("shingle")
     )
-    # t = _NGRAM_THRESHOLD = 0.5: prefix_len = n - ceil(n/2) + 1, all-integer
-    prefix = ranked.filter(
-        F.col("rk") <= F.col("n") - F.expr("(n + 1) div 2") + 1
-    )
-    a = prefix.alias("a")
-    b = prefix.alias("b")
+    a = idx.alias("a")
+    b = idx.alias("b")
+    # MERGE-pinned like the verification joins below: the two sides of a
+    # SELF-join are the same size, so broadcasting one is never right —
+    # and Catalyst's generate/filter size guess for the exploded prefix
+    # index undershoots the 64 MB threshold at scale (an 8.3 GiB
+    # broadcast build abort at the 100x smoke).  SMJ also lets AQE reuse
+    # one exchange for both sides.
     cand = (
         a.join(
-            b,
+            b.hint("shuffle_merge"),
             (F.col("a.shingle") == F.col("b.shingle"))
             & (F.col("a.doc_id") < F.col("b.doc_id"))
             # size filter: nb >= t*na and na >= t*nb  (t = 1/2, integers)
             & (F.col("b.n") * 2 >= F.col("a.n"))
             & (F.col("a.n") * 2 >= F.col("b.n")),
         )
-        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
-        .distinct()
-    )
-    x = sh.alias("x")
-    y = sh.alias("y")
-    verified = (
-        cand.join(x, F.col("x.doc_id") == F.col("a_id"))
-        .join(
-            y,
-            (F.col("y.doc_id") == F.col("b_id"))
-            & (F.col("y.shingle") == F.col("x.shingle")),
+        # first-match: keep the ONE collision at the pair's minimum shared
+        # prefix token — exactly-once emission with no distinct shuffle
+        .filter(
+            F.col("a.shingle")
+            == F.array_min(F.array_intersect(F.col("a.pref"), F.col("b.pref")))
         )
-        .groupBy("a_id", "b_id")
-        .agg(F.count("*").alias("intersection"))
-    )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
-    return (
-        verified.join(sa, F.col("a_id") == F.col("sa.doc_id"))
-        .join(sb, F.col("b_id") == F.col("sb.doc_id"))
         .select(
-            "a_id",
-            "b_id",
-            (
-                F.col("intersection").cast("double")
-                / (F.col("sa.n") + F.col("sb.n") - F.col("intersection"))
-            ).alias("jaccard"),
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+            F.size(
+                F.array_intersect(F.col("a.sh"), F.col("b.sh"))
+            ).alias("intersection"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
         )
-        .filter(F.col("jaccard") >= _NGRAM_THRESHOLD)
     )
+    return cand.select(
+        "a_id",
+        "b_id",
+        (
+            F.col("intersection").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("intersection")).cast("double")
+        ).alias("jaccard"),
+    ).filter(F.col("jaccard") >= _NGRAM_THRESHOLD)
 
 
 # ---------------------------------------------------------------------------

@@ -2007,12 +2007,16 @@ def survival_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _HOLT_ORACLE = """
-WITH RECURSIVE hourly AS (
-  SELECT event_type, date_trunc('hour', ts) AS h,
-         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS v
-  FROM events
-  WHERE ts >= TIMESTAMP '2024-01-24 00:00:00'
-  GROUP BY event_type, date_trunc('hour', ts)
+WITH RECURSIVE cutoff AS (
+  SELECT event_type, MAX(ts) - INTERVAL 7 DAY AS cut
+  FROM events GROUP BY event_type
+),
+hourly AS (
+  SELECT e.event_type, date_trunc('hour', e.ts) AS h,
+         CAST(SUM(CAST(ROUND(e.value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS v
+  FROM events e JOIN cutoff c ON c.event_type = e.event_type
+  WHERE e.ts >= c.cut
+  GROUP BY e.event_type, date_trunc('hour', e.ts)
 ),
 arr AS (
   SELECT event_type, v,
@@ -2054,15 +2058,21 @@ def holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     inside the 'b' field already sees the new l — probed empirically and
     pinned in the oracle comment), so the same fold is replayed with
     standard evaluation semantics instead.  Seeded the standard way: l₀ = v₁, b₀ = v₂ − v₁,
-    fold over v₃….  The fit runs on the TRAILING 7-DAY window (the events
-    corpus spans 2024-01-01..30; production forecasting fits a trailing
-    window, and the bound keeps the oracle's recursive replay at ~168
-    steps per type instead of ~720 — it was the full gate's slowest entry
-    at 102 s).  Scale: fold length = series length, after the exact
-    map-side hourly reduction."""
+    fold over v₃….  The fit runs on the TRAILING 7-DAY window, with the
+    cutoff DERIVED per event type as max(ts) − 7 days in both engines
+    (production forecasting fits a trailing window; a hardcoded calendar
+    cutoff would silently empty the fit on data with a different time
+    range — round-7 advice).  The bound keeps the oracle's recursive
+    replay at ~168 steps per type instead of ~720 — it was the full
+    gate's slowest entry at 102 s.  Scale: the cutoff dim is one row per
+    event type (broadcast equi-join, no BNLJ); fold length = series
+    length, after the exact map-side hourly reduction."""
     (events,) = T(spark, sf_dir, "events")
-    hourly = events.filter(
-        F.col("ts") >= F.lit("2024-01-24 00:00:00").cast("timestamp")
+    cutoff = events.groupBy("event_type").agg(
+        F.expr("max(ts) - INTERVAL 7 DAYS").alias("cut")
+    )
+    hourly = events.join(F.broadcast(cutoff), "event_type").filter(
+        F.col("ts") >= F.col("cut")
     ).groupBy(
         "event_type", F.date_trunc("hour", "ts").alias("h")
     ).agg(

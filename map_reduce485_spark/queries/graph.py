@@ -418,7 +418,7 @@ def kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
     emitting (round, n_nodes, n_edges) — the degeneracy decomposition
     that separates a graph's dense trading core from its sparse fringe
     (and, in dedup/graph-quality work, cliquish duplicate families from
-    chains).  4 unrolled rounds at k=4 (_KCORE_ROUNDS/_KCORE_K); the oracle
+    chains).  {rounds} unrolled rounds at k={k}; the oracle
     replays the identical peel as chained CTEs, so every per-round count
     is hash-checked.  Scale: a round is one degree aggregation plus two
     semi-joins, all shuffling on node keys bounded by the live edge list
@@ -462,3 +462,11 @@ def kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         stats = stat if stats is None else stats.unionAll(stat)
     return stats
+
+
+# docstrings are plain literals (an f-string first statement is not a
+# docstring), so interpolate the constants after definition to keep the
+# documented values tracking _KCORE_ROUNDS/_KCORE_K (round-7 advice)
+kcore_peeling.__doc__ = kcore_peeling.__doc__.format(
+    rounds=_KCORE_ROUNDS, k=_KCORE_K
+)
