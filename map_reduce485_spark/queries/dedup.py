@@ -251,14 +251,30 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: signatures are one groupBy over shingles; banding is a constant
     fan-out of 2; the candidate join shuffles on 16-byte band digests.  No
     all-pairs stage anywhere — this is the 100 TB dedup path.
+
+    Round-8 rework — RECORD-CARRYING VERIFICATION: the per-doc groupBy
+    that builds the minhash signature now also collects the doc's sorted
+    xxhash64 shingle array (one pass, same shuffle), each band row
+    carries it (band index stays LINEAR in corpus bytes: 2 bands x docs),
+    and exact Jaccard is verified MAP-SIDE inside the band self-join via
+    `size(array_intersect(...))` — one JVM set-intersection per
+    first-match candidate.  This deletes the entire explode-join-regroup
+    verify stage (three shuffles and a |candidates| x |shared shingles|
+    intermediate that hit 1.2B rows at the 100x smoke).  Counts are
+    unchanged unless two shingles collide in 64 bits (the
+    `dedup_ngram_jaccard` caveat, ~1e-8 at 1e9 shingles), so the
+    string-shingle oracle still hash-matches; signatures stay md5-over-
+    string-shingles, which is what keeps the oracle replayable in DuckDB.
     """
     (docs,) = T(spark, sf_dir, "documents")
-    sh = cache_scoped(_spark_shingles(docs))
+    sh = _spark_shingles(docs)
     sig = sh.groupBy("doc_id").agg(
         *[
             F.min(F.md5(F.concat(F.col("shingle"), F.lit(f"#{j}")))).alias(f"h{j}")
             for j in range(_N_PERM)
-        ]
+        ],
+        F.array_sort(F.collect_list(F.xxhash64("shingle"))).alias("sh_arr"),
+        F.count("*").alias("n"),
     )
     # every band row carries ALL band digests (d0, d1, ...) so a pair that
     # collides in several bands can be kept at its FIRST matching band by a
@@ -267,6 +283,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exactly-once emission is what lets the verify join count safely)
     digests = sig.select(
         "doc_id",
+        "sh_arr",
+        "n",
         *[
             F.md5(F.concat(*[F.col(f"h{j}") for j in band])).alias(f"d{bi}")
             for bi, band in enumerate(_BANDS)
@@ -277,6 +295,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     for bi in range(n_b):
         b = digests.select(
             "doc_id",
+            "sh_arr",
+            "n",
             F.lit(bi).alias("band_id"),
             F.col(f"d{bi}").alias("band"),
             # band bi's first-match filter only reads PRIOR digests
@@ -301,39 +321,33 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         first_match = first_match & (
             (F.col("a.band_id") < k) | (F.col(f"a.d{k - 1}") != F.col(f"b.d{k - 1}"))
         )
-    cand = (
+    inter = F.size(F.array_intersect(F.col("a.sh_arr"), F.col("b.sh_arr")))
+    return (
         a.join(
-            b,
+            # a SELF-join's sides are equal-sized — broadcast is never the
+            # right strategy, and Catalyst's union/generate size guess can
+            # undershoot the threshold at scale (the prefix-join lesson)
+            b.hint("shuffle_merge"),
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.band_id") == F.col("b.band_id"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .filter(first_match)
-        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
-    )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    x = sh.alias("x")
-    y = sh.alias("y")
-    verified = (
-        cand.join(x, F.col("x.doc_id") == F.col("a_id"))
-        .join(
-            y,
-            (F.col("y.doc_id") == F.col("b_id")) & (F.col("y.shingle") == F.col("x.shingle")),
+        .select(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+            inter.alias("intersection"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
         )
-        .groupBy("a_id", "b_id")
-        .agg(F.count("*").alias("intersection"))
-    )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
-    return (
-        verified.join(sa, F.col("a_id") == F.col("sa.doc_id"))
-        .join(sb, F.col("b_id") == F.col("sb.doc_id"))
         .select(
             "a_id",
             "b_id",
             (
                 F.col("intersection").cast("double")
-                / (F.col("sa.n") + F.col("sb.n") - F.col("intersection"))
+                / (F.col("na") + F.col("nb") - F.col("intersection")).cast(
+                    "double"
+                )
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= _NGRAM_THRESHOLD)

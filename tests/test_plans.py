@@ -364,23 +364,19 @@ def test_simhash_banded_no_pair_dedup_shuffle(spark):
 
 
 def test_minhash_banded_no_pair_dedup_shuffle(spark):
-    """Same first-match-banding pin for MinHash LSH: candidate pairs must
-    be deduplicated by the map-side earlier-band-digests-differ filter,
-    never by a distinct — the only aggregates keyed on doc ids are the
-    per-doc signature/size groupBys and the (a_id, b_id) intersection
-    COUNT of the verify stage (which is an aggregation of verified pairs,
-    not a dedup of the raw candidate stream).  The witness: the verify
-    aggregate consumes the shingle join, so no HashAggregate may sit
-    directly on top of the band self-join."""
+    """First-match-banding + record-carrying-verification pin for MinHash
+    LSH: candidate pairs are deduplicated by the map-side
+    earlier-band-digests-differ filter (never a distinct) and verified
+    map-side via array_intersect on the co-carried shingle arrays (never
+    an explode-join-regroup) — so ZERO aggregates keyed on a pair of doc
+    ids may appear anywhere in the plan.  (Round 6 allowed the verify
+    stage's (a_id, b_id) intersection COUNT; round 8 removed that stage
+    entirely.)"""
     import re
 
     df = _q(spark, "dedup_minhash_lsh")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
-    # exactly one aggregate keyed on two doc ids is allowed: the verify
-    # intersection count (keys a_id, b_id).  The old plan had two (the
-    # candidate distinct + the verify count).
     agg_keys = re.findall(r"HashAggregate\(keys=\[([^\]]*)\]", plan)
     pair_aggs = [k for k in agg_keys if ("a_id" in k and "b_id" in k) or k.count("doc_id") >= 2]
-    # partial + final of the ONE verify aggregate (2 plan nodes)
-    assert len(pair_aggs) <= 2, pair_aggs
+    assert len(pair_aggs) == 0, pair_aggs
