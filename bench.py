@@ -123,14 +123,19 @@ def main() -> None:
             n_rows = run_once(spec)
             runs.append(time.perf_counter() - t0)
         # Contention self-labeling (round-4 verdict item 6, tightened in
-        # round 6 after the r5 artifact recorded +50% on unchanged plans at
-        # loadavg 9.5 with contended=[]): a band wider than 1.5x the best
-        # means some run was fighting the box, not the plan.  Take up to 3
-        # extra runs to find a clean minimum; if the band stays >1.5x,
-        # record the query as "contended" so a cross-round diff on it reads
-        # as machine state rather than a plan regression.
+        # round 6, refined in round 8): the reported number is the MINIMUM,
+        # so what makes it trustworthy is reproduction — the second-best
+        # run landing within 1.5x of the best.  Keying the flag on
+        # max(runs) (the r6 rule) let one GC-pause straggler among six
+        # otherwise-tight runs mark a query "contended" even though the
+        # minimum was reproduced to within a few percent (the r7 artifact
+        # flagged three queries this way).  Take up to 3 extra runs until
+        # the minimum is reproduced; the worst run stays visible in the
+        # recorded [best, worst] band either way, so a slow machine moment
+        # is still IN the artifact — it just no longer invalidates a
+        # reproduced minimum.
         extra = 0
-        while max(runs) > 1.5 * min(runs) and extra < 3:
+        while sorted(runs)[1] > 1.5 * min(runs) and extra < 3:
             t0 = time.perf_counter()
             n_rows = run_once(spec)
             runs.append(time.perf_counter() - t0)
@@ -138,7 +143,7 @@ def main() -> None:
         dt = round(min(runs), 3)
         timings[name] = dt
         bands[name] = [dt, round(max(runs), 3)]
-        if max(runs) > 1.5 * min(runs):
+        if sorted(runs)[1] > 1.5 * min(runs):
             contended.append(name)
         total += dt
         print(f"# {name}: {dt:.3f}s (worst {max(runs):.3f}s, {n_rows} rows)", file=sys.stderr)

@@ -910,3 +910,170 @@ def hll_grouped_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("harmonic_scaled").cast("double")
         ).alias("estimate_raw"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CMS distributed merge (linearity proof) — round 8
+# ---------------------------------------------------------------------------
+
+_CMS_MERGE_ORACLE = f"""
+WITH pos AS (
+  SELECT o_orderkey % 4 AS site, i,
+         (CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR) || ':' ||
+                CAST(i AS VARCHAR)), 1, 15) AS BIGINT) % {_CMS_W}) AS p
+  FROM orders, UNNEST(generate_series(1, {_CMS_D})) AS t(i)
+),
+per_site AS (
+  SELECT site, i AS row_i, p AS pos, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM pos GROUP BY site, i, p
+),
+merged AS (
+  SELECT row_i, pos, SUM(cnt) AS cnt FROM per_site GROUP BY row_i, pos
+),
+direct AS (
+  SELECT i AS row_i, p AS pos, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM pos GROUP BY i, p
+)
+SELECT m.row_i AS row_i,
+       CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(SUM(m.cnt) AS BIGINT) AS total_cnt,
+       CAST(SUM(CASE WHEN m.cnt <> d.cnt THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_mismatched_cells
+FROM merged m JOIN direct d ON d.row_i = m.row_i AND d.pos = m.pos
+GROUP BY m.row_i
+"""
+
+
+@query("cms_merge_sites", _CMS_MERGE_ORACLE, tags=("sketch",))
+def cms_merge_sites(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch DISTRIBUTED MERGE: four per-site sketches (orders
+    split by `o_orderkey % 4`, standing in for four ingest sites or
+    executor groups) are merged by cell-wise counter addition, and every
+    merged cell is compared against the sketch built directly over the
+    union — `n_mismatched_cells = 0` per hash row witnesses CMS
+    LINEARITY, the algebraic property that makes the sketch mergeable
+    and therefore distributable: partial sketches combine by `+` exactly,
+    with no approximation added by the merge itself.
+
+    That property IS the 100 TB story for sketches: each site/partition
+    shuffles at most d*w counters no matter how many rows it saw, merges
+    are associative sums (map-side partials all the way up a tree), and
+    the result is bit-identical to a single-pass build — which is why
+    this query can hash-check the merge rather than bound it."""
+    (orders,) = T(spark, sf_dir, "orders")
+    pos = orders.select(
+        (F.col("o_orderkey") % 4).alias("site"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).cast("long").alias("row_i"),
+                        F.expr(_cms_pos_spark(i, "o_custkey")).alias("pos"),
+                    )
+                    for i in range(1, _CMS_D + 1)
+                ]
+            )
+        ).alias("ip"),
+    ).select("site", "ip.row_i", "ip.pos")
+    per_site = pos.groupBy("site", "row_i", "pos").agg(F.count("*").alias("cnt"))
+    merged = per_site.groupBy("row_i", "pos").agg(F.sum("cnt").alias("cnt"))
+    direct = pos.groupBy("row_i", "pos").agg(F.count("*").alias("cnt"))
+    return (
+        merged.alias("m")
+        .join(
+            direct.alias("d"),
+            (F.col("m.row_i") == F.col("d.row_i")) & (F.col("m.pos") == F.col("d.pos")),
+        )
+        .groupBy(F.col("m.row_i").alias("row_i"))
+        .agg(
+            F.count("*").alias("n_cells"),
+            F.sum("m.cnt").alias("total_cnt"),
+            F.sum(
+                F.when(F.col("m.cnt") != F.col("d.cnt"), 1).otherwise(0)
+            ).alias("n_mismatched_cells"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# HLL distributed merge across day shards (max-merge proof) — round 8
+# ---------------------------------------------------------------------------
+
+_HLL_MERGE_ORACLE = f"""
+WITH h AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS day,
+         CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT)
+           AS hv
+  FROM events
+),
+parts AS (
+  SELECT day, hv % {_HLL_M} AS j,
+         CASE WHEN hv // {_HLL_M} = 0 THEN 55
+              ELSE 55 - length(bin(hv // {_HLL_M})) END AS rho
+  FROM h
+),
+per_day AS (SELECT day, j, MAX(rho) AS rho FROM parts GROUP BY day, j),
+merged AS (SELECT j, MAX(rho) AS reg FROM per_day GROUP BY j),
+direct AS (SELECT j, MAX(rho) AS reg FROM parts GROUP BY j)
+SELECT g.j AS j,
+       CAST(COALESCE(m.reg, 0) AS BIGINT) AS reg_merged,
+       CAST(COALESCE(d.reg, 0) AS BIGINT) AS reg_direct,
+       CAST(CASE WHEN COALESCE(m.reg, 0) = COALESCE(d.reg, 0)
+                 THEN 1 ELSE 0 END AS BIGINT) AS is_equal
+FROM (SELECT UNNEST(generate_series(0, {_HLL_M - 1})) AS j) g
+LEFT JOIN merged m ON m.j = g.j
+LEFT JOIN direct d ON d.j = g.j
+"""
+
+
+@query("hll_merge_days", _HLL_MERGE_ORACLE, tags=("sketch",))
+def hll_merge_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog DISTRIBUTED MERGE: thirty per-day register tables over
+    the event stream's user ids (the shape a daily ingest job persists)
+    are merged by register-wise MAX and compared cell-by-cell against
+    the registers built directly over the whole range — `is_equal = 1`
+    on all m registers witnesses that HLL state is a JOIN-SEMILATTICE
+    under max: shard sketches merge exactly, in any order and grouping,
+    with no approximation added by the merge.
+
+    With `cms_merge_sites` (counter addition) and `kmv_set_ops_estimate`
+    (bottom-k union) this completes the mergeability proof across all
+    three sketch algebras the engine ships — the property that lets a
+    100 TB pipeline keep per-partition/per-day sketch state (here: 64
+    six-bit registers per day, ~48 bytes) and answer range cardinality
+    questions by folding stored state instead of rescanning raw data."""
+    (events,) = T(spark, sf_dir, "events")
+    h = events.select(
+        F.to_date("ts").alias("day"),
+        F.expr(
+            "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 15),"
+            " 16, 10) AS BIGINT)"
+        ).alias("hv"),
+    ).distinct()
+    parts = h.select(
+        "day",
+        (F.col("hv") % _HLL_M).alias("j"),
+        F.expr(
+            f"CASE WHEN hv div {_HLL_M} = 0 THEN 55"
+            f" ELSE 55 - length(bin(hv div {_HLL_M})) END"
+        ).alias("rho"),
+    )
+    per_day = parts.groupBy("day", "j").agg(F.max("rho").alias("rho"))
+    merged = per_day.groupBy("j").agg(F.max("rho").alias("reg_merged"))
+    direct = parts.groupBy("j").agg(F.max("rho").alias("reg_direct"))
+    allj = spark.range(0, _HLL_M).select(F.col("id").alias("j"))
+    return (
+        allj.join(merged, "j", "left")
+        .join(direct, "j", "left")
+        .select(
+            "j",
+            F.coalesce("reg_merged", F.lit(0)).cast("long").alias("reg_merged"),
+            F.coalesce("reg_direct", F.lit(0)).cast("long").alias("reg_direct"),
+            (
+                F.coalesce("reg_merged", F.lit(0))
+                == F.coalesce("reg_direct", F.lit(0))
+            )
+            .cast("long")
+            .alias("is_equal"),
+        )
+    )

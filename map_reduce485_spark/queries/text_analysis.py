@@ -2007,3 +2007,131 @@ def pii_mask_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_residual"),
         F.md5("masked").alias("masked_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# n-gram commonness (boilerplate scoring) — round 8
+# ---------------------------------------------------------------------------
+
+_COMMON_N = 8  # same contiguous-token gram length as decontamination
+
+_NGRAM_COMMONNESS_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+  FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id,
+         UNNEST(list_transform(generate_series(1, len(w) - {_COMMON_N - 1}),
+                i -> array_to_string(w[i:i+{_COMMON_N - 1}], ' '))) AS g
+  FROM tok WHERE len(w) >= {_COMMON_N}
+),
+df AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS df FROM grams GROUP BY g)
+SELECT grams.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
+       ROUND(CAST(SUM(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS commonness
+FROM grams JOIN df ON df.g = grams.g
+GROUP BY grams.doc_id
+"""
+
+
+@query("ngram_commonness", _NGRAM_COMMONNESS_ORACLE, tags=("text", "dedup"))
+def ngram_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document BOILERPLATE score: the fraction of a doc's distinct
+    8-token grams that also occur in at least one other document.  The
+    corpus-level complement of pairwise near-dup detection — headers,
+    license blocks, and templated spans score high here even when no
+    single pair crosses a similarity threshold, which is why production
+    quality filters use gram document-frequency alongside MinHash.
+
+    100 TB shape: two aggregations on the SAME key (gram): distinct
+    (doc, gram) pairs, gram document-frequency over them, then a
+    co-partitioned join back (one exchange on `g` feeds both the count
+    and the join — no second shuffle of the big side) and a per-doc
+    count.  Gram strings would be xxhash64'd at real scale; strings keep
+    the DuckDB oracle joinable on identical values (engine hash
+    functions differ, same note as `decontaminate_eval_overlap`)."""
+    (docs,) = T(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.expr("filter(split(lower(text), ' '), x -> x <> '')").alias("w"),
+    )
+    grams = (
+        tok.filter(F.size("w") >= _COMMON_N)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(w) - {_COMMON_N - 1}),"
+                    f" i -> concat_ws(' ', slice(w, i, {_COMMON_N})))"
+                )
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    df = grams.groupBy("g").agg(F.count("*").alias("df"))
+    return (
+        grams.join(df, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.when(F.col("df") >= 2, 1).otherwise(0)).alias("n_common"),
+            F.round(
+                F.sum(F.when(F.col("df") >= 2, 1).otherwise(0)).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("commonness"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# tokenizer fertility by language — round 8
+# ---------------------------------------------------------------------------
+
+_FERTILITY_ORACLE = f"""
+SELECT lang,
+       CAST(SUM(len(regexp_extract_all(text, '{_BPE_PATTERN}'))) AS BIGINT)
+         AS n_bpe_tokens,
+       CAST(SUM(len(list_filter(string_split(text, ' '), x -> x <> '')))
+         AS BIGINT) AS n_ws_tokens,
+       CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+       ROUND(CAST(SUM(length(text)) AS DOUBLE)
+             / SUM(len(regexp_extract_all(text, '{_BPE_PATTERN}'))), 6)
+         AS chars_per_token,
+       ROUND(CAST(SUM(len(regexp_extract_all(text, '{_BPE_PATTERN}'))) AS DOUBLE)
+             / SUM(len(list_filter(string_split(text, ' '), x -> x <> ''))), 6)
+         AS tokens_per_word
+FROM documents
+GROUP BY lang
+"""
+
+
+@query("tokenizer_fertility_by_lang", _FERTILITY_ORACLE, tags=("text",))
+def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY per language: chars-per-token and
+    tokens-per-word under the BPE-ish regex lexer — THE comparative
+    metric for multilingual tokenizer evaluation (a language whose
+    fertility is 2x another's pays 2x the sequence length for the same
+    text, which skews both training cost and effective context).
+    Integer token/char sums under the hash gate; the two ratios are
+    deterministic divisions of those sums.
+
+    Scale: per-row token counting is a narrow JVM regex map; the groupBy
+    partial-aggregates map-side into one integer triple per language per
+    partition — the cheapest possible shuffle shape (|langs| rows)."""
+    (docs,) = T(spark, sf_dir, "documents")
+    bpe = F.size(F.regexp_extract_all("text", F.lit(_BPE_PATTERN), 0))
+    ws = F.size(F.expr("filter(split(text, ' '), x -> x <> '')"))
+    return docs.groupBy("lang").agg(
+        F.sum(bpe).alias("n_bpe_tokens"),
+        F.sum(ws).alias("n_ws_tokens"),
+        F.sum(F.length("text")).alias("n_chars"),
+        F.round(
+            F.sum(F.length("text")).cast("double") / F.sum(bpe), 6
+        ).alias("chars_per_token"),
+        F.round(F.sum(bpe).cast("double") / F.sum(ws), 6).alias("tokens_per_word"),
+    )

@@ -694,3 +694,55 @@ def test_poisson_bootstrap_ci_brackets_mean(spark):
     assert r.n_resamples == 32
     assert r.boot_min <= r.ci80_lo <= r.ci80_hi <= r.boot_max
     assert r.ci80_lo < r.sample_mean < r.ci80_hi
+
+
+def test_ngram_commonness_bounds_and_dup_saturation(spark):
+    """`commonness` is a fraction of a doc's distinct grams that are
+    corpus-common, so 0 <= n_common <= n_grams always; and a doc whose
+    text is byte-identical to another doc's must score exactly 1.0
+    (every gram trivially recurs).  sf0.001's documents table carries
+    exact-dup families by construction, so the saturation case is
+    exercised on real fixture data, joined via md5(text) groups."""
+    import pyspark.sql.functions as F
+
+    from map_reduce485_spark.queries.text_analysis import ngram_commonness
+    from map_reduce485_spark.queries._util import T
+
+    sf = "/root/testdata/sf0.001"
+    rows = ngram_commonness(spark, sf).collect()
+    assert rows, "expected at least one >=8-token document"
+    assert all(0 <= r.n_common <= r.n_grams for r in rows)
+    assert all(0.0 <= r.commonness <= 1.0 for r in rows)
+    (docs,) = T(spark, sf, "documents")
+    fam = (
+        docs.groupBy(F.md5("text").alias("fp"))
+        .agg(F.collect_list("doc_id").alias("ids"), F.count("*").alias("n"))
+        .filter(F.col("n") >= 2)
+        .collect()
+    )
+    dup_ids = {i for r in fam for i in r.ids}
+    scored = {r.doc_id: r.commonness for r in rows}
+    saturated = [scored[i] for i in dup_ids if i in scored]
+    if saturated:  # exact-dup docs long enough to carry an 8-gram
+        assert all(c == 1.0 for c in saturated)
+
+
+def test_tokenizer_fertility_invariants(spark):
+    """Fertility ratios are internally consistent with their integer
+    numerators: chars_per_token * n_bpe_tokens ~ n_chars, a BPE token is
+    never longer than the text it lexes (ratio >= 1 cannot be asserted
+    for chars/token in general, but counts are positive and each ratio
+    reproduces from the sums it is defined over)."""
+    from map_reduce485_spark.queries.text_analysis import (
+        tokenizer_fertility_by_lang,
+    )
+
+    rows = tokenizer_fertility_by_lang(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert r.n_bpe_tokens > 0 and r.n_ws_tokens > 0 and r.n_chars > 0
+        # the BPE-ish lexer splits punctuation off words, so it never
+        # produces fewer tokens than whitespace splitting
+        assert r.n_bpe_tokens >= r.n_ws_tokens
+        assert abs(r.chars_per_token - r.n_chars / r.n_bpe_tokens) < 1e-5
+        assert abs(r.tokens_per_word - r.n_bpe_tokens / r.n_ws_tokens) < 1e-5

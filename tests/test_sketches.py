@@ -65,3 +65,32 @@ def test_bloom_no_false_negatives_bulk(spark):
     n_pass = bloom_prefilter(keys, "k", dense).count()
     assert n_pass == 399
     assert dense.count() >= 1  # sanity: bitmap has set blocks
+
+
+def test_cms_merge_is_exactly_linear(spark):
+    """Per-site CMS sketches merged by counter addition must equal the
+    single-pass sketch cell-for-cell — the linearity property that makes
+    the sketch distributable.  The query computes the comparison itself;
+    this pins `n_mismatched_cells == 0` on every hash row so a future
+    edit that breaks merge exactness (e.g. a lossy counter type) fails
+    here, not only at the oracle gate."""
+    from map_reduce485_spark.queries.sketches import _CMS_D, cms_merge_sites
+
+    rows = cms_merge_sites(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == _CMS_D
+    assert all(r.n_mismatched_cells == 0 for r in rows)
+    assert all(r.total_cnt > 0 for r in rows)
+
+
+def test_hll_merge_register_max_is_exact(spark):
+    """Per-day HLL register tables merged by register-wise MAX must equal
+    the registers built over the whole range — the join-semilattice
+    property.  All m registers equal, and the merged register table is
+    non-trivial (some register saw a value)."""
+    from map_reduce485_spark.queries.sketches import _HLL_M, hll_merge_days
+
+    rows = hll_merge_days(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == _HLL_M
+    assert all(r.is_equal == 1 for r in rows)
+    assert all(r.reg_merged == r.reg_direct for r in rows)
+    assert max(r.reg_merged for r in rows) > 0

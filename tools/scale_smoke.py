@@ -191,10 +191,14 @@ def main() -> int:
         if unknown:
             ap.error(f"not in the query registry: {', '.join(unknown)}")
         names = list(args.names)
-    # dedup_clusters_star was ENOSPC-skipped at mult>=50 through round 6;
-    # round 7's exact-duplicate contraction (queries/dedup.py) bounds the
-    # per-round materialized edge set by content diversity, so it runs at
-    # every mult now.
+    # dedup_clusters_star was ENOSPC-skipped at mult>=50 through round 6.
+    # The generator's copies are NEAR-dups (every copy's text is perturbed),
+    # so exact-dup md5 contraction cannot collapse them (round-7 advice);
+    # the shipped fix instead clusters the BANDED verified-pair stream
+    # (dedup_minhash_lsh's output — whole-band digests put a dup family in
+    # ~one bucket per band), which bounds the materialized edge set and
+    # runs at every mult now (queries/dedup.py, SCALING.md "closed in
+    # round 8").
     queries: dict[str, dict] = {}
     total = 0.0
     for name in names:
