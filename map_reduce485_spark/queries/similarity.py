@@ -500,31 +500,34 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_ivf_oracle(
-    k: int = 16, iters: int = 3, dim: int = _DIM, nprobe: int = 4, topk: int = 10
-) -> str:
-    """DuckDB replay of `ann_ivf_kmeans_topk`: all Lloyd iterations as CTEs.
+def _kmeans_sqdist(v: str, c: str, dim: int = _DIM) -> str:
+    return (
+        f"list_reduce(list_transform(generate_series(1, {dim}),"
+        f" i -> ({v}[i] - {c}[i]) * ({v}[i] - {c}[i])), (acc, el) -> acc + el)"
+    )
 
-    Exactness rests on three cross-engine invariants, each mirrored from the
-    Spark side: (1) distances/cosines are sequential left folds (bit-equal),
-    (2) centroid means are integer micro-unit sums (associative, engine-
-    agnostic; `operators/kmeans.py`), (3) every argmin/top-k breaks ties by
-    the id column.  So 3 iterations of k-means land on bit-identical
-    centroids in both engines and the final ranking matches exactly."""
+
+def _kmeans_train_ctes(k: int = 16, iters: int = 3, dim: int = _DIM) -> list[str]:
+    """DuckDB CTEs replaying `operators/kmeans.kmeans_fit` end to end:
+    `emb` → `cent0` (lowest-id init) → per-iteration assign/mean/cent →
+    the final assignment `asgf(vec_id, v, cid)` against `cent{iters}`.
+
+    Shared by every oracle that consumes trained centroids
+    (`ann_ivf_kmeans_topk`, `semdedup_prune`) so the training replay is
+    written once.  Exactness rests on three cross-engine invariants, each
+    mirrored from the Spark side: (1) distances/cosines are sequential
+    left folds (bit-equal), (2) centroid means are integer micro-unit
+    sums (associative, engine-agnostic; `operators/kmeans.py`),
+    (3) every argmin breaks ties by the id column.  So all Lloyd
+    iterations land on bit-identical centroids in both engines."""
     zero = "[" + ", ".join("0.0" for _ in range(dim)) + "]"
-
-    def sqdist(v: str, c: str) -> str:
-        return (
-            f"list_reduce(list_transform(generate_series(1, {dim}),"
-            f" i -> ({v}[i] - {c}[i]) * ({v}[i] - {c}[i])), (acc, el) -> acc + el)"
-        )
 
     def assign_cte(name: str, cent: str) -> str:
         return f"""{name} AS (
   SELECT vec_id, v, cid FROM (
     SELECT e.vec_id, e.v, c.cid,
            ROW_NUMBER() OVER (PARTITION BY e.vec_id
-             ORDER BY {sqdist('e.v', 'c.c')} ASC, c.cid ASC) AS rn
+             ORDER BY {_kmeans_sqdist('e.v', 'c.c', dim)} ASC, c.cid ASC) AS rn
     FROM emb e CROSS JOIN {cent} c
   ) WHERE rn = 1
 )"""
@@ -552,8 +555,20 @@ def _kmeans_ivf_oracle(
   LEFT JOIN (SELECT cid, list(m ORDER BY dim) AS c FROM mean{t} GROUP BY cid) l
     ON l.cid = g.cid
 )""")
+    ctes.append(assign_cte("asgf", f"cent{iters}"))
+    return ctes
+
+
+def _kmeans_ivf_oracle(
+    k: int = 16, iters: int = 3, dim: int = _DIM, nprobe: int = 4, topk: int = 10
+) -> str:
+    """DuckDB replay of `ann_ivf_kmeans_topk`: the shared Lloyd-training
+    CTEs (`_kmeans_train_ctes`) plus probe selection and rerank."""
     final = f"cent{iters}"
-    ctes.append(assign_cte("asgf", final))
+    ctes = _kmeans_train_ctes(k, iters, dim)
+
+    def sqdist(v: str, c: str) -> str:
+        return _kmeans_sqdist(v, c, dim)
     ctes.append(f"""probes AS (
   SELECT query_id, cid FROM (
     SELECT q.vec_id AS query_id, c.cid,
@@ -2074,5 +2089,114 @@ def sq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("pc").alias("n_overlap"),
             (F.count("pc").cast("double") / 10).alias("recall_at_10"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: semantic dedup by within-cluster cosine pruning — round 8
+# ---------------------------------------------------------------------------
+
+# Production SemDeDup thresholds sit at ~0.95-0.999 on real embedding
+# spaces; same synthetic-corpus note as _NEARDUP_T (max pairwise cosine
+# ~0.51), so the gate threshold is 0.4 to exercise real prunes.
+_SEMDEDUP_T = _NEARDUP_T
+
+
+def _semdedup_oracle(k: int = 16, iters: int = 3, dim: int = _DIM) -> str:
+    dot = _duck_dot("a.u", "b.u", dim)
+    return (
+        "WITH "
+        + ",\n".join(_kmeans_train_ctes(k, iters, dim))
+        + f""",
+nv AS (
+  SELECT vec_id, cid, list_transform(v, x -> x / n) AS u
+  FROM (SELECT vec_id, cid, v, sqrt({_duck_sq('v', dim)}) AS n FROM asgf)
+)
+SELECT a.vec_id AS vec_id, CAST(a.cid AS BIGINT) AS cluster,
+       CAST(SUM(CASE WHEN {dot} >= {_SEMDEDUP_T} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_near_dups,
+       CAST(1 - MAX(CASE WHEN {dot} >= {_SEMDEDUP_T} AND b.vec_id < a.vec_id
+                         THEN 1 ELSE 0 END) AS INTEGER) AS is_kept
+FROM nv a LEFT JOIN nv b ON b.cid = a.cid AND b.vec_id <> a.vec_id
+GROUP BY a.vec_id, a.cid
+"""
+    )
+
+
+@query("semdedup_prune", _semdedup_oracle(), tags=("similarity", "dedup"))
+def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al., 2023): cluster the embedding space with
+    k-means, then prune SEMANTIC duplicates — pairs whose cosine exceeds
+    the threshold — only WITHIN each cluster, keeping the lowest vec_id
+    of every near-dup neighborhood.  The pruning decision the paper runs
+    over web-scale corpora: near-duplicate meaning concentrates inside
+    k-means cells, so the quadratic comparison is confined to one cell
+    at a time and never touches the corpus globally.
+
+    Output per vector: its trained cluster, how many same-cluster
+    near-dups it has, and whether the greedy keep-lowest-id rule keeps
+    it — the keep-set a downstream training pipeline joins against
+    (`dedup_keep_best_quality` is the quality-aware variant of the same
+    decision over text dedup).
+
+    100 TB shape: training is `operators/kmeans.py` (per-iteration one
+    broadcast-assignment pass + one groupBy-mean; only K centroid rows
+    ever reach the driver); assignment is a broadcast join; the pairwise
+    stage shuffles once on the cluster key and its cost is sum over
+    cells of |cell|^2 — bounded by the coarse quantizer's cell sizes
+    (k scales with corpus size in production SemDeDup), never n^2.
+    Unit-normalizing once per vector makes each pair one dot product.
+    The DuckDB oracle replays Lloyd training via the shared
+    `_kmeans_train_ctes` and the identical sequential-fold cosine, so
+    cluster ids, near-dup counts, and keep decisions all hash-match.
+    """
+    from map_reduce485_spark.operators.kmeans import assign_clusters, kmeans_fit
+
+    (emb,) = T(spark, sf_dir, "embeddings")
+    centroids = kmeans_fit(emb, k=16, iterations=3)
+    assigned = assign_clusters(emb, centroids).select("vec_id", "embedding", "cluster")
+    nu = assigned.withColumn(
+        "_n",
+        F.expr(
+            "sqrt(aggregate(transform(embedding,"
+            " y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)),"
+            " 0D, (acc, v) -> acc + v))"
+        ),
+    ).select(
+        "vec_id",
+        F.col("cluster").cast("long").alias("cluster"),
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE) / _n)").alias("u"),
+    )
+    a = nu.select("vec_id", "cluster", F.col("u").alias("au"))
+    b = nu.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("cluster").alias("b_cluster"),
+        F.col("u").alias("bu"),
+    )
+    dot = F.expr(_UNIT_DOT.format(a="au", b="bu"))
+    near = (dot >= _SEMDEDUP_T).cast("int")
+    return (
+        a.join(
+            b,
+            (F.col("cluster") == F.col("b_cluster"))
+            & (F.col("vec_id") != F.col("b_id")),
+            "left",
+        )
+        .groupBy("vec_id", "cluster")
+        .agg(
+            F.sum(F.coalesce(near, F.lit(0))).alias("n_near_dups"),
+            (
+                1
+                - F.max(
+                    F.coalesce(
+                        (near.cast("boolean") & (F.col("b_id") < F.col("vec_id")))
+                        .cast("int"),
+                        F.lit(0),
+                    )
+                )
+            )
+            .cast("int")
+            .alias("is_kept"),
         )
     )

@@ -55,6 +55,10 @@ KNOWN_BNLJ: dict[str, int | None] = {
     "ann_ivf_topk": 64,
     "ann_ivf_kmeans_topk": 64,
     "ann_ivf_pq_topk": 64,
+    # 16-row trained-centroid broadcast for SemDeDup cluster assignment
+    # (same `assign_clusters` k-row probe as the IVF family); the pairwise
+    # prune stage itself is an equi hash join on the cluster key
+    "semdedup_prune": 64,
     # 20-row literal price-band table
     "range_join_price_bands": 64,
     # 1-row broadcast of the scalar average threshold (crossJoin(broadcast))
