@@ -113,9 +113,9 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STOPWORDS = ["' the '", "' a '", "' of '", "' and '", "' to '"]
 
 
-@query(
-    "quality_score",
-    f"""
+# the full quality-score projection as reusable oracle SQL: quality_score
+# emits it directly; filter_threshold_sweep wraps it as a CTE (round 8)
+_QUALITY_ORACLE_SQL = f"""
     SELECT doc_id, n_chars, n_tokens, avg_token_len, stopword_ratio,
            0.4 * LEAST(n_tokens / 50.0, 1.0)
                + 0.3 * LEAST(avg_token_len / 8.0, 1.0)
@@ -129,9 +129,10 @@ _STOPWORDS = ["' the '", "' a '", "' of '", "' and '", "' to '"]
                / len(list_filter(string_split(text, ' '), x -> x <> '')) AS stopword_ratio
       FROM documents
     )
-    """,
-    tags=("text",),
-)
+    """
+
+
+@query("quality_score", _QUALITY_ORACLE_SQL, tags=("text",))
 def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document quality scoring: length, mean token length, stopword density
     → weighted score in [0,1].  All inputs are integer counts and every
@@ -2135,3 +2136,158 @@ def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("chars_per_token"),
         F.round(F.sum(bpe).cast("double") / F.sum(ws), 6).alias("tokens_per_word"),
     )
+
+
+# ---------------------------------------------------------------------------
+# filter-threshold sweep (data-retention curve) — round 8
+# ---------------------------------------------------------------------------
+
+_SWEEP_ORACLE = f"""
+WITH q AS ({_QUALITY_ORACLE_SQL}),
+b AS (
+  SELECT CAST(LEAST(FLOOR(quality * 10), 9) AS BIGINT) AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+  FROM q GROUP BY 1
+),
+t AS (SELECT UNNEST(generate_series(0, 9)) AS tt),
+kept AS (
+  SELECT t.tt,
+         CAST(COALESCE(SUM(b.n_docs), 0) AS BIGINT) AS n_docs_kept,
+         CAST(COALESCE(SUM(b.n_tokens), 0) AS BIGINT) AS n_tokens_kept
+  FROM t LEFT JOIN b ON b.bucket >= t.tt
+  GROUP BY t.tt
+)
+SELECT tt / 10.0 AS threshold, n_docs_kept, n_tokens_kept,
+       CAST(n_docs_kept AS DOUBLE)
+         / MAX(n_docs_kept) OVER () AS frac_docs,
+       CAST(n_tokens_kept AS DOUBLE)
+         / MAX(n_tokens_kept) OVER () AS frac_tokens
+FROM kept
+"""
+
+
+@query("filter_threshold_sweep", _SWEEP_ORACLE, tags=("text",))
+def filter_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-RETENTION curve for the quality filter: for every candidate
+    threshold 0.0 … 0.9, how many documents and tokens survive `quality
+    >= t` — the sweep every training-data pipeline runs before freezing
+    a filter setting, because the cost of a threshold is measured in
+    tokens discarded, not documents.  Thresholds with empty score
+    buckets still get a row (the curve must be dense to read).
+
+    100 TB shape: ONE corpus scan — per-doc scores reduce map-side into
+    a <=10-row bucket table (count + token sum per score decile), and
+    the sweep is a 10x10 inequality join between two broadcast-size
+    frames plus a 10-row window for the fractions.  The corpus is never
+    rescanned per threshold, which is the difference between a sweep
+    that costs 1 scan and one that costs |grid| scans.  quality is
+    bit-identical cross-engine (see `quality_score`), so bucketing by
+    floor(quality*10) cannot disagree at bucket boundaries."""
+    q = quality_score(spark, sf_dir)
+    b = q.groupBy(
+        F.least(F.floor(F.col("quality") * 10), F.lit(9)).cast("long").alias("bucket")
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+    )
+    t = spark.range(0, 10).select(F.col("id").alias("tt"))
+    kept = (
+        F.broadcast(t)
+        .join(b, F.col("bucket") >= F.col("tt"), "left")
+        .groupBy("tt")
+        .agg(
+            F.coalesce(F.sum("n_docs"), F.lit(0)).alias("n_docs_kept"),
+            F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("n_tokens_kept"),
+        )
+    )
+    w = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return kept.select(
+        (F.col("tt") / 10.0).alias("threshold"),
+        "n_docs_kept",
+        "n_tokens_kept",
+        (F.col("n_docs_kept").cast("double") / F.max("n_docs_kept").over(w)).alias(
+            "frac_docs"
+        ),
+        (
+            F.col("n_tokens_kept").cast("double") / F.max("n_tokens_kept").over(w)
+        ).alias("frac_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# token-balanced shard assignment — round 8
+# ---------------------------------------------------------------------------
+
+_N_SHARDS = 8
+
+_SHARDS_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+              AS BIGINT) AS n_tokens
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, n_tokens,
+         (ROW_NUMBER() OVER (ORDER BY n_tokens DESC, doc_id) - 1)
+           % {_N_SHARDS} AS shard
+  FROM tok
+),
+per AS (
+  SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens
+  FROM ranked GROUP BY shard
+)
+SELECT shard, n_docs, shard_tokens,
+       ROUND(CAST(shard_tokens AS DOUBLE)
+             / (SUM(shard_tokens) OVER () / {_N_SHARDS}.0), 6) AS balance_ratio
+FROM per
+"""
+
+
+@query("token_balanced_shards", _SHARDS_ORACLE, tags=("text",))
+def token_balanced_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKEN-BALANCED shard assignment: documents ranked by token count
+    descending, dealt round-robin into {n} training shards — the greedy
+    LPT-style deal that keeps per-shard token totals (and therefore
+    per-data-loader step counts) nearly equal, where hashing balances
+    only document COUNTS and leaves token totals skewed by the length
+    distribution.  `balance_ratio` (shard tokens / ideal mean) reads the
+    achieved balance directly; round-robin over a descending deal bounds
+    it tightly because consecutive ranks differ little in size.
+
+    Scale note: the global rank uses a single-partition window at test
+    SF; at 100 TB the identical deal is computed by range-partitioning
+    on (n_tokens DESC, doc_id) and adding per-partition row offsets
+    (one tiny offsets broadcast) — the standard distributed row_number.
+    The semantics hash-checked here are partitioning-independent, so
+    that swap changes no output."""
+    (docs,) = T(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.size(F.expr("filter(split(text, ' '), x -> x <> '')"))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    rn = F.row_number().over(W.orderBy(F.col("n_tokens").desc(), "doc_id"))
+    ranked = tok.select(
+        "doc_id", "n_tokens", ((rn - 1) % _N_SHARDS).alias("shard")
+    )
+    per = ranked.groupBy("shard").agg(
+        F.count("*").alias("n_docs"), F.sum("n_tokens").alias("shard_tokens")
+    )
+    w = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return per.select(
+        "shard",
+        "n_docs",
+        "shard_tokens",
+        F.round(
+            F.col("shard_tokens").cast("double")
+            / (F.sum("shard_tokens").over(w) / float(_N_SHARDS)),
+            6,
+        ).alias("balance_ratio"),
+    )
+
+
+token_balanced_shards.__doc__ = token_balanced_shards.__doc__.format(n=_N_SHARDS)

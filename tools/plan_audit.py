@@ -61,6 +61,9 @@ KNOWN_BNLJ: dict[str, int | None] = {
     "semdedup_prune": 64,
     # 20-row literal price-band table
     "range_join_price_bands": 64,
+    # 10-row threshold grid x <=10-row score-bucket table: the retention
+    # sweep's inequality join is between two broadcast-size frames
+    "filter_threshold_sweep": 64,
     # 1-row broadcast of the scalar average threshold (crossJoin(broadcast))
     # — replaced a driver-side collect; a 1-row BNLJ probe is free
     "q11_important_stock": 8,

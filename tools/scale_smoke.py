@@ -165,6 +165,17 @@ def main() -> int:
         "lang_id",
         "quality_score",
         "rollup_agg",
+        # round-8 additions: the sketch merge proofs (mergeability IS the
+        # scale story, so they must hold at 100x), gram-DF boilerplate
+        # scoring (two aggs + join on one gram exchange), and the linear
+        # fertility scan.  semdedup_prune is NOT here: its within-cell
+        # quadratic is bounded only when k grows with the corpus (fixed
+        # k=16 pins the oracle's Lloyd replay), and its banded scale twin
+        # dedup_embedding_lsh already runs the embedding-dedup scale path.
+        "cms_merge_sites",
+        "hll_merge_days",
+        "ngram_commonness",
+        "tokenizer_fertility_by_lang",
     ]
     # scan-parallelism proof on the multi-file layout
     n_parts = load_table(spark, sf_dir, "lineitem").rdd.getNumPartitions()
