@@ -2157,3 +2157,68 @@ def top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 15)
         .select("path", "n_occurrences", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# regex row-pattern matching over per-user event sequences — round 8
+# ---------------------------------------------------------------------------
+
+# view, then any run of clicks/errors, then purchase — the classic
+# browse-to-buy pattern, written over the per-user type-initial string
+_SEQ_PATTERN = "v[ce]*p"
+
+_SEQ_MATCH_ORACLE = f"""
+WITH seq AS (
+  SELECT user_id,
+         string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS s
+  FROM events GROUP BY user_id
+)
+SELECT user_id, s AS seq, CAST(length(s) AS BIGINT) AS seq_len,
+       CAST(len(regexp_extract_all(s, '{_SEQ_PATTERN}')) AS BIGINT)
+         AS n_matches,
+       CAST(COALESCE(list_sum(list_transform(
+              regexp_extract_all(s, '{_SEQ_PATTERN}'), x -> length(x))), 0)
+            AS BIGINT) AS total_matched_chars
+FROM seq
+"""
+
+
+@query("sequence_pattern_match", _SEQ_MATCH_ORACLE, tags=("events",))
+def sequence_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style row-pattern matching, the SQL:2016 feature
+    Spark has no native operator for: each user's events collapse (in
+    event-time order, event_id tiebreak) to a string of type initials,
+    and the pattern — `view (click|error)* purchase`, written as the
+    regex `v[ce]*p` — is counted per user with its matched span length.
+    Funnels (`funnel_conversion`) answer "did A→B→C happen"; this
+    answers arbitrary regular-language questions over the event
+    alphabet (optional steps, repetitions, alternation) with one regex
+    change and no new dataflow.
+
+    Both engines run the same greedy non-overlapping scan
+    (`regexp_extract_all`), so match counts and span totals
+    hash-match.  Scale: one shuffle on user_id; the per-user sequence
+    is bounded by per-user activity (sessionize first — the
+    `events_sessionize` composition — when users can be unboundedly
+    active); the regex scan is a narrow JVM map over the collapsed
+    strings, ~bytes-of-corpus work, no joins."""
+    (events,) = T(spark, sf_dir, "events")
+    seq = events.groupBy("user_id").agg(
+        F.expr(
+            "concat_ws('', transform(array_sort(collect_list(struct("
+            "ts, event_id, substring(event_type, 1, 1) AS c))), x -> x.c))"
+        ).alias("s")
+    )
+    matches = F.expr(f"regexp_extract_all(s, '{_SEQ_PATTERN}', 0)")
+    return seq.select(
+        "user_id",
+        F.col("s").alias("seq"),
+        F.length("s").cast("long").alias("seq_len"),
+        F.size(matches).cast("long").alias("n_matches"),
+        F.expr(
+            f"aggregate(transform(regexp_extract_all(s, '{_SEQ_PATTERN}', 0),"
+            " x -> length(x)), 0, (acc, x) -> acc + x)"
+        )
+        .cast("long")
+        .alias("total_matched_chars"),
+    )

@@ -746,3 +746,84 @@ def test_tokenizer_fertility_invariants(spark):
         assert r.n_bpe_tokens >= r.n_ws_tokens
         assert abs(r.chars_per_token - r.n_chars / r.n_bpe_tokens) < 1e-5
         assert abs(r.tokens_per_word - r.n_bpe_tokens / r.n_ws_tokens) < 1e-5
+
+
+def test_semdedup_keep_rule_consistency(spark):
+    """SemDeDup invariants on fixture data: every vector appears exactly
+    once; a vector with zero near-dups is always kept; within any
+    cluster, the lowest vec_id among near-dup-carrying members is kept
+    (the greedy keep-lowest-id rule can never drop the cluster's first
+    member: no smaller id exists to evict it)."""
+    from map_reduce485_spark.queries.similarity import semdedup_prune
+
+    rows = semdedup_prune(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == len({r.vec_id for r in rows}) == 500
+    assert all(r.is_kept == 1 for r in rows if r.n_near_dups == 0)
+    by_cluster: dict[int, list] = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster, []).append(r)
+    for members in by_cluster.values():
+        carriers = [r for r in members if r.n_near_dups > 0]
+        if carriers:
+            first = min(carriers, key=lambda r: r.vec_id)
+            assert first.is_kept == 1
+    # the threshold is tuned to exercise real prunes on the fixture
+    assert any(r.is_kept == 0 for r in rows)
+
+
+def test_filter_threshold_sweep_is_monotone(spark):
+    """Retention is non-increasing in the threshold, the t=0 row keeps
+    the whole corpus (quality >= 0 always), and fractions are exact
+    ratios of the kept counts."""
+    from map_reduce485_spark.queries.text_analysis import filter_threshold_sweep
+
+    rows = sorted(
+        filter_threshold_sweep(spark, "/root/testdata/sf0.001").collect(),
+        key=lambda r: r.threshold,
+    )
+    assert len(rows) == 10 and rows[0].threshold == 0.0
+    assert rows[0].frac_docs == 1.0 and rows[0].frac_tokens == 1.0
+    for a, b in zip(rows, rows[1:]):
+        assert b.n_docs_kept <= a.n_docs_kept
+        assert b.n_tokens_kept <= a.n_tokens_kept
+    for r in rows:
+        assert abs(r.frac_docs - r.n_docs_kept / rows[0].n_docs_kept) < 1e-12
+        assert abs(r.frac_tokens - r.n_tokens_kept / rows[0].n_tokens_kept) < 1e-12
+
+
+def test_token_balanced_shards_balance(spark):
+    """The descending round-robin deal: shard doc counts differ by at
+    most 1, token totals sum to the corpus total, and the deal balances
+    tokens far better than the worst case — every shard within 25% of
+    the ideal mean on the fixture corpus."""
+    from map_reduce485_spark.queries.text_analysis import (
+        _N_SHARDS,
+        token_balanced_shards,
+    )
+
+    rows = token_balanced_shards(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == _N_SHARDS
+    counts = [r.n_docs for r in rows]
+    assert max(counts) - min(counts) <= 1
+    assert all(abs(r.balance_ratio - 1.0) < 0.25 for r in rows)
+
+
+def test_sequence_pattern_match_against_python_re(spark):
+    """The per-user match counts must equal Python's re.findall over the
+    same initial strings — an independent third engine for the greedy
+    non-overlapping scan semantics both SQL engines are trusted with."""
+    import re as _re
+
+    from map_reduce485_spark.queries.events_batch import (
+        _SEQ_PATTERN,
+        sequence_pattern_match,
+    )
+
+    rows = sequence_pattern_match(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        hits = _re.findall(_SEQ_PATTERN, r.seq)
+        assert r.n_matches == len(hits)
+        assert r.total_matched_chars == sum(len(h) for h in hits)
+        assert r.seq_len == len(r.seq)
+    assert any(r.n_matches > 0 for r in rows)
