@@ -2048,12 +2048,16 @@ def ngram_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
     single pair crosses a similarity threshold, which is why production
     quality filters use gram document-frequency alongside MinHash.
 
-    100 TB shape: two aggregations on the SAME key (gram): distinct
-    (doc, gram) pairs, gram document-frequency over them, then a
-    co-partitioned join back (one exchange on `g` feeds both the count
-    and the join — no second shuffle of the big side) and a per-doc
-    count.  Gram strings would be xxhash64'd at real scale; strings keep
-    the DuckDB oracle joinable on identical values (engine hash
+    100 TB shape: the gram stream is built ONCE and never joined — the
+    per-gram document frequency is a count() window over the gram key,
+    so the plan is three key exchanges of the single gram stream
+    ((doc_id, g) distinct → (g) window → (doc_id) rollup) with no
+    self-join and no second scan.  (The textbook groupBy-then-join-back
+    formulation — which the oracle keeps, since DuckDB CTEs materialize
+    — planned the explode+distinct subtree TWICE in Spark, once per
+    join side; the window form halves the heavy work.  Measured plan,
+    round 8.)  Gram strings would be xxhash64'd at real scale; strings
+    keep the DuckDB oracle joinable on identical values (engine hash
     functions differ, same note as `decontaminate_eval_overlap`)."""
     (docs,) = T(spark, sf_dir, "documents")
     tok = docs.select(
@@ -2073,9 +2077,8 @@ def ngram_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    df = grams.groupBy("g").agg(F.count("*").alias("df"))
     return (
-        grams.join(df, "g")
+        grams.withColumn("df", F.count("*").over(W.partitionBy("g")))
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_grams"),
