@@ -2294,3 +2294,103 @@ def token_balanced_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 token_balanced_shards.__doc__ = token_balanced_shards.__doc__.format(n=_N_SHARDS)
+
+
+# ---------------------------------------------------------------------------
+# population stability index between sources (drift detection) — round 8
+# ---------------------------------------------------------------------------
+
+_PSI_ORACLE = f"""
+WITH q AS ({_QUALITY_ORACLE_SQL}),
+qs AS (
+  SELECT q.doc_id, d.source, q.quality
+  FROM q JOIN documents d ON d.doc_id = q.doc_id
+),
+cnt AS (
+  SELECT source, CAST(LEAST(FLOOR(quality * 10), 9) AS BIGINT) AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM qs GROUP BY 1, 2
+),
+tot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM cnt GROUP BY source),
+dense AS (
+  SELECT t.source, t.n, g.b, COALESCE(c.c, 0) AS c
+  FROM tot t
+  CROSS JOIN (SELECT UNNEST(generate_series(0, 9)) AS b) g
+  LEFT JOIN cnt c ON c.source = t.source AND c.bucket = g.b
+),
+arr AS (
+  SELECT source, n, list(c ORDER BY b) AS cs FROM dense GROUP BY source, n
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       a.n AS n_a, b.n AS n_b,
+       ROUND(list_reduce(list_transform(generate_series(1, 10), i ->
+         ((a.cs[i] + 1e0) / (a.n + 1e1) - (b.cs[i] + 1e0) / (b.n + 1e1))
+         * ln(((a.cs[i] + 1e0) / (a.n + 1e1))
+              / ((b.cs[i] + 1e0) / (b.n + 1e1)))),
+         (acc, x) -> acc + x), 6) AS psi
+FROM arr a JOIN arr b ON a.source < b.source
+"""
+
+
+@query("psi_source_drift", _PSI_ORACLE, tags=("text", "stats"))
+def psi_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between every pair of document sources
+    over the quality-score decile histogram — the drift metric data
+    pipelines alarm on between corpus snapshots or ingest feeds (PSI
+    < 0.1 stable, > 0.25 shifted, by the usual reading).  Laplace
+    smoothing ((c+1)/(n+10)) keeps empty deciles finite, and PSI's
+    symmetry means only a<b pairs are emitted.
+
+    Determinism: bin counts are exact integers; each pair's 10-term sum
+    is a SEQUENTIAL fold over the bucket-ordered count arrays with
+    identical expression trees on both engines (the repo's sorted-fold
+    discipline — a groupBy SUM of float terms would be
+    partial-aggregation-order-dependent); ln() is the one libm call, so
+    the result is emitted rounded (values merely CLOSE, not
+    bit-identical — see `quality_score`'s rounding note for the
+    distinction).
+
+    100 TB shape: one scan reduces map-side to |sources| x 10 integer
+    cells; everything after — the dense decile arrays, the |S|^2/2 pair
+    fan-out (a broadcast-size inequality self-join, whitelisted), the
+    folds — is driver-free arithmetic on a frame the size of the source
+    catalog, so cost is the scan regardless of corpus size."""
+    (docs,) = T(spark, sf_dir, "documents")
+    q = quality_score(spark, sf_dir).select("doc_id", "quality")
+    cnt = (
+        q.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy(
+            "source",
+            F.least(F.floor(F.col("quality") * 10), F.lit(9))
+            .cast("long")
+            .alias("bucket"),
+        )
+        .agg(F.count("*").alias("c"))
+    )
+    arr = cnt.groupBy("source").agg(
+        F.sum("c").alias("n"),
+        F.map_from_entries(F.collect_list(F.struct("bucket", "c"))).alias("m"),
+    ).select(
+        "source",
+        "n",
+        F.expr(
+            "transform(sequence(0, 9), i -> coalesce(element_at(m, CAST(i AS BIGINT)), 0L))"
+        ).alias("cs"),
+    )
+    a = arr.select(
+        F.col("source").alias("source_a"), F.col("n").alias("n_a"), F.col("cs").alias("ca")
+    )
+    b = arr.select(
+        F.col("source").alias("source_b"), F.col("n").alias("n_b"), F.col("cs").alias("cb")
+    )
+    psi = F.expr(
+        "aggregate(sequence(1, 10), 0D, (acc, i) ->"
+        " acc + ((element_at(ca, i) + 1e0) / (n_a + 1e1)"
+        "        - (element_at(cb, i) + 1e0) / (n_b + 1e1))"
+        "     * ln(((element_at(ca, i) + 1e0) / (n_a + 1e1))"
+        "          / ((element_at(cb, i) + 1e0) / (n_b + 1e1))))"
+    )
+    return (
+        a.join(b, F.col("source_a") < F.col("source_b"))
+        .select("source_a", "source_b", "n_a", "n_b", F.round(psi, 6).alias("psi"))
+    )

@@ -827,3 +827,19 @@ def test_sequence_pattern_match_against_python_re(spark):
         assert r.total_matched_chars == sum(len(h) for h in hits)
         assert r.seq_len == len(r.seq)
     assert any(r.n_matches > 0 for r in rows)
+
+
+def test_psi_source_drift_nonnegative_and_complete(spark):
+    """PSI is a sum of (p-q)*ln(p/q) terms, each >= 0 (the integrand of
+    a symmetrized KL), so every pair's PSI must be non-negative; all
+    C(|sources|, 2) ordered pairs are emitted; and smoothing keeps every
+    value finite even with empty deciles."""
+    import math
+
+    from map_reduce485_spark.queries.text_analysis import psi_source_drift
+
+    rows = psi_source_drift(spark, "/root/testdata/sf0.001").collect()
+    n_sources = len({r.source_a for r in rows} | {r.source_b for r in rows})
+    assert len(rows) == n_sources * (n_sources - 1) // 2
+    assert all(r.psi >= 0 and math.isfinite(r.psi) for r in rows)
+    assert all(r.source_a < r.source_b for r in rows)

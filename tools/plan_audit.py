@@ -64,6 +64,9 @@ KNOWN_BNLJ: dict[str, int | None] = {
     # 10-row threshold grid x <=10-row score-bucket table: the retention
     # sweep's inequality join is between two broadcast-size frames
     "filter_threshold_sweep": 64,
+    # |sources|^2/2 pair fan-out over the 20-row source-histogram frame
+    # (both sides are the per-source decile arrays — catalog-sized)
+    "psi_source_drift": 64,
     # 1-row broadcast of the scalar average threshold (crossJoin(broadcast))
     # — replaced a driver-side collect; a 1-row BNLJ probe is free
     "q11_important_stock": 8,
