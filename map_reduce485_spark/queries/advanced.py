@@ -2504,3 +2504,112 @@ def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Mann-Whitney U (rank-sum) two-sample test — round 8
+# ---------------------------------------------------------------------------
+
+_MWU_ORACLE = """
+WITH s AS (
+  SELECT CAST(ROUND(value * 100) AS BIGINT) AS cents,
+         CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS is_a
+  FROM events WHERE event_type IN ('view', 'purchase')
+),
+per_v AS (
+  SELECT cents, CAST(SUM(is_a) AS BIGINT) AS da,
+         CAST(SUM(1 - is_a) AS BIGINT) AS db
+  FROM s GROUP BY cents
+),
+steps AS (
+  SELECT cents, da, db, da + db AS t,
+         CAST(COALESCE(SUM(da + db) OVER (ORDER BY cents
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS cum_before
+  FROM per_v
+),
+agg AS (
+  SELECT CAST(SUM(da) AS BIGINT) AS n_a, CAST(SUM(db) AS BIGINT) AS n_b,
+         CAST(SUM(da * (2 * cum_before + t + 1)) AS BIGINT) AS dbl_rank_sum_a,
+         CAST(SUM(t * t * t - t) AS BIGINT) AS tie_cubes
+  FROM steps
+)
+SELECT n_a, n_b,
+       dbl_rank_sum_a / 2e0 - n_a * (n_a + 1) / 2e0 AS u_a,
+       CAST(n_a AS DOUBLE) * n_b
+         - (dbl_rank_sum_a / 2e0 - n_a * (n_a + 1) / 2e0) AS u_b,
+       ((dbl_rank_sum_a / 2e0 - n_a * (n_a + 1) / 2e0)
+         - CAST(n_a AS DOUBLE) * n_b / 2e0)
+       / sqrt(CAST(n_a AS DOUBLE) * n_b / 12e0
+              * ((n_a + n_b + 1e0)
+                 - CAST(tie_cubes AS DOUBLE)
+                   / ((n_a + n_b) * (n_a + n_b - 1e0)))) AS z
+FROM agg
+"""
+
+
+@query("mann_whitney_u_test", _MWU_ORACLE, tags=("advanced", "stats"))
+def mann_whitney_u_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U between the view and purchase value distributions —
+    the rank-based location test that pairs with `ks_two_sample_test`
+    (KS reads shape anywhere in the CDF; U reads stochastic dominance),
+    the second standard drift alarm between cohorts or snapshots.
+
+    Exactness discipline: tie-averaged ranks are kept INTEGER by
+    carrying twice-the-rank-sum — for a distinct value with t tied rows
+    and cum_before predecessors every tied row's average rank is
+    (2*cum_before + t + 1)/2, so Σ da*(2*cum_before + t + 1) is a
+    bigint and every float in U, and the tie-corrected z appears only
+    in the final expression, computed with an identical tree (+,-,*,/,
+    sqrt — all IEEE-correctly-rounded) on both engines, hence emitted
+    UNROUNDED.  Scale: same shape as KS — one groupBy on the value
+    domain, one ordered window over the distinct-value steps (pre-bin
+    at 100 TB, `approx_percentile_binned`'s move), then a 1-row
+    reduction."""
+    from pyspark.sql import Window as W
+
+    (events,) = T(spark, sf_dir, "events")
+    s = events.filter(F.col("event_type").isin("view", "purchase")).select(
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        (F.col("event_type") == "view").cast("int").alias("is_a"),
+    )
+    per_v = s.groupBy("cents").agg(
+        F.sum("is_a").alias("da"), F.sum(1 - F.col("is_a")).alias("db")
+    )
+    w = W.orderBy("cents").rowsBetween(W.unboundedPreceding, -1)
+    steps = per_v.select(
+        "da",
+        "db",
+        (F.col("da") + F.col("db")).alias("t"),
+        F.coalesce(F.sum(F.col("da") + F.col("db")).over(w), F.lit(0)).alias(
+            "cum_before"
+        ),
+    )
+    agg = steps.agg(
+        F.sum("da").alias("n_a"),
+        F.sum("db").alias("n_b"),
+        F.sum(
+            F.col("da") * (2 * F.col("cum_before") + F.col("t") + 1)
+        ).alias("dbl_rank_sum_a"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias("tie_cubes"),
+    )
+    u_a = F.col("dbl_rank_sum_a") / F.expr("2e0") - (
+        F.col("n_a") * (F.col("n_a") + 1)
+    ) / F.expr("2e0")
+    n_ab = F.col("n_a").cast("double") * F.col("n_b")
+    n = F.col("n_a") + F.col("n_b")
+    z = (u_a - n_ab / F.expr("2e0")) / F.sqrt(
+        n_ab
+        / F.expr("12e0")
+        * (
+            (n + F.expr("1e0"))
+            - F.col("tie_cubes").cast("double") / (n * (n - F.expr("1e0")))
+        )
+    )
+    return agg.select(
+        "n_a",
+        "n_b",
+        u_a.alias("u_a"),
+        (n_ab - u_a).alias("u_b"),
+        z.alias("z"),
+    )

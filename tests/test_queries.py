@@ -843,3 +843,51 @@ def test_psi_source_drift_nonnegative_and_complete(spark):
     assert len(rows) == n_sources * (n_sources - 1) // 2
     assert all(r.psi >= 0 and math.isfinite(r.psi) for r in rows)
     assert all(r.source_a < r.source_b for r in rows)
+
+
+def test_mann_whitney_matches_python_ranks(spark):
+    """u_a/u_b/z must match a from-scratch Python implementation with
+    tie-averaged ranks over the same cents-quantized values (independent
+    third engine, like the sequence-pattern and SSSP checks)."""
+    import math
+
+    import pyspark.sql.functions as F
+
+    from map_reduce485_spark.queries._util import T
+    from map_reduce485_spark.queries.advanced import mann_whitney_u_test
+
+    sf = "/root/testdata/sf0.001"
+    (events,) = T(spark, sf, "events")
+    vals = (
+        events.filter(F.col("event_type").isin("view", "purchase"))
+        .select(
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+            (F.col("event_type") == "view").cast("int").alias("is_a"),
+        )
+        .collect()
+    )
+    xs = sorted((r.cents, r.is_a) for r in vals)
+    n = len(xs)
+    ranks: dict[int, float] = {}
+    i = 0
+    while i < n:
+        j = i
+        while j < n and xs[j][0] == xs[i][0]:
+            j += 1
+        ranks[xs[i][0]] = (i + 1 + j) / 2.0  # average of ranks i+1..j
+        i = j
+    n_a = sum(a for _, a in xs)
+    n_b = n - n_a
+    r_a = sum(ranks[c] for c, a in xs if a)
+    u_a = r_a - n_a * (n_a + 1) / 2.0
+    tie_cubes = 0
+    for c in {c for c, _ in xs}:
+        t = sum(1 for cc, _ in xs if cc == c)
+        tie_cubes += t**3 - t
+    var = n_a * n_b / 12.0 * ((n + 1.0) - tie_cubes / (n * (n - 1.0)))
+    z = (u_a - n_a * n_b / 2.0) / math.sqrt(var)
+
+    row = mann_whitney_u_test(spark, sf).collect()[0]
+    assert (row.n_a, row.n_b) == (n_a, n_b)
+    assert row.u_a == u_a and row.u_b == n_a * n_b - u_a
+    assert abs(row.z - z) < 1e-12
