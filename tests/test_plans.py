@@ -380,3 +380,18 @@ def test_minhash_banded_no_pair_dedup_shuffle(spark):
     agg_keys = re.findall(r"HashAggregate\(keys=\[([^\]]*)\]", plan)
     pair_aggs = [k for k in agg_keys if ("a_id" in k and "b_id" in k) or k.count("doc_id") >= 2]
     assert len(pair_aggs) == 0, pair_aggs
+
+
+def test_ngram_commonness_single_gram_stream_no_join(spark):
+    """The gram document frequency must come from a window over the gram
+    key, not a groupBy-then-join-back: the join formulation made Spark
+    plan the explode+distinct gram subtree TWICE (once per join side —
+    no exchange reuse across differing required distributions), doubling
+    the heavy work.  Pin: exactly one Generate (explode) and zero joins
+    in the executed plan."""
+    df = _q(spark, "ngram_commonness")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Generate explode") == 1, plan[:2000]
+    for bad in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+                "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert bad not in plan, f"unexpected {bad} in ngram_commonness plan"
