@@ -441,13 +441,17 @@ def test_scoped_caches_release_storage(spark):
     sf = "/root/testdata/sf0.001"
     # warm-up materializes the LONG-LIVED catalog table cache (not scoped —
     # deliberately excluded from release); baseline measured after it
-    dedup_minhash_lsh(spark, sf).count()
+    dedup_ngram_jaccard(spark, sf).count()
     release_scoped_caches()  # drain scoped caches incl. earlier tests'
     baseline = spark.sparkContext._jsc.getPersistentRDDs().size()
 
+    # dedup_minhash_lsh is cache-free since the round-7 map-side-verify
+    # rewrite (candidates carry their shingle arrays; nothing shared to
+    # cache) — it participates here as the cache-free control;
+    # dedup_ngram_jaccard still registers the scoped shingle cache
     dedup_minhash_lsh(spark, sf).count()
     dedup_ngram_jaccard(spark, sf).count()
-    assert len(_SCOPED_CACHES) >= 1  # the shared shingle cache registered once
+    assert len(_SCOPED_CACHES) >= 1  # ngram's shingle cache registered once
     n = release_scoped_caches()
     assert n >= 1 and not _SCOPED_CACHES
 
@@ -461,8 +465,8 @@ def test_scoped_caches_release_storage(spark):
     assert spark.sparkContext._jsc.getPersistentRDDs().size() <= baseline
 
     # idempotent re-invocation after release: caches again, exactly once
-    dedup_minhash_lsh(spark, sf).count()
-    dedup_minhash_lsh(spark, sf).count()
+    dedup_ngram_jaccard(spark, sf).count()
+    dedup_ngram_jaccard(spark, sf).count()
     assert len(_SCOPED_CACHES) == 1
     release_scoped_caches()
 
