@@ -2390,7 +2390,11 @@ def psi_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "     * ln(((element_at(ca, i) + 1e0) / (n_a + 1e1))"
         "          / ((element_at(cb, i) + 1e0) / (n_b + 1e1))))"
     )
+    # explicit broadcast: both sides are catalog-sized aggregates whose
+    # stats Catalyst cannot estimate, and an un-hinted inequality join
+    # falls back to CartesianProduct — the hint pins the whitelisted
+    # 20-row BNLJ shape at every SF
     return (
-        a.join(b, F.col("source_a") < F.col("source_b"))
+        a.join(F.broadcast(b), F.col("source_a") < F.col("source_b"))
         .select("source_a", "source_b", "n_a", "n_b", F.round(psi, 6).alias("psi"))
     )
