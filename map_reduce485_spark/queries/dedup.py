@@ -1932,3 +1932,63 @@ def dedup_winnowing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("a_id").alias("n_left_docs"),
         F.count_distinct("b_id").alias("n_right_docs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# keep-best-quality over the BANDED star clusters (the full production
+# dedup pipeline in one query) — round 8
+# ---------------------------------------------------------------------------
+
+_KEEP_BEST_STAR_ORACLE = f"""
+WITH RECURSIVE {_LSH_CLUSTERS_CTES},
+clusters AS (
+  SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id
+),
+ranked AS (
+  SELECT c.cluster_id, c.doc_id, d.n_chars,
+         ROW_NUMBER() OVER (
+           PARTITION BY c.cluster_id ORDER BY d.n_chars DESC, c.doc_id
+         ) AS rn,
+         COUNT(*) OVER (PARTITION BY c.cluster_id) AS n_docs
+  FROM clusters c JOIN documents d ON d.doc_id = c.doc_id
+)
+SELECT cluster_id, doc_id AS keep_doc_id, n_chars AS keep_n_chars, n_docs
+FROM ranked WHERE rn = 1
+"""
+
+
+@query("dedup_keep_best_star", _KEEP_BEST_STAR_ORACLE, tags=("dedup", "graph"))
+def dedup_keep_best_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE production dedup pipeline in one query, every stage
+    the scale-proven form: banded MinHash-LSH candidates with map-side
+    exact-Jaccard verification (`dedup_minhash_lsh`) → alternating-star
+    connected components with exact-dup contraction
+    (`dedup_clusters_star`) → keep each cluster's highest-quality
+    document (longest, ties → lowest doc_id).  The scale twin of
+    `dedup_keep_best_quality`, which runs the same keep policy over the
+    exact all-pairs label-propagation clusters as the sf-scale baseline.
+
+    This is the query a 100 TB corpus actually runs end-to-end: every
+    stage is bucket-bounded or component-bounded (the 100x smoke runs
+    the clustering stage in 15 s against a worst-case mult^2 dup
+    density — `SCALE_SMOKE_100x.json`), and the final argmax is one
+    window over near-clique-sized partitions.  The oracle composes the
+    minhash CTEs, the recursive reach, and the ranked choice, so the
+    survivor set is hash-checked through all three stages."""
+    from pyspark.sql import Window as W
+
+    (docs,) = T(spark, sf_dir, "documents")
+    clusters = dedup_clusters_star(spark, sf_dir).select("doc_id", "cluster_id")
+    w = W.partitionBy("cluster_id").orderBy(F.col("n_chars").desc(), "doc_id")
+    return (
+        clusters.join(docs.select("doc_id", "n_chars"), "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n_docs", F.count("*").over(W.partitionBy("cluster_id")))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("keep_doc_id"),
+            F.col("n_chars").alias("keep_n_chars"),
+            "n_docs",
+        )
+    )

@@ -895,3 +895,26 @@ def test_mann_whitney_matches_python_ranks(spark):
     assert (row.n_a, row.n_b) == (n_a, n_b)
     assert row.u_a == u_a and row.u_b == n_a * n_b - u_a
     assert abs(row.z - z) < 1e-12
+
+
+def test_keep_best_star_matches_baseline_on_shared_clusters(spark):
+    """The banded-star keep policy must agree with the exact all-pairs
+    baseline wherever both see the same cluster: for every cluster
+    whose member set matches between `dedup_keep_best_quality` (exact
+    pairs + label propagation) and `dedup_keep_best_star` (banded LSH +
+    star contraction), the survivor and its n_chars must be identical —
+    banding may only change RECALL (which clusters form), never the
+    keep decision within a cluster."""
+    from map_reduce485_spark.queries.dedup import (
+        dedup_keep_best_quality,
+        dedup_keep_best_star,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    base = {r.keep_doc_id: r for r in dedup_keep_best_quality(spark, sf).collect()}
+    star = {r.keep_doc_id: r for r in dedup_keep_best_star(spark, sf).collect()}
+    assert star, "expected clusters on the fixture corpus"
+    shared = set(base) & set(star)
+    assert shared, "expected overlapping survivors between the twins"
+    for k in shared:
+        assert base[k].keep_n_chars == star[k].keep_n_chars
