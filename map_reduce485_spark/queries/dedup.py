@@ -1992,3 +1992,71 @@ def dedup_keep_best_star(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_docs",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# LSH recall evaluation against the exact all-pairs baseline — round 8
+# ---------------------------------------------------------------------------
+
+_LSH_RECALL_ORACLE = f"""
+WITH RECURSIVE {_LSH_CLUSTERS_CTES},
+epairs AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS intersection
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+exact AS (
+  SELECT e.a_id, e.b_id
+  FROM epairs e
+  JOIN sizes sa ON sa.doc_id = e.a_id
+  JOIN sizes sb ON sb.doc_id = e.b_id
+  WHERE CAST(e.intersection AS DOUBLE) / (sa.n + sb.n - e.intersection)
+        >= {_NGRAM_THRESHOLD}
+)
+SELECT CAST((SELECT COUNT(*) FROM exact) AS BIGINT) AS n_exact,
+       CAST((SELECT COUNT(*) FROM vpairs) AS BIGINT) AS n_lsh,
+       CAST((SELECT COUNT(*) FROM vpairs v
+             JOIN exact e ON e.a_id = v.a_id AND e.b_id = v.b_id)
+            AS BIGINT) AS n_common,
+       CAST((SELECT COUNT(*) FROM vpairs v
+             JOIN exact e ON e.a_id = v.a_id AND e.b_id = v.b_id) AS DOUBLE)
+         / (SELECT COUNT(*) FROM exact) AS recall
+"""
+
+
+@query("dedup_lsh_recall_eval", _LSH_RECALL_ORACLE, tags=("dedup",))
+def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECALL of the banded MinHash-LSH path against the exact all-pairs
+    Jaccard baseline at the same threshold — the acceptance eval every
+    production dedup pipeline reports before trusting banding (2 bands x
+    4 rows collide with probability 1-(1-s^4)^2 ≈ 0.94 at s = 0.8, and
+    this query measures the realized number instead of quoting the
+    formula).  Both pair sets are verified at the same threshold, so
+    LSH output ⊆ exact output structurally (precision 1 by
+    construction — pinned in `tests/test_queries.py`
+    ::test_dedup_jaccard_invariants) and recall is the one number that
+    can move.
+
+    Scale note: the EXACT side is the test-SF-only baseline (inverted-
+    index self-join — the quadratic-in-dup-multiplicity stage measured
+    and documented in SCALING.md); production runs this eval on a
+    SAMPLED slice, which is this same query over a sampled sf_dir.
+    1-row output; the counting joins shuffle only (a_id, b_id) pairs."""
+    exact = dedup_ngram_jaccard(spark, sf_dir).select("a_id", "b_id")
+    lsh = dedup_minhash_lsh(spark, sf_dir).select(
+        F.col("a_id").alias("la"), F.col("b_id").alias("lb")
+    )
+    common = exact.join(
+        lsh, (F.col("a_id") == F.col("la")) & (F.col("b_id") == F.col("lb"))
+    )
+    return (
+        exact.agg(F.count("*").alias("n_exact"))
+        .crossJoin(lsh.agg(F.count("*").alias("n_lsh")))
+        .crossJoin(common.agg(F.count("*").alias("n_common")))
+        .select(
+            "n_exact",
+            "n_lsh",
+            "n_common",
+            (F.col("n_common").cast("double") / F.col("n_exact")).alias("recall"),
+        )
+    )

@@ -76,6 +76,8 @@ KNOWN_BNLJ: dict[str, int | None] = {
     "key_skew_report": 8,
     "chi_square_independence": 8,
     "hll_estimate_distinct": 8,
+    # two 1-row count aggregates cross-joined into the recall report row
+    "dedup_lsh_recall_eval": 8,
     "kmv_distinct_estimate": 8,
     "kmv_set_ops_estimate": 8,
     "embedding_covariance_matrix": 8,
