@@ -6,7 +6,7 @@ string-formatted timestamps, deterministic top-k tiebreaks.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from map_reduce485_spark.catalog import load_table
@@ -71,6 +71,125 @@ def release_scoped_caches() -> int:
         except Exception:  # session already stopped — nothing to release
             pass
     return n
+
+
+def _order_cols(order_by: list[str | Column]) -> list[Column]:
+    return [F.col(c) if isinstance(c, str) else c for c in order_by]
+
+
+def distributed_rank(
+    df: DataFrame,
+    order_by: list[str | Column],
+    alias: str = "rk",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Global ROW_NUMBER over ``order_by`` WITHOUT a single-partition window.
+
+    ``row_number().over(Window.orderBy(...))`` funnels every row through one
+    partition — the one plan shape that cannot run at 100 TB (Spark itself
+    warns "Moving all data to a single partition").  This is the distributed
+    form, entirely JVM-side, one full shuffle of ``df``:
+
+      1. ``repartitionByRange(order_by)`` — range partitions are ordered and
+         non-overlapping, so partition i holds a contiguous rank span;
+      2. ``sortWithinPartitions(order_by)`` — local external sort (spills);
+      3. ``monotonically_increasing_id()`` — a per-partition counter that
+         increments by 1 in row order, giving each row its LOCAL position
+         (density within a partition is Spark's documented
+         ``MonotonicallyIncreasingID`` layout; ``tests/test_queries.py::
+         test_distributed_rank_dense_total_order`` is the canary should that
+         implementation detail ever change);
+      4. a per-partition (count, min_id) aggregate — at most one row per
+         partition, a broadcast-sized frame — turned into exclusive prefix
+         sums by a window over PARTITION IDS (not data rows), then broadcast
+         back: rank = partition_offset + (id - min_id) + 1.
+
+    ``order_by`` MUST be a total order (include a unique tiebreaker): ties
+    straddling a range-partition boundary would otherwise make ranks depend
+    on boundary placement.  With a total order the result is bit-identical
+    to the single-partition ``row_number`` regardless of the sampled range
+    boundaries, so oracle hashes are unaffected by the swap.
+
+    The same shape the reference would need R>1 reducers + an offset pass
+    for (its global sort is the single-reducer ``worker/__main__.py`` sort
+    with R=1); here the offsets pass is ~num_partitions rows.
+    """
+    cols = _order_cols(order_by)
+    part = (
+        df.repartitionByRange(num_partitions, *cols)
+        if num_partitions
+        else df.repartitionByRange(*cols)
+    )
+    tagged = part.sortWithinPartitions(*cols).select(
+        "*",
+        F.spark_partition_id().alias("_dr_pid"),
+        F.monotonically_increasing_id().alias("_dr_mid"),
+    )
+    stats = tagged.groupBy("_dr_pid").agg(
+        F.count("*").alias("_dr_cnt"), F.min("_dr_mid").alias("_dr_min")
+    )
+    # exclusive prefix sum over PARTITION IDS — bounded by the partition
+    # count, never by data volume, so this global window is scale-safe
+    off_w = W.orderBy("_dr_pid").rowsBetween(W.unboundedPreceding, -1)
+    offs = stats.select(
+        "_dr_pid",
+        "_dr_min",
+        F.coalesce(F.sum("_dr_cnt").over(off_w), F.lit(0)).alias("_dr_off"),
+    )
+    return (
+        tagged.join(F.broadcast(offs), "_dr_pid")
+        .withColumn(
+            alias, F.col("_dr_off") + (F.col("_dr_mid") - F.col("_dr_min")) + 1
+        )
+        .drop("_dr_pid", "_dr_mid", "_dr_min", "_dr_off")
+    )
+
+
+def distributed_prefix_max(
+    df: DataFrame,
+    order_by: list[str | Column],
+    value_col: str,
+    alias: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Running MAX of ``value_col`` over all STRICTLY-preceding rows in the
+    total order ``order_by`` (NULL for the first row) — the distributed
+    prefix scan, replacing ``max().over(Window.orderBy(...).rowsBetween(
+    unboundedPreceding, -1))`` which funnels all rows through one partition.
+
+    Two-level scan: range-partition on the order key, local strict-prefix
+    max WITHIN each range partition (the window is partitioned by the range
+    partition id, so no partition exceeds its range slice), plus a broadcast
+    exclusive prefix-max OVER partitions (≤ partition-count rows).  The row
+    answer is ``greatest(local_prefix, partition_prefix)`` — ``greatest``
+    skips NULLs, and is NULL only for the global first row.
+
+    Same total-order requirement as :func:`distributed_rank`; with a total
+    order the result is bit-identical to the single-partition window.
+    """
+    cols = _order_cols(order_by)
+    part = (
+        df.repartitionByRange(num_partitions, *cols)
+        if num_partitions
+        else df.repartitionByRange(*cols)
+    )
+    tagged = part.select("*", F.spark_partition_id().alias("_dp_pid"))
+    lw = (
+        W.partitionBy("_dp_pid")
+        .orderBy(*cols)
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    local = tagged.withColumn("_dp_lpm", F.max(value_col).over(lw))
+    pmax = tagged.groupBy("_dp_pid").agg(F.max(value_col).alias("_dp_pmax"))
+    pw = W.orderBy("_dp_pid").rowsBetween(W.unboundedPreceding, -1)
+    pref = pmax.select(
+        "_dp_pid", F.max("_dp_pmax").over(pw).alias("_dp_pref")
+    )
+    return (
+        local.join(F.broadcast(pref), "_dp_pid")
+        .withColumn(alias, F.greatest("_dp_lpm", "_dp_pref"))
+        .drop("_dp_pid", "_dp_lpm", "_dp_pref")
+    )
 
 
 def dsum(expr: str, alias: str, scale: int = 2, precision: int = 24) -> Column:

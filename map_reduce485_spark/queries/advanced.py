@@ -1430,17 +1430,16 @@ def skyline_price_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     Equal (price, size) pairs don't dominate each other (no strict
     coordinate), so whole tied groups survive together — both engines
     agree exactly because every comparison is on raw column values.
-    Scale: one groupBy + one bounded window over |distinct prices| +
-    one semi-join back; nothing quadratic anywhere."""
-    from pyspark.sql import Window as W
+    Scale: one groupBy + one DISTRIBUTED prefix-max scan over |distinct
+    prices| (`distributed_prefix_max`: range partition + per-range-slice
+    running max + broadcast over-partition prefix — no single-partition
+    window) + one semi-join back; nothing quadratic anywhere."""
+    from map_reduce485_spark.queries._util import distributed_prefix_max
 
     (part,) = T(spark, sf_dir, "part")
     grp = part.groupBy("p_retailprice").agg(F.max("p_size").alias("gmax"))
-    w = W.orderBy("p_retailprice").rowsBetween(W.unboundedPreceding, -1)
-    frontier = grp.select(
-        "p_retailprice",
-        "gmax",
-        F.max("gmax").over(w).alias("rmax"),
+    frontier = distributed_prefix_max(
+        grp, ["p_retailprice"], "gmax", "rmax"
     ).filter(F.col("rmax").isNull() | (F.col("rmax") < F.col("gmax")))
     return part.join(
         frontier.select(
@@ -2013,10 +2012,15 @@ def quantile_normalize_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     float quantile function with engine-specific interpolation anywhere.
 
     Scale: the per-type window shuffles on event_type; the pooled ranking
-    is the one global sort (same cost class as `sort_limit`'s
-    TakeOrdered... but full-width — at 100 TB you'd range-partition the
-    pooled rank like `zorder`'s split computation, documented trade)."""
+    is `distributed_rank` (range partition on (cents, event_id) +
+    per-partition positions + broadcast partition-offset prefix sums), so
+    the pooled pass shuffles once and sorts range slices in parallel —
+    no single-partition window anywhere in the plan.  The rank is
+    bit-identical to a global row_number (total order via event_id), so
+    the hash-checked output is unchanged by the distributed form."""
     from pyspark.sql import Window as W
+
+    from map_reduce485_spark.queries._util import distributed_rank
 
     (events,) = T(spark, sf_dir, "events")
     c = events.select(
@@ -2033,10 +2037,11 @@ def quantile_normalize_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("rn"),
         F.count("*").over(W.partitionBy("event_type")).alias("n"),
     )
-    pool = c.select(
-        F.col("cents").alias("p_cents"),
-        F.row_number().over(W.orderBy("cents", "event_id")).alias("pr"),
-    )
+    pool = distributed_rank(
+        c.select(F.col("cents").alias("p_cents"), F.col("event_id").alias("_pe")),
+        [F.col("p_cents"), F.col("_pe")],
+        alias="pr",
+    ).drop("_pe")
     big_n = pool.agg(F.count("*").alias("big_n"))
     # compute the target pooled rank ON the group side (1-row broadcast of
     # N) so the lookup is a genuine EQUI-join on pr — a join condition

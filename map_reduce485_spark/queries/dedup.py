@@ -1510,18 +1510,20 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     The window self-join is expressed as an EQUI-join on rank div w
     buckets (each record lands in its bucket and the previous one, so any
     pair within w-1 positions shares a bucket) — hash join, no band BNLJ;
-    the distance predicate then trims to the true neighborhood.  Scale
-    path for the global rank: range-partitioned sort (Spark's global
-    orderBy), rank = partition offset + local row_number."""
+    the distance predicate then trims to the true neighborhood.  The
+    global rank is `distributed_rank` (range partition on (bk, doc_id) +
+    per-partition positions + broadcast partition-offset prefix sums), so
+    the sort pass — the whole SNM algorithm — runs on every executor
+    instead of the single partition a plain global window would use.
+    Bit-identical ranks (total order via doc_id), unchanged output."""
     (docs,) = T(spark, sf_dir, "documents")
-    from pyspark.sql import Window as W
+    from map_reduce485_spark.queries._util import distributed_rank
 
-    ranked = docs.select(
-        "doc_id", F.substring("text", 1, 24).alias("bk")
-    ).select(
-        "doc_id",
-        F.row_number().over(W.orderBy("bk", "doc_id")).alias("rk"),
-    )
+    ranked = distributed_rank(
+        docs.select("doc_id", F.substring("text", 1, 24).alias("bk")),
+        ["bk", "doc_id"],
+        alias="rk",
+    ).select("doc_id", "rk")
     tagged = ranked.select(
         "doc_id",
         "rk",
@@ -2020,7 +2022,7 @@ SELECT CAST((SELECT COUNT(*) FROM exact) AS BIGINT) AS n_exact,
             AS BIGINT) AS n_common,
        CAST((SELECT COUNT(*) FROM vpairs v
              JOIN exact e ON e.a_id = v.a_id AND e.b_id = v.b_id) AS DOUBLE)
-         / (SELECT COUNT(*) FROM exact) AS recall
+         / NULLIF((SELECT COUNT(*) FROM exact), 0) AS recall
 """
 
 
@@ -2057,6 +2059,13 @@ def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_exact",
             "n_lsh",
             "n_common",
-            (F.col("n_common").cast("double") / F.col("n_exact")).alias("recall"),
+            # NULL (not NaN/div-zero) when the corpus has no exact pairs —
+            # matches the oracle's NULLIF so sampled/degenerate slices
+            # (the documented production mode) hash identically on both
+            # engines instead of diverging NULL-vs-NaN
+            F.when(
+                F.col("n_exact") > 0,
+                F.col("n_common").cast("double") / F.col("n_exact"),
+            ).alias("recall"),
         )
     )

@@ -2128,14 +2128,18 @@ GROUP BY a.vec_id, a.cid
 def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al., 2023): cluster the embedding space with
     k-means, then prune SEMANTIC duplicates — pairs whose cosine exceeds
-    the threshold — only WITHIN each cluster, keeping the lowest vec_id
-    of every near-dup neighborhood.  The pruning decision the paper runs
-    over web-scale corpora: near-duplicate meaning concentrates inside
-    k-means cells, so the quadratic comparison is confined to one cell
-    at a time and never touches the corpus globally.
+    the threshold — only WITHIN each cluster.  The keep rule is the
+    INDEPENDENT PAIRWISE one (the standard SemDeDup behavior): a vector
+    is dropped iff ANY lower-id near neighbor exists, whether or not
+    that neighbor is itself dropped — so in a chain a<b<c with a~b, b~c
+    but not a~c, both b and c are pruned (c by the already-pruned b).
+    This over-prunes relative to a greedy sequential sweep, which is
+    exactly what the paper's implementation does and what makes the rule
+    embarrassingly parallel: each vector's decision reads only its own
+    neighbor list, no sequential dependency across the cell.
 
     Output per vector: its trained cluster, how many same-cluster
-    near-dups it has, and whether the greedy keep-lowest-id rule keeps
+    near-dups it has, and whether the pairwise keep-lowest-id rule keeps
     it — the keep-set a downstream training pipeline joins against
     (`dedup_keep_best_quality` is the quality-aware variant of the same
     decision over text dedup).

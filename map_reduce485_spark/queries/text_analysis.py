@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from map_reduce485_spark.queries import query
-from map_reduce485_spark.queries._util import T
+from map_reduce485_spark.queries._util import T, distributed_rank
 
 _BPE_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
 
@@ -2260,12 +2260,12 @@ def token_balanced_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     achieved balance directly; round-robin over a descending deal bounds
     it tightly because consecutive ranks differ little in size.
 
-    Scale note: the global rank uses a single-partition window at test
-    SF; at 100 TB the identical deal is computed by range-partitioning
-    on (n_tokens DESC, doc_id) and adding per-partition row offsets
-    (one tiny offsets broadcast) — the standard distributed row_number.
-    The semantics hash-checked here are partitioning-independent, so
-    that swap changes no output."""
+    Scale note: the global rank is `distributed_rank` (range partition +
+    per-partition positions + broadcast partition-offset prefix sums), so
+    no single-partition window exists anywhere in the plan and the deal
+    runs on every executor.  The rank is bit-identical to a global
+    row_number (the order is total via the doc_id tiebreak), so the
+    hash-checked output is unchanged by the distributed form."""
     (docs,) = T(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id",
@@ -2273,9 +2273,10 @@ def token_balanced_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_tokens"),
     )
-    rn = F.row_number().over(W.orderBy(F.col("n_tokens").desc(), "doc_id"))
-    ranked = tok.select(
-        "doc_id", "n_tokens", ((rn - 1) % _N_SHARDS).alias("shard")
+    ranked = distributed_rank(
+        tok, [F.col("n_tokens").desc(), F.col("doc_id")], alias="_rn"
+    ).select(
+        "doc_id", "n_tokens", ((F.col("_rn") - 1) % _N_SHARDS).alias("shard")
     )
     per = ranked.groupBy("shard").agg(
         F.count("*").alias("n_docs"), F.sum("n_tokens").alias("shard_tokens")

@@ -397,3 +397,53 @@ def window_rank_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w).alias("prank"),
         F.cume_dist().over(w).alias("cdist"),
     )
+
+
+@query("window_rank_surface_distributed", _RANK_SURFACE_ORACLE, tags=("window",))
+def window_rank_surface_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE twin of `window_rank_surface`: identical five ranking
+    outputs (same oracle) with NO single-partition window anywhere — the
+    plan that runs when the ranked table is corpus-scale, not a dimension.
+
+    Because the ordering (acctbal DESC, suppkey) is TOTAL, every ranking
+    function collapses to arithmetic over (row_number, N): rank =
+    dense_rank = row_number (no ties in the full key), ntile(4) follows the
+    SQL first-buckets-get-the-extra-row rule, percent_rank = (rn-1)/(N-1),
+    cume_dist = rn/N.  row_number comes from `distributed_rank` (range
+    partition + broadcast offsets); N is a 1-row broadcast.  All ratios are
+    exact int/int divisions, so the doubles hash-match the native window
+    twin and the DuckDB oracle bit-for-bit."""
+    from map_reduce485_spark.queries._util import distributed_rank
+
+    supplier, = T(spark, sf_dir, "supplier")
+    rn = distributed_rank(
+        supplier.select("s_suppkey", "s_acctbal"),
+        [F.col("s_acctbal").desc(), F.col("s_suppkey")],
+        alias="rn",
+    )
+    tot = supplier.agg(F.count("*").alias("n_tot"))
+    # first (N mod 4) buckets hold (N div 4 + 1) rows, the rest (N div 4);
+    # integer div throughout so bucket boundaries are exact at any N
+    in_big = F.expr("rn <= (n_tot % 4) * (n_tot div 4 + 1)")
+    quartile = F.when(
+        in_big,
+        F.expr("(rn + (n_tot div 4 + 1) - 1) div (n_tot div 4 + 1)"),
+    ).otherwise(
+        F.expr(
+            "(n_tot % 4) + (rn - (n_tot % 4) * (n_tot div 4 + 1)"
+            " + (n_tot div 4) - 1) div (n_tot div 4)"
+        )
+    )
+    return rn.crossJoin(F.broadcast(tot)).select(
+        "s_suppkey",
+        F.col("rn").alias("rnk"),
+        F.col("rn").alias("drnk"),
+        quartile.cast("int").alias("quartile"),
+        F.when(
+            F.col("n_tot") > 1,
+            (F.col("rn") - 1).cast("double") / (F.col("n_tot") - 1),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("prank"),
+        (F.col("rn").cast("double") / F.col("n_tot")).alias("cdist"),
+    )

@@ -395,3 +395,26 @@ def test_ngram_commonness_single_gram_stream_no_join(spark):
     for bad in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
                 "CartesianProduct", "BroadcastNestedLoopJoin"):
         assert bad not in plan, f"unexpected {bad} in ngram_commonness plan"
+
+
+def test_rank_queries_no_single_partition_window(spark):
+    """Round-9 fix: the four former single-partition-window queries (plus
+    the distributed ranking twin) must plan with ZERO unpartitioned
+    WindowExec over non-aggregated input — the registry-wide rule lives in
+    tools/plan_audit.py (audit() and test_plan_audit_green); this pins the
+    specific regressions by name."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    from plan_audit import global_window_violations
+
+    for name in (
+        "quantile_normalize_per_type",
+        "token_balanced_shards",
+        "dedup_sorted_neighborhood",
+        "skyline_price_size",
+        "window_rank_surface_distributed",
+    ):
+        df = REGISTRY[name].fn(spark, SF_SMOKE)
+        assert global_window_violations(df) == [], name

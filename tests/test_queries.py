@@ -899,22 +899,136 @@ def test_mann_whitney_matches_python_ranks(spark):
 
 def test_keep_best_star_matches_baseline_on_shared_clusters(spark):
     """The banded-star keep policy must agree with the exact all-pairs
-    baseline wherever both see the same cluster: for every cluster
-    whose member set matches between `dedup_keep_best_quality` (exact
-    pairs + label propagation) and `dedup_keep_best_star` (banded LSH +
-    star contraction), the survivor and its n_chars must be identical —
-    banding may only change RECALL (which clusters form), never the
-    keep decision within a cluster."""
+    baseline wherever both see the same cluster: key each pipeline's
+    clusters by the FROZENSET of member doc_ids (`dedup_clusters` vs
+    `dedup_clusters_star`), and for every member set present in both,
+    the survivor chosen by `dedup_keep_best_quality` /
+    `dedup_keep_best_star` must be the same document — banding may only
+    change RECALL (which clusters form), never the keep decision within
+    a cluster."""
     from map_reduce485_spark.queries.dedup import (
+        dedup_clusters,
+        dedup_clusters_star,
         dedup_keep_best_quality,
         dedup_keep_best_star,
     )
 
     sf = "/root/testdata/sf0.001"
-    base = {r.keep_doc_id: r for r in dedup_keep_best_quality(spark, sf).collect()}
-    star = {r.keep_doc_id: r for r in dedup_keep_best_star(spark, sf).collect()}
-    assert star, "expected clusters on the fixture corpus"
-    shared = set(base) & set(star)
-    assert shared, "expected overlapping survivors between the twins"
-    for k in shared:
-        assert base[k].keep_n_chars == star[k].keep_n_chars
+
+    def members_by_cluster(df):
+        out: dict = {}
+        for r in df.select("doc_id", "cluster_id").collect():
+            out.setdefault(r.cluster_id, set()).add(r.doc_id)
+        return {cid: frozenset(s) for cid, s in out.items()}
+
+    base_members = members_by_cluster(dedup_clusters(spark, sf))
+    star_members = members_by_cluster(dedup_clusters_star(spark, sf))
+    base_keep = {
+        r.cluster_id: r.keep_doc_id
+        for r in dedup_keep_best_quality(spark, sf).collect()
+    }
+    star_keep = {
+        r.cluster_id: r.keep_doc_id
+        for r in dedup_keep_best_star(spark, sf).collect()
+    }
+    # survivor keyed by member set — cluster_id labels differ between the
+    # pipelines (min-label vs star contraction), member sets are canonical
+    base_by_set = {base_members[c]: k for c, k in base_keep.items()}
+    star_by_set = {star_members[c]: k for c, k in star_keep.items()}
+    shared = set(base_by_set) & set(star_by_set)
+    assert shared, "expected clusters with identical member sets in the twins"
+    for ms in shared:
+        assert base_by_set[ms] == star_by_set[ms], sorted(ms)
+    # the comparison must be non-vacuous in both directions: at least one
+    # multi-member cluster shared, and the keep decision actually chosen
+    # from >1 candidates there
+    assert any(len(ms) > 1 for ms in shared), "only singletons shared"
+
+
+def test_distributed_rank_dense_total_order(spark):
+    """Canary for `distributed_rank`'s two structural assumptions: (1)
+    monotonically_increasing_id increments by exactly 1 per row in row
+    order within a partition (Spark's documented MonotonicallyIncreasingID
+    layout), and (2) range partitions are ordered and non-overlapping.
+    Together they must reproduce the exact global row_number.  Built over
+    a deliberately shuffled frame with several range partitions so the
+    broadcast partition offsets are actually exercised — if either
+    assumption ever changes in a Spark upgrade, this fails loudly before
+    any oracle does."""
+    from pyspark.sql import functions as F
+
+    from map_reduce485_spark.queries._util import distributed_rank
+
+    n = 5000
+    df = (
+        spark.range(n)
+        .select((F.hash("id") % 100).alias("k"), F.col("id").alias("uid"))
+        .repartition(13)
+    )
+    rows = (
+        distributed_rank(df, ["k", "uid"], alias="rk", num_partitions=7)
+        .orderBy("k", "uid")
+        .collect()
+    )
+    assert [r.rk for r in rows] == list(range(1, n + 1))
+    keys = [(r.k, r.uid) for r in rows]
+    assert keys == sorted(keys)
+
+
+def test_distributed_rank_descending_order(spark):
+    """Descending sort columns must range-partition and rank correctly
+    (repartitionByRange honors Column sort direction)."""
+    from pyspark.sql import functions as F
+
+    from map_reduce485_spark.queries._util import distributed_rank
+
+    df = spark.range(1000).select(F.col("id").alias("uid"))
+    rows = (
+        distributed_rank(df, [F.col("uid").desc()], alias="rk", num_partitions=5)
+        .orderBy(F.col("uid").desc())
+        .collect()
+    )
+    assert [r.rk for r in rows] == list(range(1, 1001))
+    assert rows[0].uid == 999 and rows[-1].uid == 0
+
+
+def test_distributed_prefix_max_matches_global_window(spark):
+    """`distributed_prefix_max` must equal the single-partition global
+    window it replaces, including the NULL first row."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from map_reduce485_spark.queries._util import distributed_prefix_max
+
+    df = (
+        spark.range(2000)
+        .select(F.col("id").alias("k"), (F.hash("id") % 97).alias("v"))
+        .repartition(11)
+    )
+    got = {
+        r.k: r.pm
+        for r in distributed_prefix_max(
+            df, ["k"], "v", "pm", num_partitions=5
+        ).collect()
+    }
+    w = W.orderBy("k").rowsBetween(W.unboundedPreceding, -1)
+    exp = {
+        r.k: r.pm
+        for r in df.select("k", F.max("v").over(w).alias("pm")).collect()
+    }
+    assert got == exp
+
+
+def test_readme_registry_count_in_sync():
+    """Docs cannot drift from the registry (round-8 verdict item 3: the
+    README said 276 while the registry held 278).  Every query count the
+    README quotes must equal len(REGISTRY) — this runs in the same
+    pre-commit pytest ritual as the gate, so a registry-growing commit
+    that forgets the README fails here."""
+    import re
+    from pathlib import Path
+
+    txt = (Path(__file__).resolve().parent.parent / "README.md").read_text()
+    counts = {int(m) for m in re.findall(r"registry \((\d+) queries", txt)}
+    counts |= {int(m) for m in re.findall(r"(\d+)/\1 oracle queries PASS", txt)}
+    assert counts == {len(REGISTRY)}, (counts, len(REGISTRY))

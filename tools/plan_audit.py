@@ -69,6 +69,8 @@ KNOWN_BNLJ: dict[str, int | None] = {
     "psi_source_drift": 64,
     # 1-row broadcast of the scalar average threshold (crossJoin(broadcast))
     # — replaced a driver-side collect; a 1-row BNLJ probe is free
+    # 1-row N broadcast feeding the arithmetic ranking twin
+    "window_rank_surface_distributed": 8,
     "q11_important_stock": 8,
     "q22_global_sales_opportunity": 8,
     # 1-row scalar-stats broadcasts (threshold / report assembly / grand
@@ -112,6 +114,58 @@ KNOWN_BNLJ: dict[str, int | None] = {
     # corpus) — bounded by calendar, not data volume
     "time_gapfill_interpolate": 8192,
 }
+
+
+# Queries whose plan may keep an unpartitioned WindowExec over
+# NON-AGGREGATED input: each name documents why the window's input is
+# bounded by something other than an upstream aggregate.  Everything else
+# with a global window must have an aggregate (or literal local relation)
+# below it — post-agg frames are bounded by group count, never data volume.
+# A global window directly over row-scale input is the one plan shape that
+# cannot run at 100 TB (round-8 verdict item 1); `distributed_rank` /
+# `distributed_prefix_max` in queries/_util.py are the replacements.
+KNOWN_GLOBAL_WINDOW: dict[str, str] = {
+    # deliberate native-API surface query: rank/dense_rank/ntile/
+    # percent_rank/cume_dist exercised in ONE global window over the
+    # supplier dimension; `window_rank_surface_distributed` (same oracle)
+    # is the scale path, built on distributed_rank with zero global windows
+    "window_rank_surface": "native ranking-fn surface; distributed twin ships",
+}
+
+
+def global_window_violations(df) -> list[str]:
+    """Return a finding for every WindowExec in ``df``'s physical plan that
+    has an EMPTY partitionSpec and no aggregate below it — i.e. a global
+    window whose input row count scales with the data, which Spark executes
+    on a single partition ("Moving all data to a single partition").
+
+    Windows above an aggregate are allowed: their input is bounded by the
+    group count (partition-offset prefix sums, post-agg ratio frames,
+    distinct-value-domain ranks).  Literal leaves (LocalTableScan, Range)
+    are likewise bounded by construction."""
+    out: list[str] = []
+    plan = df._jdf.queryExecution().sparkPlan()
+    for n in _iter_jnodes(plan):
+        if n.getClass().getSimpleName() not in ("WindowExec", "WindowInPandasExec"):
+            continue
+        if not n.partitionSpec().isEmpty():
+            continue
+        bounded = False
+        ch = n.children()
+        for i in range(ch.size()):
+            for b in _iter_jnodes(ch.apply(i)):
+                cn = b.getClass().getSimpleName()
+                if "Aggregate" in cn or cn in ("LocalTableScanExec", "RangeExec"):
+                    bounded = True
+                    break
+            if bounded:
+                break
+        if not bounded:
+            out.append(
+                "unpartitioned WindowExec over non-aggregated input "
+                "(single-partition global sort at scale)"
+            )
+    return out
 
 
 def _iter_jnodes(jnode):
@@ -177,6 +231,9 @@ def audit(spark, sf: str = "/root/testdata/sf0.001") -> list[str]:
         try:
             df = spec.fn(spark, sf)
             txt = explain_str(df, "simple")
+            if name not in KNOWN_GLOBAL_WINDOW:
+                for v in global_window_violations(df):
+                    bad.append(f"{name}: {v}")
             if "CartesianProduct" in txt:
                 bad.append(f"{name}: CartesianProduct")
             elif "BroadcastNestedLoopJoin" in txt:
