@@ -2618,3 +2618,231 @@ def mann_whitney_u_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         (n_ab - u_a).alias("u_b"),
         z.alias("z"),
     )
+
+
+# ---------------------------------------------------------------------------
+# pre-binned twins of the rank statistics — the realized 100 TB move the
+# unbinned tests' docstrings promise ("pre-bin values first")
+# ---------------------------------------------------------------------------
+
+_STATBIN_B = 1024
+
+_STATBIN_SQL = f"""s AS (
+  SELECT CAST(ROUND(value * 100) AS BIGINT) AS cents,
+         CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS is_a
+  FROM events WHERE event_type IN ('view', 'purchase')
+),
+st AS (
+  SELECT MIN(cents) AS mn,
+         GREATEST(CAST(MAX(cents) - MIN(cents) AS DOUBLE) / {_STATBIN_B}e0,
+                  1e-9) AS width
+  FROM s
+),
+b AS (
+  SELECT LEAST(CAST(FLOOR((cents - st.mn) / st.width) AS BIGINT),
+               {_STATBIN_B - 1}) AS bin, is_a
+  FROM s, st
+),
+per_v AS (
+  SELECT bin, CAST(SUM(is_a) AS BIGINT) AS da,
+         CAST(SUM(1 - is_a) AS BIGINT) AS db
+  FROM b GROUP BY bin
+)"""
+
+
+def _spark_statbin(events) -> DataFrame:
+    """(bin, da, db) — view/purchase counts per fixed-width value bin, the
+    shared front end of the binned MWU/KS twins.  Two scans (exact
+    min/max, then map-side bin counts); the width guard (GREATEST 1e-9)
+    keeps a constant-valued corpus at bin 0 on both engines instead of a
+    NaN-cast divergence."""
+    s = events.filter(F.col("event_type").isin("view", "purchase")).select(
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        (F.col("event_type") == "view").cast("int").alias("is_a"),
+    )
+    stats = s.agg(
+        F.min("cents").alias("mn"),
+        F.greatest(
+            (F.max("cents") - F.min("cents")).cast("double")
+            / F.lit(float(_STATBIN_B)),
+            F.lit(1e-9),
+        ).alias("width"),
+    )
+    return (
+        s.crossJoin(F.broadcast(stats))
+        .select(
+            F.least(
+                F.floor((F.col("cents") - F.col("mn")) / F.col("width")).cast(
+                    "long"
+                ),
+                F.lit(_STATBIN_B - 1).cast("long"),
+            ).alias("bin"),
+            "is_a",
+        )
+        .groupBy("bin")
+        .agg(F.sum("is_a").alias("da"), F.sum(1 - F.col("is_a")).alias("db"))
+    )
+
+
+_MWU_BINNED_ORACLE = f"""
+WITH {_STATBIN_SQL},
+steps AS (
+  SELECT bin, da, db, da + db AS t,
+         CAST(COALESCE(SUM(da + db) OVER (ORDER BY bin
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS cum_before
+  FROM per_v
+),
+agg AS (
+  SELECT CAST(SUM(da) AS BIGINT) AS n_a, CAST(SUM(db) AS BIGINT) AS n_b,
+         CAST(SUM(da * (2 * cum_before + t + 1)) AS BIGINT) AS dbl_rank_sum_a,
+         CAST(SUM(t * t * t - t) AS BIGINT) AS tie_cubes
+  FROM steps
+)
+SELECT n_a, n_b,
+       dbl_rank_sum_a / 2e0 - n_a * (n_a + 1) / 2e0 AS u_a,
+       CAST(n_a AS DOUBLE) * n_b
+         - (dbl_rank_sum_a / 2e0 - n_a * (n_a + 1) / 2e0) AS u_b,
+       ((dbl_rank_sum_a / 2e0 - n_a * (n_a + 1) / 2e0)
+         - CAST(n_a AS DOUBLE) * n_b / 2e0)
+       / sqrt(CAST(n_a AS DOUBLE) * n_b / 12e0
+              * ((n_a + n_b + 1e0)
+                 - CAST(tie_cubes AS DOUBLE)
+                   / ((n_a + n_b) * (n_a + n_b - 1e0)))) AS z
+FROM agg
+"""
+
+
+@query("mann_whitney_u_binned", _MWU_BINNED_ORACLE, tags=("advanced", "stats"))
+def mann_whitney_u_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U over PRE-BINNED values — the twin
+    `mann_whitney_u_test`'s docstring prescribes for 100 TB: the exact
+    test's ordered window runs over distinct-VALUE steps, which is bounded
+    by the value domain but unbounded for high-cardinality doubles; here
+    every value first lands in one of {b} fixed-width bins (exact
+    min/max + map-side bin counts, the `approx_percentile_binned`
+    discipline), so the rank window's input is ≤ {b} rows at ANY corpus
+    size.  Binning coarsens ties — all rows in a bin share one midrank —
+    which is the documented approximation: U shifts by at most the
+    within-bin rank spread, and the tie-corrected z uses the bin tie
+    structure.  Same integer-exact twice-the-rank-sum discipline as the
+    exact twin, so the output still hash-matches DuckDB bit-for-bit."""
+    from pyspark.sql import Window as W
+
+    (events,) = T(spark, sf_dir, "events")
+    per_v = _spark_statbin(events)
+    w = W.orderBy("bin").rowsBetween(W.unboundedPreceding, -1)
+    steps = per_v.select(
+        "da",
+        "db",
+        (F.col("da") + F.col("db")).alias("t"),
+        F.coalesce(F.sum(F.col("da") + F.col("db")).over(w), F.lit(0)).alias(
+            "cum_before"
+        ),
+    )
+    agg = steps.agg(
+        F.sum("da").alias("n_a"),
+        F.sum("db").alias("n_b"),
+        F.sum(
+            F.col("da") * (2 * F.col("cum_before") + F.col("t") + 1)
+        ).alias("dbl_rank_sum_a"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias("tie_cubes"),
+    )
+    u_a = F.col("dbl_rank_sum_a") / F.expr("2e0") - (
+        F.col("n_a") * (F.col("n_a") + 1)
+    ) / F.expr("2e0")
+    n_ab = F.col("n_a").cast("double") * F.col("n_b")
+    n = F.col("n_a") + F.col("n_b")
+    z = (u_a - n_ab / F.expr("2e0")) / F.sqrt(
+        n_ab
+        / F.expr("12e0")
+        * (
+            (n + F.expr("1e0"))
+            - F.col("tie_cubes").cast("double") / (n * (n - F.expr("1e0")))
+        )
+    )
+    return agg.select(
+        "n_a",
+        "n_b",
+        u_a.alias("u_a"),
+        (n_ab - u_a).alias("u_b"),
+        z.alias("z"),
+    )
+
+
+mann_whitney_u_binned.__doc__ = mann_whitney_u_binned.__doc__.format(b=_STATBIN_B)
+
+
+_KS_BINNED_ORACLE = f"""
+WITH {_STATBIN_SQL},
+n AS (
+  SELECT CAST(SUM(da) AS BIGINT) AS n_a, CAST(SUM(db) AS BIGINT) AS n_b
+  FROM per_v
+),
+steps AS (
+  SELECT bin,
+         SUM(da) OVER (ORDER BY bin) AS c_a,
+         SUM(db) OVER (ORDER BY bin) AS c_b
+  FROM per_v
+),
+gaps AS (
+  SELECT steps.bin, abs(c_a * n.n_b - c_b * n.n_a) AS gap_scaled, n.n_a, n.n_b
+  FROM steps, n
+),
+mx AS (SELECT MAX(gap_scaled) AS peak FROM gaps)
+SELECT g.n_a, g.n_b,
+       CAST(g.gap_scaled AS BIGINT) AS gap_scaled,
+       CAST(g.gap_scaled AS DOUBLE) / (g.n_a * g.n_b) AS ks_statistic,
+       MIN(g.bin) AS at_bin
+FROM gaps g, mx WHERE g.gap_scaled = mx.peak
+GROUP BY g.n_a, g.n_b, g.gap_scaled
+"""
+
+
+@query("ks_two_sample_binned", _KS_BINNED_ORACLE, tags=("advanced", "stats"))
+def ks_two_sample_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample KS over PRE-BINNED values — the realized 100 TB twin of
+    `ks_two_sample_test` (same move as `mann_whitney_u_binned`): the CDF
+    sup-norm search runs on the {b}-bin grid, so the ordered window's
+    input is ≤ {b} rows at any corpus size and the statistic's error vs
+    the exact D is bounded by the largest single-bin CDF mass (both CDFs
+    are exact AT every bin boundary — only gaps strictly inside a bin are
+    invisible).  The argmax stays exact integer arithmetic
+    (|c_a·n_b − c_b·n_a| on bigints); one float division at the end."""
+    from pyspark.sql import Window as W
+
+    (events,) = T(spark, sf_dir, "events")
+    per_v = _spark_statbin(events)
+    n = per_v.agg(F.sum("da").alias("n_a"), F.sum("db").alias("n_b"))
+    w = W.orderBy("bin").rowsBetween(W.unboundedPreceding, 0)
+    steps = per_v.select(
+        "bin",
+        F.sum("da").over(w).alias("c_a"),
+        F.sum("db").over(w).alias("c_b"),
+    )
+    gaps = steps.crossJoin(F.broadcast(n)).select(
+        "bin",
+        F.abs(F.col("c_a") * F.col("n_b") - F.col("c_b") * F.col("n_a")).alias(
+            "gap_scaled"
+        ),
+        "n_a",
+        "n_b",
+    )
+    mx = gaps.agg(F.max("gap_scaled").alias("peak"))
+    return (
+        gaps.join(F.broadcast(mx), gaps.gap_scaled == mx.peak)
+        .groupBy("n_a", "n_b", "gap_scaled")
+        .agg(F.min("bin").alias("at_bin"))
+        .select(
+            "n_a",
+            "n_b",
+            "gap_scaled",
+            (
+                F.col("gap_scaled").cast("double") / (F.col("n_a") * F.col("n_b"))
+            ).alias("ks_statistic"),
+            "at_bin",
+        )
+    )
+
+
+ks_two_sample_binned.__doc__ = ks_two_sample_binned.__doc__.format(b=_STATBIN_B)

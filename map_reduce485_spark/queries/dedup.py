@@ -373,13 +373,22 @@ def _simhash_bit_sql(b: int, instr_fn: str) -> str:
     )
 
 
-def _simhash_fp_sql(instr_fn: str) -> str:
-    """SUM-of-votes → fingerprint expression over a (doc_id, word) stream."""
+def _simhash_fp_sql(instr_fn: str, bits: int = _SIMHASH_BITS) -> str:
+    """SUM-of-votes → fingerprint expression over a (doc_id, word) stream.
+
+    ``bits`` up to 64; bit 63 contributes the BIGINT sign bit, so its term
+    adds -2^63 (two's complement) — xor/bit_count/chunk-mask arithmetic all
+    operate on the bit pattern and are sign-agnostic on both engines."""
     votes = ",\n       ".join(
         f"SUM(2 * ({_simhash_bit_sql(b, instr_fn)}) - 1) AS s{b}"
-        for b in range(_SIMHASH_BITS)
+        for b in range(bits)
     )
-    fp = " + ".join(f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(_SIMHASH_BITS))
+
+    def term(b: int) -> str:
+        v = "-9223372036854775808" if b == 63 else str(1 << b)
+        return f"(CASE WHEN s{b} > 0 THEN {v} ELSE 0 END)"
+
+    fp = " + ".join(term(b) for b in range(bits))
     return votes, fp
 
 
@@ -407,7 +416,14 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     Integer votes → exact, engine-agnostic.  One narrow groupBy per doc —
     embarrassingly scalable."""
     (docs,) = T(spark, sf_dir, "documents")
-    spark_votes, spark_fp = _simhash_fp_sql("instr")
+    return _spark_simhash_fp(docs, _SIMHASH_BITS)
+
+
+def _spark_simhash_fp(docs: DataFrame, bits: int) -> DataFrame:
+    """(doc_id, simhash) at the given fingerprint width — the Spark twin of
+    `_simhash_fp_sql`, shared by the 16-bit oracle queries and the 64-bit
+    production-shape queries."""
+    _, fp_expr = _simhash_fp_sql("instr", bits)
     tokens = (
         docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
         .filter(F.col("word") != "")
@@ -416,10 +432,10 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     votes = tokens.groupBy("doc_id").agg(
         *[
             F.expr(f"SUM(2 * ({_simhash_bit_sql(b, 'instr')}) - 1)").alias(f"s{b}")
-            for b in range(_SIMHASH_BITS)
+            for b in range(bits)
         ]
     )
-    return votes.select("doc_id", F.expr(spark_fp).cast("bigint").alias("simhash"))
+    return votes.select("doc_id", F.expr(fp_expr).cast("bigint").alias("simhash"))
 
 
 _SIMHASH_PAIRS_ORACLE = f"""
@@ -481,27 +497,45 @@ def dedup_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is the plan that survives 100 TB; `dedup_simhash_pairs` is its
     brute-force twin for test-SF cross-checking."""
     fp = cache_scoped(simhash_fingerprints(spark, sf_dir))
+    return _simhash_banded_pairs(fp, n_chunks=4, chunk_bits=4)
+
+
+def _simhash_banded_pairs(
+    fp: DataFrame, n_chunks: int, chunk_bits: int, max_hamming: int = 3
+) -> DataFrame:
+    """Chunk-banded SimHash pair generation at any (n_chunks, chunk_bits)
+    geometry — pigeonhole requires max_hamming < n_chunks so every
+    qualifying pair shares at least one identical chunk.  Shared by the
+    16-bit oracle twin (4x4-bit nibbles, 16 buckets/band — fine at test SF)
+    and the 64-bit production shape (4x16-bit chunks, 65,536 buckets/band —
+    the geometry whose bucket sizes stay bounded at corpus scale)."""
+    assert max_hamming < n_chunks, "pigeonhole needs more chunks than flips"
+    mask = (1 << chunk_bits) - 1
     chunks = None
-    for c in range(4):
+    for c in range(n_chunks):
         ch = fp.select(
             "doc_id",
             "simhash",
             F.lit(c).alias("chunk_id"),
-            F.shiftright("simhash", 4 * c).bitwiseAND(F.lit(15)).alias("chunk"),
+            F.shiftright("simhash", chunk_bits * c)
+            .bitwiseAND(F.lit(mask))
+            .alias("chunk"),
         )
         chunks = ch if chunks is None else chunks.unionAll(ch)
     a = chunks.alias("a")
     b = chunks.alias("b")
     x = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-    # first-match-band dedup: all nibbles below chunk_id differ, i.e. the
-    # low 4*chunk_id bits of a⊕b have no zero nibble.  Build the check as
-    # "every earlier nibble is nonzero" with a bounded AND chain (chunk_id
-    # is one of 4 literals per union branch, so this folds per branch).
+    # first-match-band dedup: all chunks below chunk_id differ, i.e. the
+    # low chunk_bits*chunk_id bits of a⊕b have no zero chunk.  Build the
+    # check as "every earlier chunk is nonzero" with a bounded AND chain
+    # (chunk_id is one literal per union branch, so this folds per branch).
+    # Arithmetic-vs-logical shift is irrelevant: the mask keeps only the
+    # true low bits, so the sign bit of a 64-bit fingerprint never leaks.
     earlier_nonzero = F.lit(True)
-    for c in range(1, 4):
+    for c in range(1, n_chunks):
         earlier_nonzero = earlier_nonzero & (
             (F.col("a.chunk_id") < c)
-            | (F.shiftright(x, 4 * (c - 1)).bitwiseAND(F.lit(15)) != 0)
+            | (F.shiftright(x, chunk_bits * (c - 1)).bitwiseAND(F.lit(mask)) != 0)
         )
     return (
         a.join(
@@ -516,7 +550,7 @@ def dedup_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.doc_id").alias("b_id"),
             F.bit_count(x).alias("hamming"),
         )
-        .filter(F.col("hamming") <= 3)
+        .filter(F.col("hamming") <= max_hamming)
     )
 
 
@@ -541,6 +575,70 @@ def dedup_simhash_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     size at any corpus scale.  `dedup_simhash_banded` remains the
     pair-level oracle twin; this query wraps its exact plan."""
     pairs = dedup_simhash_banded(spark, sf_dir)
+    return pairs.groupBy("hamming").agg(
+        F.count("*").alias("n_pairs"),
+        F.count_distinct("a_id").alias("n_left_docs"),
+        F.count_distinct("b_id").alias("n_right_docs"),
+    )
+
+
+_SIMHASH_WIDE_BITS = 64
+_SIMHASH_WIDE_CHUNK_BITS = 16  # 4 chunks x 16 bits -> 65,536 buckets/band
+
+_DUCK_VOTES64, _DUCK_FP64 = _simhash_fp_sql("strpos", _SIMHASH_WIDE_BITS)
+
+_SIMHASH_WIDE_PAIRS_SQL = f"""
+WITH tokens AS (
+  SELECT DISTINCT doc_id, UNNEST(string_split(text, ' ')) AS word FROM documents
+),
+votes AS (
+  SELECT doc_id,
+       {_DUCK_VOTES64}
+  FROM tokens WHERE word <> '' GROUP BY doc_id
+),
+fp AS (SELECT doc_id, CAST({_DUCK_FP64} AS BIGINT) AS simhash FROM votes)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+_SIMHASH_WIDE_SUMMARY_ORACLE = f"""
+WITH pairs AS ({_SIMHASH_WIDE_PAIRS_SQL})
+SELECT hamming, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(COUNT(DISTINCT a_id) AS BIGINT) AS n_left_docs,
+       CAST(COUNT(DISTINCT b_id) AS BIGINT) AS n_right_docs
+FROM pairs GROUP BY hamming
+"""
+
+
+@query("dedup_simhash_summary_wide", _SIMHASH_WIDE_SUMMARY_ORACLE, tags=("dedup",))
+def dedup_simhash_summary_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION-GEOMETRY SimHash summary: 64-bit fingerprints banded
+    as 4 x 16-bit chunks (65,536 buckets per band) with Hamming ≤ 3 verify
+    — the shape `dedup_simhash_banded`'s docstring names as the 100 TB
+    plan, now a first-class oracle-checked query rather than a comment.
+
+    Why geometry matters (round-8 verdict item 2): the 16-bit twin's
+    4-bit nibbles give only 16 values per band, so at 50 M docs every
+    band bucket holds ~3 M docs and the verify join degenerates to
+    near-quadratic (913 s of the 100x smoke).  With 65,536 values per
+    band, bucket sizes are corpus/65,536 plus the true dup families —
+    bounded by data skew, not by the banding itself.  The 100x smoke
+    runs THIS query so the artifact measures the plan a cluster would
+    actually execute; the 16-bit twin stays as the sf-scale oracle pair
+    (`dedup_simhash_pairs`/`dedup_simhash_banded` cross-check) and the
+    round-comparable bench entry.
+
+    Bit 63 is the BIGINT sign bit (fingerprint adds -2^63 for a majority
+    vote there); xor/bit_count and the mask-after-shift chunk extraction
+    are bit-pattern operations, identical on both engines regardless of
+    sign — pinned by this query's own hash check."""
+    (docs,) = T(spark, sf_dir, "documents")
+    fp = cache_scoped(_spark_simhash_fp(docs, _SIMHASH_WIDE_BITS))
+    pairs = _simhash_banded_pairs(
+        fp, n_chunks=4, chunk_bits=_SIMHASH_WIDE_CHUNK_BITS
+    )
     return pairs.groupBy("hamming").agg(
         F.count("*").alias("n_pairs"),
         F.count_distinct("a_id").alias("n_left_docs"),
@@ -912,7 +1010,19 @@ def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _winnow_pairs(docs: DataFrame) -> DataFrame:
     """(a_id, b_id, n_shared) winnowing candidate pairs — the shared core
-    of `dedup_winnowing_pairs` and `dedup_graph_triangles`."""
+    of `dedup_winnowing_pairs` and `dedup_graph_triangles`.
+
+    Pair generation is the fingerprint-index SELF-JOIN, kept deliberately
+    after a measured round-9 A/B: the grouped-posting-list alternative
+    (groupBy(h).collect_list + map-side nested-transform pair explosion —
+    the move that cut minhash 201 s → 35 s) was 43% SLOWER here at both
+    the 10x and 100x smokes (4.0 → 5.7 s, 415 → ~590 s).  Minhash's win
+    came from deleting an explode-join-regroup VERIFY stage; winnowing
+    has no verify stage, so the swap only traded a whole-stage-codegen
+    sort-merge join for an ObjectHashAggregate building array state plus
+    per-row struct allocation.  The join's pair stream lands directly in
+    a partial hash agg (map-side combine across fingerprints), so total
+    shuffle volume is comparable and the JVM-tight join wins."""
     from pyspark.sql import Window as W
 
     words = docs.select(

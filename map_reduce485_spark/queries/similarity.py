@@ -2103,22 +2103,42 @@ def sq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SEMDEDUP_T = _NEARDUP_T
 
 
-def _semdedup_oracle(k: int = 16, iters: int = 3, dim: int = _DIM) -> str:
+def _semdedup_oracle(
+    k: int = 16, iters: int = 3, dim: int = _DIM, salt_cell: int | None = None
+) -> str:
+    """Lloyd replay + within-cell cosine prune; with ``salt_cell``, cells
+    larger than the cap are md5-sub-split first (the scaled variant's
+    deterministic worst-case bound), replayed with the same hex-prefix
+    integer hash as the Spark side."""
     dot = _duck_dot("a.u", "b.u", dim)
+    if salt_cell is None:
+        keyed = "SELECT vec_id, cid, 0 AS sb, v FROM asgf"
+    else:
+        keyed = f"""SELECT a.vec_id, a.cid,
+         CAST('0x' || substr(md5(CAST(a.vec_id AS VARCHAR)), 1, 4) AS INT)
+           % CAST((c.cn + {salt_cell - 1}) // {salt_cell} AS INT) AS sb,
+         a.v
+  FROM asgf a
+  JOIN (SELECT cid, COUNT(*) AS cn FROM asgf GROUP BY cid) c
+    ON c.cid = a.cid"""
     return (
         "WITH "
         + ",\n".join(_kmeans_train_ctes(k, iters, dim))
         + f""",
+keyed AS (
+  {keyed}
+),
 nv AS (
-  SELECT vec_id, cid, list_transform(v, x -> x / n) AS u
-  FROM (SELECT vec_id, cid, v, sqrt({_duck_sq('v', dim)}) AS n FROM asgf)
+  SELECT vec_id, cid, sb, list_transform(v, x -> x / n) AS u
+  FROM (SELECT vec_id, cid, sb, v, sqrt({_duck_sq('v', dim)}) AS n FROM keyed)
 )
 SELECT a.vec_id AS vec_id, CAST(a.cid AS BIGINT) AS cluster,
        CAST(SUM(CASE WHEN {dot} >= {_SEMDEDUP_T} THEN 1 ELSE 0 END)
             AS BIGINT) AS n_near_dups,
        CAST(1 - MAX(CASE WHEN {dot} >= {_SEMDEDUP_T} AND b.vec_id < a.vec_id
                          THEN 1 ELSE 0 END) AS INTEGER) AS is_kept
-FROM nv a LEFT JOIN nv b ON b.cid = a.cid AND b.vec_id <> a.vec_id
+FROM nv a LEFT JOIN nv b
+  ON b.cid = a.cid AND b.sb = a.sb AND b.vec_id <> a.vec_id
 GROUP BY a.vec_id, a.cid
 """
     )
@@ -2155,12 +2175,72 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     `_kmeans_train_ctes` and the identical sequential-fold cosine, so
     cluster ids, near-dup counts, and keep decisions all hash-match.
     """
+    return _semdedup_prune_at_k(spark, sf_dir, k=16)
+
+
+_SEMDEDUP_CELL = 256  # target expected cell size for the corpus-scaled k
+
+
+@query(
+    "semdedup_prune_scaled_k",
+    _semdedup_oracle(salt_cell=_SEMDEDUP_CELL),
+    tags=("similarity", "dedup"),
+)
+def semdedup_prune_scaled_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with CORPUS-SCALED k AND a deterministic cell-size cap —
+    the production form of `semdedup_prune` (round-8 open item): the
+    within-cell pairwise stage costs sum over cells of |cell|^2, so
+    production SemDeDup grows k with the corpus.  Here
+    k = max(16, n // {cell}) (expected cell ~{cell} vectors), PLUS the
+    bound k-means cannot promise: measured on this corpus at the 10x
+    smoke, 3 Lloyd iterations leave the MEDIAN cell at ~2,000 vectors
+    (k=78, synthetic embeddings have no real cluster structure), so
+    "k scales with n" alone still left the prune stage ~8x over budget.
+    Any cell larger than {cell} is therefore sub-split by a DETERMINISTIC
+    md5 hash of vec_id into ceil(|cell|/{cell}) sub-cells — the worst
+    case is now |cell| ≤ ~{cell} BY CONSTRUCTION, total pairwise cost
+    ≤ n·{cell} at any corpus and any clustering quality.  The trade is
+    the standard SemDeDup one, just finer: near-dup pairs split across
+    sub-cells are missed, exactly as pairs split across k-means cells
+    already are.
+
+    n comes from a count(*) action at plan build (parquet metadata);
+    k x dim centroids are the only driver-side state.  Oracle: the
+    SHARED `_kmeans_train_ctes` Lloyd replay at this corpus's k plus the
+    same hex-prefix md5 sub-split — at the sf0.01 gate (500 vectors →
+    k=16) the whole pipeline INCLUDING the salting is hash-checked; at
+    smoke scale only k and the split counts change."""
+    (emb,) = T(spark, sf_dir, "embeddings")
+    n = emb.count()
+    k = max(16, n // _SEMDEDUP_CELL)
+    return _semdedup_prune_at_k(spark, sf_dir, k=k, salt_cell=_SEMDEDUP_CELL)
+
+
+semdedup_prune_scaled_k.__doc__ = semdedup_prune_scaled_k.__doc__.format(
+    cell=_SEMDEDUP_CELL
+)
+
+
+def _semdedup_prune_at_k(
+    spark: SparkSession, sf_dir: str, k: int, salt_cell: int | None = None
+) -> DataFrame:
     from map_reduce485_spark.operators.kmeans import assign_clusters, kmeans_fit
 
     (emb,) = T(spark, sf_dir, "embeddings")
-    centroids = kmeans_fit(emb, k=16, iterations=3)
+    centroids = kmeans_fit(emb, k=k, iterations=3)
     assigned = assign_clusters(emb, centroids).select("vec_id", "embedding", "cluster")
-    nu = assigned.withColumn(
+    if salt_cell is None:
+        keyed = assigned.withColumn("sb", F.lit(0))
+    else:
+        sizes = assigned.groupBy("cluster").agg(F.count("*").alias("cn"))
+        keyed = assigned.join(F.broadcast(sizes), "cluster").withColumn(
+            "sb",
+            F.conv(
+                F.substring(F.md5(F.col("vec_id").cast("string")), 1, 4), 16, 10
+            ).cast("int")
+            % F.expr(f"CAST((cn + {salt_cell - 1}) div {salt_cell} AS INT)"),
+        )
+    nu = keyed.withColumn(
         "_n",
         F.expr(
             "sqrt(aggregate(transform(embedding,"
@@ -2170,37 +2250,39 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "vec_id",
         F.col("cluster").cast("long").alias("cluster"),
+        "sb",
         F.expr("transform(embedding, x -> CAST(x AS DOUBLE) / _n)").alias("u"),
     )
-    a = nu.select("vec_id", "cluster", F.col("u").alias("au"))
+    a = nu.select("vec_id", "cluster", "sb", F.col("u").alias("au"))
     b = nu.select(
         F.col("vec_id").alias("b_id"),
         F.col("cluster").alias("b_cluster"),
+        F.col("sb").alias("b_sb"),
         F.col("u").alias("bu"),
     )
     dot = F.expr(_UNIT_DOT.format(a="au", b="bu"))
-    near = (dot >= _SEMDEDUP_T).cast("int")
-    return (
-        a.join(
-            b,
-            (F.col("cluster") == F.col("b_cluster"))
-            & (F.col("vec_id") != F.col("b_id")),
-            "left",
-        )
-        .groupBy("vec_id", "cluster")
-        .agg(
-            F.sum(F.coalesce(near, F.lit(0))).alias("n_near_dups"),
-            (
-                1
-                - F.max(
-                    F.coalesce(
-                        (near.cast("boolean") & (F.col("b_id") < F.col("vec_id")))
-                        .cast("int"),
-                        F.lit(0),
-                    )
-                )
-            )
-            .cast("int")
-            .alias("is_kept"),
-        )
+    # score each pair ONCE in its own projection: the dot product is an
+    # interpreted higher-order function (no codegen, no guaranteed
+    # common-subexpression elimination), and CollapseProject refuses to
+    # inline a non-cheap alias referenced twice — so `_dot` is evaluated
+    # exactly once per joined row however many flags read it
+    scored = a.join(
+        b,
+        (F.col("cluster") == F.col("b_cluster"))
+        & (F.col("sb") == F.col("b_sb"))
+        & (F.col("vec_id") != F.col("b_id")),
+        "left",
+    ).select("vec_id", "cluster", "b_id", dot.alias("_dot"))
+    near = F.col("_dot") >= _SEMDEDUP_T
+    flagged = scored.select(
+        "vec_id",
+        "cluster",
+        F.coalesce(near.cast("int"), F.lit(0)).alias("near"),
+        F.coalesce(
+            (near & (F.col("b_id") < F.col("vec_id"))).cast("int"), F.lit(0)
+        ).alias("near_lower"),
+    )
+    return flagged.groupBy("vec_id", "cluster").agg(
+        F.sum("near").alias("n_near_dups"),
+        (1 - F.max("near_lower")).cast("int").alias("is_kept"),
     )

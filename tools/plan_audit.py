@@ -59,6 +59,8 @@ KNOWN_BNLJ: dict[str, int | None] = {
     # (same `assign_clusters` k-row probe as the IVF family); the pairwise
     # prune stage itself is an equi hash join on the cluster key
     "semdedup_prune": 64,
+    # same k-row centroid probe; k = max(16, n/256) = 16 at audit SF
+    "semdedup_prune_scaled_k": 64,
     # 20-row literal price-band table
     "range_join_price_bands": 64,
     # 10-row threshold grid x <=10-row score-bucket table: the retention
@@ -96,6 +98,9 @@ KNOWN_BNLJ: dict[str, int | None] = {
     "keyword_search_rank": 8,
     "share_of_parent": 8,
     "ks_two_sample_test": 8,
+    # the binned twins add a 1-row (mn, width) stats broadcast
+    "mann_whitney_u_binned": 8,
+    "ks_two_sample_binned": 8,
     "kcore_peeling": 8,
     # 2-row lag list broadcast onto the bounded post-agg hourly series
     "autocorrelation_hourly": 8,
