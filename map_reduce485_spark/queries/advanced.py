@@ -2846,3 +2846,71 @@ def ks_two_sample_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ks_two_sample_binned.__doc__ = ks_two_sample_binned.__doc__.format(b=_STATBIN_B)
+
+
+# ---------------------------------------------------------------------------
+# burstiness (Fano factor) of hourly event arrivals — round 9
+# ---------------------------------------------------------------------------
+
+_FANO_ORACLE = """
+WITH hc AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY event_type, hr
+),
+mo AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_hours,
+         CAST(SUM(c) AS BIGINT) AS s,
+         CAST(SUM(c * c) AS BIGINT) AS sq
+  FROM hc GROUP BY event_type
+)
+SELECT event_type, n_hours, s AS n_events,
+       CAST(s AS DOUBLE) / n_hours AS mean_per_hour,
+       (CAST(sq AS DOUBLE) / n_hours
+        - (CAST(s AS DOUBLE) / n_hours) * (CAST(s AS DOUBLE) / n_hours))
+       / (CAST(s AS DOUBLE) / n_hours) AS fano
+FROM mo
+"""
+
+
+@query("fano_burstiness_hourly", _FANO_ORACLE, tags=("advanced", "stats"))
+def fano_burstiness_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BURSTINESS of event arrivals per type: the Fano factor
+    (variance/mean of hourly counts) over each type's OBSERVED hours —
+    1.0 for a Poisson process, >1 for bursty arrivals, <1 for regular
+    ones.  The drift alarm that catches what a mean-rate comparison
+    can't: a scraper that delivers the same daily volume in hourly
+    spikes shifts Fano long before it shifts totals (pairs with
+    `anomaly_rolling_zscore`, which flags individual windows; this
+    summarizes the whole arrival process).
+
+    Exactness: hourly counts are integers, so the population-variance
+    moments (Σc, Σc²) are exact BIGINTs and every division happens once
+    in an identical expression tree on both engines.  Hours bucket on
+    integer epoch-microseconds div 3600e6 (the sub-second-safe
+    `unix_micros` discipline).  Observed-hours convention: hours with
+    zero events of a type contribute no row (documented; a dense-spine
+    variant is `time_gapfill_interpolate`'s move).  Plan: two
+    map-side-combinable groupBys, output |event types| rows."""
+    (events,) = T(spark, sf_dir, "events")
+    hc = events.groupBy(
+        "event_type",
+        # integer floor-div — a double divide + cast can round up across
+        # the hour boundary at epoch-microsecond magnitudes
+        F.expr("unix_micros(ts) div 3600000000").alias("hr"),
+    ).agg(F.count("*").alias("c"))
+    mo = hc.groupBy("event_type").agg(
+        F.count("*").alias("n_hours"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("sq"),
+    )
+    m = F.col("s").cast("double") / F.col("n_hours")
+    return mo.select(
+        "event_type",
+        "n_hours",
+        F.col("s").alias("n_events"),
+        m.alias("mean_per_hour"),
+        ((F.col("sq").cast("double") / F.col("n_hours") - m * m) / m).alias(
+            "fano"
+        ),
+    )

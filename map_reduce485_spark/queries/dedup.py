@@ -2179,3 +2179,262 @@ def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# LSH banding-geometry sweep — round 9 (design-tuning eval for the recall/
+# cost trade every production dedup run decides before committing a config)
+# ---------------------------------------------------------------------------
+
+# the three geometries expressible over the 8 shipped permutations:
+# 1 band x 8 rows (strictest: collide only if the WHOLE signature agrees),
+# the shipped 2 x 4, and 4 x 2 (loosest: most candidates, highest recall)
+_SWEEP_GEOMS = (
+    (1, ((0, 1, 2, 3, 4, 5, 6, 7),)),
+    (2, _BANDS),
+    (4, ((0, 1), (2, 3), (4, 5), (6, 7))),
+)
+
+
+def _band_sweep_oracle() -> str:
+    geom_sqls = []
+    for nb, bands in _SWEEP_GEOMS:
+        bsql = " UNION ALL ".join(
+            f"SELECT doc_id, {bi} AS band_id,"
+            f" md5({' || '.join(f'h{j}' for j in band)}) AS band FROM sig"
+            for bi, band in enumerate(bands)
+        )
+        geom_sqls.append(
+            f"""SELECT {nb} AS n_bands, {8 // nb} AS rows_per_band, a_id, b_id
+  FROM (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM ({bsql}) a JOIN ({bsql}) b
+          ON a.band_id = b.band_id AND a.band = b.band
+         AND a.doc_id < b.doc_id)"""
+        )
+    cands = "\n  UNION ALL ".join(geom_sqls)
+    return f"""
+WITH {_ORACLE_SHINGLES},
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+sig AS (
+  SELECT doc_id,
+         {_MINHASH_SIG_COLS_SQL}
+  FROM sh GROUP BY doc_id
+),
+epairs AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+exact AS (
+  SELECT e.a_id, e.b_id FROM epairs e
+  JOIN sizes sa ON sa.doc_id = e.a_id
+  JOIN sizes sb ON sb.doc_id = e.b_id
+  WHERE CAST(e.i AS DOUBLE) / (sa.n + sb.n - e.i) >= {_NGRAM_THRESHOLD}
+),
+cands AS (
+  {cands}
+),
+truth AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_true FROM exact),
+agg AS (
+  SELECT n_bands, rows_per_band,
+         CAST(COUNT(*) AS BIGINT) AS n_candidates,
+         CAST(SUM(CASE WHEN e.a_id IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_caught
+  FROM cands c
+  LEFT JOIN exact e ON e.a_id = c.a_id AND e.b_id = c.b_id
+  GROUP BY n_bands, rows_per_band
+)
+SELECT n_bands, rows_per_band, n_candidates, t.n_true, n_caught,
+       CAST(n_caught AS DOUBLE) / NULLIF(t.n_true, 0) AS recall
+FROM agg, truth t
+"""
+
+
+@query("dedup_lsh_band_sweep", _band_sweep_oracle(), tags=("dedup",))
+def dedup_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Realized candidate RECALL and candidate COUNT for every banding
+    geometry the 8-permutation signature supports (1x8, 2x4, 4x2) against
+    the exact-Jaccard baseline — the design-tuning table a production
+    dedup run reads before committing a config: more/narrower bands raise
+    the collision probability (1-(1-s^r)^b) and the candidate bill
+    together, and this query measures BOTH realized numbers instead of
+    quoting the formula (`dedup_lsh_recall_eval` tracks the one shipped
+    geometry; this sweeps the alternatives in one pass over one shared
+    signature build).
+
+    Scale note: like the recall eval, the exact baseline is the test-SF /
+    sampled-slice side; the candidate branches are banded equi-joins —
+    the same bucket-bounded shape as `dedup_minhash_lsh` — so the sweep
+    itself runs sampled in production (the smoke's sampled-slice protocol,
+    `tools/scale_smoke.py::build_recall_sample`)."""
+    (docs,) = T(spark, sf_dir, "documents")
+    sh = cache_scoped(_spark_shingles(docs))
+    sig = cache_scoped(
+        sh.groupBy("doc_id").agg(
+            *[
+                F.min(F.md5(F.concat(F.col("shingle"), F.lit(f"#{j}")))).alias(
+                    f"h{j}"
+                )
+                for j in range(_N_PERM)
+            ]
+        )
+    )
+    exact = cache_scoped(dedup_ngram_jaccard(spark, sf_dir).select("a_id", "b_id"))
+    cands = None
+    for nb, bands in _SWEEP_GEOMS:
+        digests = sig.select(
+            "doc_id",
+            *[
+                F.md5(F.concat(*[F.col(f"h{j}") for j in band])).alias(f"d{bi}")
+                for bi, band in enumerate(bands)
+            ],
+        )
+        rows = None
+        for bi in range(nb):
+            br = digests.select(
+                "doc_id",
+                F.lit(bi).alias("band_id"),
+                F.col(f"d{bi}").alias("band"),
+            )
+            rows = br if rows is None else rows.unionAll(br)
+        a = rows.alias("a")
+        b = rows.alias("b")
+        c = (
+            a.join(
+                b,
+                (F.col("a.band_id") == F.col("b.band_id"))
+                & (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id")
+            )
+            .distinct()
+            .select(
+                F.lit(nb).alias("n_bands"),
+                F.lit(8 // nb).alias("rows_per_band"),
+                "a_id",
+                "b_id",
+            )
+        )
+        cands = c if cands is None else cands.unionAll(c)
+    truth = exact.agg(F.count("*").alias("n_true"))
+    hits = exact.select(
+        F.col("a_id").alias("ea"), F.col("b_id").alias("eb"), F.lit(1).alias("hit")
+    )
+    agg = (
+        cands.join(
+            hits,
+            (F.col("a_id") == F.col("ea")) & (F.col("b_id") == F.col("eb")),
+            "left",
+        )
+        .groupBy("n_bands", "rows_per_band")
+        .agg(
+            F.count("*").alias("n_candidates"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_caught"),
+        )
+    )
+    return agg.crossJoin(F.broadcast(truth)).select(
+        "n_bands",
+        "rows_per_band",
+        "n_candidates",
+        "n_true",
+        "n_caught",
+        F.when(
+            F.col("n_true") > 0, F.col("n_caught").cast("double") / F.col("n_true")
+        ).alias("recall"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup survivorship report — round 9 (what did the pipeline do to my corpus)
+# ---------------------------------------------------------------------------
+
+_SURVIVORSHIP_ORACLE = f"""
+WITH RECURSIVE {_LSH_CLUSTERS_CTES},
+clusters AS (
+  SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id
+),
+ranked AS (
+  SELECT c.cluster_id, c.doc_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY c.cluster_id ORDER BY d.n_chars DESC, c.doc_id
+         ) AS rn
+  FROM clusters c JOIN documents d ON d.doc_id = c.doc_id
+),
+dropped AS (SELECT doc_id FROM ranked WHERE rn > 1),
+tok AS (
+  SELECT doc_id, lang,
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+              AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN dr.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_docs_dropped,
+       CAST(SUM(CASE WHEN dr.doc_id IS NOT NULL THEN n_tokens ELSE 0 END)
+            AS BIGINT) AS n_tokens_dropped,
+       CAST(SUM(CASE WHEN dr.doc_id IS NOT NULL THEN n_tokens ELSE 0 END)
+            AS DOUBLE) / SUM(n_tokens) AS frac_tokens_dropped
+FROM tok LEFT JOIN dropped dr ON dr.doc_id = tok.doc_id
+GROUP BY lang
+"""
+
+
+@query("dedup_survivorship_by_lang", _SURVIVORSHIP_ORACLE, tags=("dedup",))
+def dedup_survivorship_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language SURVIVORSHIP of the production dedup pipeline — the
+    before/after corpus accounting an operator reads after a dedup pass
+    (and the multilingual fairness check: near-dup pruning that eats one
+    language's tokens disproportionately shifts the training mixture):
+    document and token totals, how many of each the keep-best policy
+    drops, and the dropped-token fraction.  Drops come from the same
+    banded-star pipeline as `dedup_keep_best_star` (every cluster member
+    that is NOT the keep-best survivor); singleton documents never enter
+    a cluster and survive by construction.
+
+    Scale: the cluster/rank stages are the proven banded path; the
+    report adds one token-count scan and a left join on doc_id (the
+    dropped set is the small side — duplicates only), then a
+    |langs|-row groupBy."""
+    from pyspark.sql import Window as W
+
+    (docs,) = T(spark, sf_dir, "documents")
+    clusters = dedup_clusters_star(spark, sf_dir).select("doc_id", "cluster_id")
+    w = W.partitionBy("cluster_id").orderBy(F.col("n_chars").desc(), "doc_id")
+    dropped = (
+        clusters.join(docs.select("doc_id", "n_chars"), "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") > 1)
+        .select("doc_id", F.lit(1).alias("is_dropped"))
+    )
+    tok = docs.select(
+        "doc_id",
+        "lang",
+        F.size(F.expr("filter(split(text, ' '), x -> x <> '')"))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    flagged = tok.join(dropped, "doc_id", "left")
+    return flagged.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.sum(F.coalesce(F.col("is_dropped"), F.lit(0)))
+        .cast("long")
+        .alias("n_docs_dropped"),
+        F.sum(
+            F.when(F.col("is_dropped").isNotNull(), F.col("n_tokens")).otherwise(
+                F.lit(0)
+            )
+        ).alias("n_tokens_dropped"),
+        (
+            F.sum(
+                F.when(
+                    F.col("is_dropped").isNotNull(), F.col("n_tokens")
+                ).otherwise(F.lit(0))
+            ).cast("double")
+            / F.sum("n_tokens")
+        ).alias("frac_tokens_dropped"),
+    )

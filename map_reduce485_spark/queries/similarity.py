@@ -2286,3 +2286,116 @@ def _semdedup_prune_at_k(
         F.sum("near").alias("n_near_dups"),
         (1 - F.max("near_lower")).cast("int").alias("is_kept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# embedding-norm QA: per-label moments + outlier counts — round 9
+# ---------------------------------------------------------------------------
+
+_NORM_OUTLIER_Z = 3  # |z| > 3 in integer micro-units
+
+_NORM_OUTLIERS_ORACLE = f"""
+WITH e AS (
+  SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+nm AS (
+  SELECT label,
+         CAST(ROUND(sqrt({_duck_sq('v')}) * 1000000) AS BIGINT) AS u
+  FROM e
+),
+mo AS (
+  SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(u) AS BIGINT) AS s,
+         SUM(CAST(u AS DECIMAL(38,0)) * u) AS sq
+  FROM nm GROUP BY label
+),
+st AS (
+  SELECT label, n, s, sq,
+         CAST(s AS DOUBLE) / n AS mean_u,
+         sqrt(CAST(sq AS DOUBLE) / n
+              - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)) AS std_u
+  FROM mo
+)
+SELECT st.label, st.n,
+       st.mean_u / 1000000 AS mean_norm,
+       st.std_u / 1000000 AS std_norm,
+       CAST(SUM(CASE WHEN abs(nm.u - st.mean_u) > {_NORM_OUTLIER_Z} * st.std_u
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM nm JOIN st ON st.label = nm.label
+GROUP BY st.label, st.n, st.mean_u, st.std_u
+"""
+
+
+@query("embedding_norm_outliers", _NORM_OUTLIERS_ORACLE, tags=("similarity",))
+def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-norm QA per label: mean/std of the L2 norm and the count
+    of |z| > {z} outliers — the standard sanity screen before any
+    cosine-based pipeline (a batch of zero/exploded-norm vectors from a
+    bad encoder run poisons both ANN recall and SemDeDup pruning, and it
+    shows up here first).
+
+    Exactness: each norm is one sqrt (IEEE-correctly-rounded, identical
+    on both engines), then quantized to integer MICRO-UNITS — so the
+    per-label sums that feed mean/std are order-independent integer/
+    decimal arithmetic (the `operators/kmeans.py` discipline), and the
+    outlier comparison |u - mean| > {z}·std evaluates the identical
+    double expression tree on both engines.  Two passes over the slim
+    (label, u) stream: moments groupBy, then a broadcast join back
+    (labels are catalog-sized) for the outlier count."""
+    (emb,) = T(spark, sf_dir, "embeddings")
+    nm = emb.select(
+        "label",
+        F.round(
+            F.expr(
+                "sqrt(aggregate(transform(embedding,"
+                " y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)),"
+                " 0D, (acc, v) -> acc + v))"
+            )
+            * 1000000
+        )
+        .cast("long")
+        .alias("u"),
+    )
+    mean_u = F.col("s").cast("double") / F.col("n")
+    st = (
+        nm.groupBy("label")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("u").alias("s"),
+            F.sum(F.col("u").cast("decimal(38,0)") * F.col("u")).alias("sq"),
+        )
+        .select(
+            "label",
+            "n",
+            mean_u.alias("mean_u"),
+            F.sqrt(
+                F.col("sq").cast("double") / F.col("n") - mean_u * mean_u
+            ).alias("std_u"),
+        )
+    )
+    return (
+        nm.join(F.broadcast(st), "label")
+        .groupBy("label", "n", "mean_u", "std_u")
+        .agg(
+            F.sum(
+                (
+                    F.abs(F.col("u") - F.col("mean_u"))
+                    > _NORM_OUTLIER_Z * F.col("std_u")
+                ).cast("int")
+            )
+            .cast("long")
+            .alias("n_outliers")
+        )
+        .select(
+            "label",
+            "n",
+            (F.col("mean_u") / 1000000).alias("mean_norm"),
+            (F.col("std_u") / 1000000).alias("std_norm"),
+            "n_outliers",
+        )
+    )
+
+
+embedding_norm_outliers.__doc__ = embedding_norm_outliers.__doc__.format(
+    z=_NORM_OUTLIER_Z
+)

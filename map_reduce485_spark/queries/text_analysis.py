@@ -2399,3 +2399,77 @@ def psi_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(F.broadcast(b), F.col("source_a") < F.col("source_b"))
         .select("source_a", "source_b", "n_a", "n_b", F.round(psi, 6).alias("psi"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Gini concentration of the token-frequency distribution — round 9
+# ---------------------------------------------------------------------------
+
+_GINI_ORACLE = """
+WITH tok AS (
+  SELECT UNNEST(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+         AS t
+  FROM documents
+),
+counts AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY t),
+ranked AS (
+  SELECT c, ROW_NUMBER() OVER (ORDER BY c, t) AS i FROM counts
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_vocab,
+         CAST(SUM(c) AS BIGINT) AS n_tokens,
+         SUM(CAST(i AS DECIMAL(38,0)) * c) AS ixc
+  FROM ranked
+)
+SELECT n_vocab, n_tokens,
+       (2e0 * CAST(ixc AS DOUBLE))
+         / (CAST(n_vocab AS DOUBLE) * CAST(n_tokens AS DOUBLE))
+       - (CAST(n_vocab AS DOUBLE) + 1e0) / CAST(n_vocab AS DOUBLE) AS gini
+FROM agg
+"""
+
+
+@query("gini_token_concentration", _GINI_ORACLE, tags=("text", "stats"))
+def gini_token_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of the corpus token-FREQUENCY distribution — the
+    standard inequality summary of vocabulary concentration (0 = every
+    type equally frequent, →1 = a few types dominate), the one-number
+    companion to `vocab_top_bigrams`/`token_entropy` that a data-mixing
+    pipeline tracks across sources and dedup passes (boilerplate-heavy
+    corpora have distinctly higher Gini).
+
+    Uses the exact sorted-rank identity G = 2·Σ i·x_(i) / (n·Σx) − (n+1)/n
+    over counts sorted ascending: every term before the two final
+    divisions is integer (Σ i·x as DECIMAL(38,0) — i·x reaches n·Σx,
+    past BIGINT at corpus scale), and equal counts commute (swapping tied
+    ranks leaves Σ i·x unchanged), so the (c, token) tiebreak is for rank
+    determinism only and the result is order-independent.  The global
+    rank over the VOCABULARY (bounded by distinct types, not corpus rows)
+    is `distributed_rank` — range-partitioned, no single-partition
+    window, the same primitive behind `token_balanced_shards`."""
+    (docs,) = T(spark, sf_dir, "documents")
+    counts = (
+        docs.select(
+            F.explode(
+                F.expr("filter(split(lower(text), ' '), x -> x <> '')")
+            ).alias("t")
+        )
+        .groupBy("t")
+        .agg(F.count("*").alias("c"))
+    )
+    ranked = distributed_rank(counts, [F.col("c"), F.col("t")], alias="i")
+    agg = ranked.agg(
+        F.count("*").alias("n_vocab"),
+        F.sum("c").alias("n_tokens"),
+        F.sum(F.col("i").cast("decimal(38,0)") * F.col("c")).alias("ixc"),
+    )
+    nv = F.col("n_vocab").cast("double")
+    return agg.select(
+        "n_vocab",
+        "n_tokens",
+        (
+            (F.lit(2.0) * F.col("ixc").cast("double"))
+            / (nv * F.col("n_tokens").cast("double"))
+            - (nv + F.lit(1.0)) / nv
+        ).alias("gini"),
+    )

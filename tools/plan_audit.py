@@ -82,6 +82,8 @@ KNOWN_BNLJ: dict[str, int | None] = {
     "hll_estimate_distinct": 8,
     # two 1-row count aggregates cross-joined into the recall report row
     "dedup_lsh_recall_eval": 8,
+    # 1-row n_true broadcast onto the 3-row per-geometry aggregate
+    "dedup_lsh_band_sweep": 8,
     "kmv_distinct_estimate": 8,
     "kmv_set_ops_estimate": 8,
     "embedding_covariance_matrix": 8,
