@@ -2914,3 +2914,56 @@ def fano_burstiness_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             "fano"
         ),
     )
+
+
+_EXACT_QUANTILES_ORACLE = """
+WITH r AS (
+  SELECT n_chars,
+         ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS rk
+  FROM documents
+),
+n AS (SELECT COUNT(*) AS n FROM documents),
+qs(pct) AS (VALUES (25), (50), (75), (90), (99))
+SELECT qs.pct,
+       CAST((qs.pct * n.n + 99) // 100 AS BIGINT) AS rk,
+       r.n_chars AS value
+FROM qs CROSS JOIN n
+JOIN r ON r.rk = (qs.pct * n.n + 99) // 100
+"""
+
+
+@query("exact_global_quantiles", _EXACT_QUANTILES_ORACLE, tags=("advanced", "stats"))
+def exact_global_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT global percentiles (p25/p50/p75/p90/p99 of document length)
+    via the distributed rank primitive — the ground-truth twin of
+    `approx_percentile_binned`, for when a pipeline needs the real
+    quantile, not a sketch (contract thresholds, billing tiers, SLA
+    lines).
+
+    A naive exact quantile is `row_number()` over a global ORDER BY —
+    the single-partition window this repo bans (plan-audit rule).  Here
+    the rank comes from `distributed_rank` (range repartition + local
+    sort + broadcast partition-offset prefix sums, `_util.py`), so every
+    stage is partitioned; the only driver-side values are the corpus
+    count (one scalar) and the 5 target ranks computed from it.
+
+    Determinism: target rank = ceil(pct*n/100) computed in INTEGER
+    arithmetic ((pct*n + 99) div 100) — no float ceil at the boundary —
+    and (n_chars, doc_id) is a total order, so ranks are engine-stable.
+    Scale: one full shuffle of (n_chars, doc_id) pairs — two longs per
+    document, not the documents — plus a broadcast 5-row join."""
+    from map_reduce485_spark.queries._util import distributed_rank
+
+    (docs,) = T(spark, sf_dir, "documents")
+    n = docs.count()  # one scalar to the driver — the only collect
+    targets = spark.createDataFrame(
+        [(p, (p * n + 99) // 100) for p in (25, 50, 75, 90, 99)],
+        "pct int, rk bigint",
+    )
+    ranked = distributed_rank(
+        docs.select("n_chars", "doc_id"), ["n_chars", "doc_id"], alias="rk"
+    )
+    return (
+        ranked.join(F.broadcast(targets), "rk")
+        .select("pct", "rk", F.col("n_chars").alias("value"))
+    )

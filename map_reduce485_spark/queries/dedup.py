@@ -2438,3 +2438,86 @@ def dedup_survivorship_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("n_tokens")
         ).alias("frac_tokens_dropped"),
     )
+
+
+# ---------------------------------------------------------------------------
+# leakage-safe dataset split: near-dup clusters routed atomically — round 9
+# ---------------------------------------------------------------------------
+
+_CLUSTER_SAFE_SPLIT_ORACLE = f"""
+WITH RECURSIVE {_LSH_CLUSTERS_CTES},
+clusters AS (
+  SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id
+),
+keyed AS (
+  SELECT d.doc_id, d.n_chars,
+         COALESCE(c.cluster_id, d.doc_id) AS group_key,
+         c.cluster_id IS NOT NULL AS clustered
+  FROM documents d LEFT JOIN clusters c ON c.doc_id = d.doc_id
+),
+assigned AS (
+  SELECT *,
+         CASE WHEN CAST('0x' || substr(md5(CAST(group_key AS VARCHAR)), 1, 8) AS BIGINT)
+                   % 100 < 80 THEN 'train'
+              WHEN CAST('0x' || substr(md5(CAST(group_key AS VARCHAR)), 1, 8) AS BIGINT)
+                   % 100 < 90 THEN 'val'
+              ELSE 'test' END AS split
+  FROM keyed
+)
+SELECT split,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CAST(clustered AS INTEGER)) AS BIGINT) AS n_clustered_docs,
+       COUNT(DISTINCT group_key) AS n_groups,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM assigned GROUP BY split
+"""
+
+
+@query("cluster_safe_split", _CLUSTER_SAFE_SPLIT_ORACLE, tags=("dedup", "etl"))
+def cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAKAGE-SAFE train/val/test split: every near-dup CLUSTER is routed
+    to one split atomically, so no document can sit in train while its
+    near-copy sits in test — the eval-integrity failure
+    `split_leakage_check` measures after the fact, prevented by
+    construction here (hash the cluster id, not the doc id; singletons
+    hash their own id, which is `dataset_split_assign`'s rule, so the two
+    splits agree on every unclustered document).
+
+    Pipeline: banded MinHash-LSH verified pairs → star components
+    (`dedup_clusters_star`, every stage bucket/component-bounded) →
+    left-join back to the full corpus → md5-bucket the group key with the
+    SAME 80/10/10 hash rule as `dataset_split_assign` → per-split totals.
+    Cross-split leakage is structurally zero: a cluster has one group_key,
+    a group_key has one hash, a hash has one split.
+
+    Scale: the join adds one shuffle keyed on doc_id over (doc_id,
+    cluster_id) longs; the split assignment is a map-side expression; the
+    report is a 3-row aggregate with map-side partials."""
+    (docs,) = T(spark, sf_dir, "documents")
+    clusters = dedup_clusters_star(spark, sf_dir).select("doc_id", "cluster_id")
+    keyed = docs.select("doc_id", "n_chars").join(clusters, "doc_id", "left").select(
+        "doc_id",
+        "n_chars",
+        F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("group_key"),
+        F.col("cluster_id").isNotNull().alias("clustered"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("group_key").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    return (
+        keyed.withColumn(
+            "split",
+            F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"),
+        )
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("clustered").cast("int")).cast("bigint").alias(
+                "n_clustered_docs"
+            ),
+            F.countDistinct("group_key").alias("n_groups"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )

@@ -470,3 +470,97 @@ def kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
 kcore_peeling.__doc__ = kcore_peeling.__doc__.format(
     rounds=_KCORE_ROUNDS, k=_KCORE_K
 )
+
+
+# ---------------------------------------------------------------------------
+# weighted label propagation (community detection) — round 9
+# ---------------------------------------------------------------------------
+
+_LPA_ITERS = 4
+
+
+def _oracle_lpa() -> str:
+    """Unrolled fixed-iteration weighted LPA as chained CTEs — the literal
+    synchronous recurrence the Spark loop runs, replayed sequentially."""
+    ctes = [
+        "e0 AS (SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst,"
+        " COUNT(*) AS w FROM orders JOIN lineitem ON l_orderkey = o_orderkey"
+        " GROUP BY o_custkey, l_suppkey)",
+        "edges AS (SELECT src, dst, w FROM e0 UNION ALL SELECT dst, src, w FROM e0)",
+        "l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges)",
+    ]
+    for it in range(1, _LPA_ITERS + 1):
+        ctes.append(
+            f"l{it} AS (SELECT node, label FROM ("
+            "SELECT node, label, ROW_NUMBER() OVER ("
+            "PARTITION BY node ORDER BY wsum DESC, label) AS rn FROM ("
+            "SELECT node, label, SUM(w) AS wsum FROM ("
+            f"SELECT e.dst AS node, l.label, e.w FROM l{it - 1} l "
+            "JOIN edges e ON e.src = l.node "
+            f"UNION ALL SELECT node, label, 1 FROM l{it - 1}"
+            ") GROUP BY node, label)) WHERE rn = 1)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT node, label AS community FROM l{_LPA_ITERS}"
+    )
+
+
+@query("label_propagation_communities", _oracle_lpa(), tags=("graph", "iterative"))
+def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by WEIGHTED synchronous label propagation over
+    the customer–supplier trade graph — the canonical near-linear
+    community algorithm (Raghavan et al. 2007), completing the graph
+    family next to PageRank (importance), BFS/SSSP (reachability),
+    k-core (density), and the dedup star components (connectivity).
+
+    Graph: bipartite customers (2k) / suppliers (2k+1) weighted by the
+    number of lineitems traded, symmetrized.  Update rule, 4 synchronous
+    rounds: each node adopts the label with the largest incident edge
+    weight among its neighbors' labels PLUS its own current label at
+    weight 1 (the self-vote damps the 2-cycle oscillation synchronous
+    LPA exhibits on bipartite graphs); ties break to the SMALLEST label,
+    so every round is deterministic and the DuckDB oracle replays the
+    identical recurrence as unrolled CTEs — hash-checked through all
+    four rounds, same discipline as `pagerank_trade_graph`'s integer
+    power iterations.
+
+    Scale: each round is one join of the label frame against the edge
+    list (shuffle keyed on node id, the standard Pregel message
+    exchange), one partial-agg groupBy on (node, label), and one
+    per-node argmax window (partitioned BY NODE, never global).  Edge
+    weights and vote sums are exact integers end to end."""
+    from pyspark.sql import Window as W
+
+    orders, lineitem = T(spark, sf_dir, "orders", "lineitem")
+    e0 = (
+        orders.join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .agg(F.count("*").alias("w"))
+    )
+    edges = e0.unionAll(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    )
+    edges = cache_scoped(edges)
+    labels = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    w_arg = W.partitionBy("node").orderBy(F.col("wsum").desc(), "label")
+    for _ in range(_LPA_ITERS):
+        votes = (
+            edges.join(labels, F.col("src") == F.col("node"))
+            .select(F.col("dst").alias("node"), "label", "w")
+            .unionAll(labels.select("node", "label", F.lit(1).cast("long").alias("w")))
+        )
+        labels = (
+            votes.groupBy("node", "label")
+            .agg(F.sum("w").alias("wsum"))
+            .withColumn("rn", F.row_number().over(w_arg))
+            .filter(F.col("rn") == 1)
+            .select("node", "label")
+        )
+        labels = cache_scoped(labels)
+    return labels.select("node", F.col("label").alias("community"))

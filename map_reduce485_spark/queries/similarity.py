@@ -2399,3 +2399,259 @@ def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 embedding_norm_outliers.__doc__ = embedding_norm_outliers.__doc__.format(
     z=_NORM_OUTLIER_Z
 )
+
+
+# ---------------------------------------------------------------------------
+# hyperplane-LSH recall evaluation vs the brute-force baseline — round 9
+# ---------------------------------------------------------------------------
+
+_ANN_LSH_RECALL_ORACLE = f"""
+WITH {_DUCK_EMB_CTE},
+{_DUCK_PLANES_CTE},
+{_DUCK_BUCKETS_CTE},
+scored AS (
+  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         list_cosine_similarity(
+           CAST(q.embedding AS DOUBLE[]), CAST(n.embedding AS DOUBLE[])
+         ) AS sim,
+         qb.bucket = nb.bucket AS same_bucket
+  FROM embeddings q
+  JOIN embeddings n ON n.vec_id <> q.vec_id
+  JOIN buckets qb ON qb.vec_id = q.vec_id
+  JOIN buckets nb ON nb.vec_id = n.vec_id
+  WHERE q.vec_id < 5
+),
+exact10 AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY query_id ORDER BY sim DESC, neighbor_id
+           ) AS rk
+    FROM scored
+  ) WHERE rk <= 10
+),
+lsh10 AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY query_id ORDER BY sim DESC, neighbor_id
+           ) AS rk
+    FROM scored WHERE same_bucket
+  ) WHERE rk <= 10
+),
+nb AS (
+  SELECT query_id, COUNT(*) AS n_bucket FROM scored
+  WHERE same_bucket GROUP BY query_id
+),
+nl AS (SELECT query_id, COUNT(*) AS n_lsh FROM lsh10 GROUP BY query_id),
+h AS (
+  SELECT e.query_id, COUNT(*) AS n_hits
+  FROM exact10 e JOIN lsh10 l
+    ON l.query_id = e.query_id AND l.neighbor_id = e.neighbor_id
+  GROUP BY e.query_id
+),
+qids AS (SELECT DISTINCT query_id FROM scored)
+SELECT q.query_id,
+       CAST(COALESCE(nb.n_bucket, 0) AS BIGINT) AS n_bucket,
+       CAST(COALESCE(nl.n_lsh, 0) AS BIGINT) AS n_lsh,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       COALESCE(h.n_hits, 0) / 10.0 AS recall
+FROM qids q
+LEFT JOIN nb ON nb.query_id = q.query_id
+LEFT JOIN nl ON nl.query_id = q.query_id
+LEFT JOIN h ON h.query_id = q.query_id
+"""
+
+
+@query("ann_lsh_recall_eval", _ANN_LSH_RECALL_ORACLE, tags=("similarity", "eval"))
+def ann_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of single-probe hyperplane-LSH search against the exact
+    brute-force baseline — the eval that decides whether the bucketed ANN
+    path (`ann_lsh_buckets`) can be trusted at corpus scale, the dense
+    sibling of `dedup_lsh_recall_eval` (minhash banding recall) and the
+    third member of the recall-eval family with `matryoshka_recall_eval`
+    and `sq_recall_eval`.
+
+    Per query (vec_id < 5): exact top-10 by cosine over the whole corpus;
+    LSH top-10 restricted to the query's 8-bit bucket (single-probe —
+    production multi-probe only raises recall, so this is the floor);
+    n_hits = |intersection|, recall = n_hits/10.  n_bucket exposes the
+    candidate count the bucket actually reranked — the cost side of the
+    recall/cost trade.
+
+    Scale: the exact side here is the eval harness, not the serving path
+    (production runs it on a sampled query slice exactly like the minhash
+    recall eval); the LSH side is one broadcast of the query buckets and a
+    bucket-equi-join — the shape that serves at 100 TB.  Both sides'
+    ordering keys and tiebreaks are identical across engines; counts and
+    the /10 recall are integer-exact."""
+    from pyspark.sql import Window as W
+
+    (emb,) = T(spark, sf_dir, "embeddings")
+    buckets = ann_lsh_buckets(spark, sf_dir).select("vec_id", "bucket")
+    q = (
+        emb.filter(F.col("vec_id") < 5)
+        .join(buckets, "vec_id")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("bucket").alias("q_bucket"),
+        )
+    )
+    n = emb.join(buckets, "vec_id").select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("n_emb"),
+        F.col("bucket").alias("n_bucket_id"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(n, F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_col("q_emb", "n_emb").alias("sim"),
+            (F.col("q_bucket") == F.col("n_bucket_id")).alias("same_bucket"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), "neighbor_id")
+    exact10 = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .select("query_id", "neighbor_id")
+    )
+    lsh_cand = scored.filter("same_bucket")
+    lsh10 = (
+        lsh_cand.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .select("query_id", "neighbor_id")
+    )
+    nb = lsh_cand.groupBy("query_id").agg(F.count("*").alias("n_bucket"))
+    nl = lsh10.groupBy("query_id").agg(F.count("*").alias("n_lsh"))
+    h = (
+        exact10.join(lsh10, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    qids = scored.select("query_id").distinct()
+    return (
+        qids.join(nb, "query_id", "left")
+        .join(nl, "query_id", "left")
+        .join(h, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_bucket", F.lit(0)).cast("bigint").alias("n_bucket"),
+            F.coalesce("n_lsh", F.lit(0)).cast("bigint").alias("n_lsh"),
+            F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) / 10.0).alias("recall"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# sparse TF cosine top-k via inverted index — round 9
+# ---------------------------------------------------------------------------
+
+_SPARSE_COSINE_ORACLE = """
+WITH terms AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY doc_id, term),
+norms AS (
+  SELECT doc_id, sqrt(CAST(CAST(SUM(tf * tf) AS BIGINT) AS DOUBLE)) AS nrm
+  FROM tf GROUP BY doc_id
+),
+dots AS (
+  SELECT q.doc_id AS query_id, d.doc_id AS doc_id,
+         COUNT(*) AS n_shared,
+         CAST(SUM(q.tf * d.tf) AS BIGINT) AS dot
+  FROM tf q JOIN tf d ON d.term = q.term AND d.doc_id <> q.doc_id
+  WHERE q.doc_id < 5
+  GROUP BY q.doc_id, d.doc_id
+),
+scored AS (
+  SELECT dots.query_id, dots.doc_id, dots.n_shared, dots.dot,
+         CAST(dots.dot AS DOUBLE) / (qn.nrm * dn.nrm) AS sim
+  FROM dots
+  JOIN norms qn ON qn.doc_id = dots.query_id
+  JOIN norms dn ON dn.doc_id = dots.doc_id
+)
+SELECT query_id, doc_id, n_shared, dot, sim, rk FROM (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, doc_id) AS rk
+  FROM scored
+) WHERE rk <= 10
+"""
+
+
+@query("sparse_cosine_topk", _SPARSE_COSINE_ORACLE, tags=("similarity", "text", "search"))
+def sparse_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse term-frequency cosine top-10 via an INVERTED INDEX — the
+    classic IR retrieval shape (term-at-a-time scoring), the sparse
+    sibling of `cosine_topk_bruteforce`: no embeddings, just the corpus'
+    own term statistics (pairs with `keyword_search_rank`, which scores a
+    literal keyword set; here the query is a whole document vector).
+
+    Per query doc (doc_id < 5): dot(q, d) = Σ_shared-terms tf_q·tf_d
+    accumulated by an equi-join on term (the inverted-index posting
+    join), normalized by the precomputed per-doc L2 norms, top-10 by
+    (sim desc, doc_id).
+
+    Determinism: tf vectors are integers, so dots and squared norms are
+    exact BIGINTs; sim is one double division of identically-derived
+    doubles — bit-stable without rounding.  Scale: the posting join is
+    keyed on term and bounded by the (broadcast-sized) query side's
+    postings; production corpora additionally cap posting-list length
+    (drop terms with DF above a stop-term threshold) — this corpus has a
+    closed ~40-term vocabulary, so a DF cap would be vacuous here and is
+    documented rather than exercised.  Per-query scoring is one
+    partial-agg groupBy; the top-k window partitions BY QUERY, never
+    globally."""
+    from pyspark.sql import Window as W
+
+    (docs,) = T(spark, sf_dir, "documents")
+    terms = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr("filter(split(lower(text), ' '), x -> x <> '')")
+        ).alias("term"),
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    tf = cache_scoped(tf)
+    norms = tf.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("tf") * F.col("tf")).cast("double")).alias("nrm")
+    )
+    qpost = tf.filter(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("query_id"), "term", F.col("tf").alias("q_tf")
+    )
+    dots = (
+        F.broadcast(qpost)
+        .join(tf, ["term"])
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.count("*").alias("n_shared"),
+            F.sum(F.col("q_tf") * F.col("tf")).cast("bigint").alias("dot"),
+        )
+    )
+    qn = norms.select(F.col("doc_id").alias("query_id"), F.col("nrm").alias("q_nrm"))
+    scored = (
+        dots.join(F.broadcast(qn), "query_id")
+        .join(norms, "doc_id")
+        .select(
+            "query_id",
+            "doc_id",
+            "n_shared",
+            "dot",
+            (F.col("dot").cast("double") / (F.col("q_nrm") * F.col("nrm"))).alias(
+                "sim"
+            ),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), "doc_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .select("query_id", "doc_id", "n_shared", "dot", "sim", "rk")
+    )
