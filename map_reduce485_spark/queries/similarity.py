@@ -2655,3 +2655,167 @@ def sparse_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 10)
         .select("query_id", "doc_id", "n_shared", "dot", "sim", "rk")
     )
+
+
+_ANN_MULTIPROBE_ORACLE = f"""
+WITH {_DUCK_EMB_CTE},
+{_DUCK_PLANES_CTE},
+{_DUCK_BUCKETS_CTE},
+probes AS (
+  SELECT b.vec_id AS query_id,
+         CASE WHEN p.p = {_N_PLANES} THEN b.bucket
+              ELSE xor(b.bucket, CAST(1 << p.p AS BIGINT)) END AS pbucket
+  FROM buckets b CROSS JOIN (SELECT unnest(generate_series(0, {_N_PLANES})) AS p) p
+  WHERE b.vec_id < 5
+),
+scored AS (
+  SELECT pr.query_id, nb.vec_id AS neighbor_id,
+         list_cosine_similarity(
+           CAST(q.embedding AS DOUBLE[]), CAST(n.embedding AS DOUBLE[])
+         ) AS sim
+  FROM probes pr
+  JOIN buckets nb ON nb.bucket = pr.pbucket AND nb.vec_id <> pr.query_id
+  JOIN embeddings q ON q.vec_id = pr.query_id
+  JOIN embeddings n ON n.vec_id = nb.vec_id
+),
+exact10 AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_cosine_similarity(
+               CAST(q.embedding AS DOUBLE[]), CAST(n.embedding AS DOUBLE[])
+             ) DESC, n.vec_id
+           ) AS rk
+    FROM embeddings q JOIN embeddings n ON n.vec_id <> q.vec_id
+    WHERE q.vec_id < 5
+  ) WHERE rk <= 10
+),
+lsh10 AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY query_id ORDER BY sim DESC, neighbor_id
+           ) AS rk
+    FROM scored
+  ) WHERE rk <= 10
+),
+nc AS (SELECT query_id, COUNT(*) AS n_cand FROM scored GROUP BY query_id),
+nl AS (SELECT query_id, COUNT(*) AS n_lsh FROM lsh10 GROUP BY query_id),
+h AS (
+  SELECT e.query_id, COUNT(*) AS n_hits
+  FROM exact10 e JOIN lsh10 l
+    ON l.query_id = e.query_id AND l.neighbor_id = e.neighbor_id
+  GROUP BY e.query_id
+),
+qids AS (SELECT vec_id AS query_id FROM embeddings WHERE vec_id < 5)
+SELECT q.query_id,
+       CAST(COALESCE(nc.n_cand, 0) AS BIGINT) AS n_cand,
+       CAST(COALESCE(nl.n_lsh, 0) AS BIGINT) AS n_lsh,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       COALESCE(h.n_hits, 0) / 10.0 AS recall
+FROM qids q
+LEFT JOIN nc ON nc.query_id = q.query_id
+LEFT JOIN nl ON nl.query_id = q.query_id
+LEFT JOIN h ON h.query_id = q.query_id
+"""
+
+
+@query(
+    "ann_lsh_multiprobe_recall",
+    _ANN_MULTIPROBE_ORACLE,
+    tags=("similarity", "eval"),
+)
+def ann_lsh_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of MULTI-PROBE hyperplane-LSH search — the production
+    refinement of `ann_lsh_recall_eval`'s single-probe floor: each query
+    probes its own 8-bit bucket PLUS the 8 Hamming-distance-1 buckets
+    (one sign bit flipped), the standard multi-probe schedule (Lv et al.,
+    VLDB'07) that buys recall without growing the index.
+
+    Per query (vec_id < 5): candidates = vectors in any of the 9 probe
+    buckets (buckets are disjoint, so no pair dedup is needed), reranked
+    by exact cosine, top-10 vs the exact brute-force top-10.  n_cand is
+    the reranking cost actually paid — read next to the single-probe
+    eval, the pair quantifies the recall/cost curve the banding geometry
+    buys (`dedup_lsh_band_sweep` is the same table for minhash).
+
+    Scale: probe generation is a 9-row-per-query map-side expansion of
+    the BROADCAST query side; candidate selection is one equi-join on
+    bucket id against the bucketed corpus — never a scan of un-bucketed
+    vectors; rerank cost is bounded by the probed buckets' occupancy."""
+    from pyspark.sql import Window as W
+
+    (emb,) = T(spark, sf_dir, "embeddings")
+    buckets = ann_lsh_buckets(spark, sf_dir).select("vec_id", "bucket")
+    qb = buckets.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("bucket").alias("q_bucket")
+    )
+    probe_ids = spark.range(_N_PLANES + 1).select(F.col("id").alias("p"))
+    probes = qb.crossJoin(F.broadcast(probe_ids)).select(
+        "query_id",
+        F.when(F.col("p") == _N_PLANES, F.col("q_bucket"))
+        .otherwise(
+            F.expr(f"q_bucket ^ CAST(shiftleft(1, CAST(p AS INT)) AS BIGINT)")
+        )
+        .alias("pbucket"),
+    )
+    cand = (
+        F.broadcast(probes)
+        .join(
+            buckets.select(
+                F.col("vec_id").alias("neighbor_id"), F.col("bucket").alias("nb")
+            ),
+            (F.col("nb") == F.col("pbucket"))
+            & (F.col("neighbor_id") != F.col("query_id")),
+        )
+        .select("query_id", "neighbor_id")
+    )
+    qemb = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    nemb = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("n_emb")
+    )
+    scored = (
+        cand.join(F.broadcast(qemb), "query_id")
+        .join(nemb, "neighbor_id")
+        .select("query_id", "neighbor_id", cosine_col("q_emb", "n_emb").alias("sim"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), "neighbor_id")
+    # exact top-10 baseline (brute force over the whole corpus)
+    exact_scored = (
+        F.broadcast(qemb)
+        .join(nemb, F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cosine_col("q_emb", "n_emb").alias("sim"))
+    )
+    exact10 = (
+        exact_scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .select("query_id", "neighbor_id")
+    )
+    lsh10 = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .select("query_id", "neighbor_id")
+    )
+    nc = scored.groupBy("query_id").agg(F.count("*").alias("n_cand"))
+    nl = lsh10.groupBy("query_id").agg(F.count("*").alias("n_lsh"))
+    h = (
+        exact10.join(lsh10, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    qids = qemb.select("query_id")
+    return (
+        qids.join(nc, "query_id", "left")
+        .join(nl, "query_id", "left")
+        .join(h, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_cand", F.lit(0)).cast("bigint").alias("n_cand"),
+            F.coalesce("n_lsh", F.lit(0)).cast("bigint").alias("n_lsh"),
+            F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) / 10.0).alias("recall"),
+        )
+    )

@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from map_reduce485_spark.queries import query
-from map_reduce485_spark.queries._util import T, distributed_rank
+from map_reduce485_spark.queries._util import T, cache_scoped, distributed_rank
 
 _BPE_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
 
@@ -2472,4 +2472,89 @@ def gini_token_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (nv * F.col("n_tokens").cast("double"))
             - (nv + F.lit(1.0)) / nv
         ).alias("gini"),
+    )
+
+
+_SOURCE_TERM_LIFT_ORACLE = """
+WITH terms AS (
+  SELECT source,
+         unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS term
+  FROM documents
+),
+st AS (SELECT source, term, COUNT(*) AS tf FROM terms GROUP BY source, term),
+per_term AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS tf_t FROM st GROUP BY term),
+per_src AS (SELECT source, CAST(SUM(tf) AS BIGINT) AS n_s FROM st GROUP BY source),
+total AS (SELECT CAST(SUM(tf) AS BIGINT) AS n FROM st),
+scored AS (
+  SELECT st.source, st.term, st.tf,
+         (CAST(st.tf AS DOUBLE) * t.n) / (CAST(pt.tf_t AS DOUBLE) * ps.n_s)
+           AS lift
+  FROM st
+  JOIN per_term pt ON pt.term = st.term
+  JOIN per_src ps ON ps.source = st.source
+  CROSS JOIN total t
+  WHERE st.tf >= 5
+)
+SELECT source, term, tf, lift, rn FROM (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY lift DESC, term) AS rn
+  FROM scored
+) WHERE rn <= 5
+"""
+
+
+@query("source_term_lift", _SOURCE_TERM_LIFT_ORACLE, tags=("text", "stats"))
+def source_term_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinctive vocabulary per SOURCE by term lift — P(term | source) /
+    P(term), the domain-signature report a corpus curator reads before
+    setting mixing weights (`corpus_mix_sample`) or debugging a scraper
+    (a source whose top-lift terms are navigation chrome is template
+    noise; pairs with `psi_source_drift`, which compares quality
+    DISTRIBUTIONS — this compares vocabularies).
+
+    lift > 1 ⇒ the term is over-represented in the source relative to
+    the corpus; top-5 per source by (lift desc, term), tf >= 5 noise
+    floor.  Same raw-ratio discipline as `tfidf_top_terms`: no log (Java
+    Math.log vs libm can differ in the last ulp; lift is monotone in the
+    log'd value), products/divisions of integer-valued doubles, exact
+    and engine-identical.  At a 1e13-token corpus tf*N exceeds BIGINT,
+    so the DOUBLE products here are also the production form (53-bit
+    exact mantissas cover every realistic count).
+
+    Scale: two vocab-keyed partial-agg groupBys, one broadcast of the
+    per-source totals (|sources| rows) and the corpus scalar, one join
+    keyed on term, and a top-k window partitioned BY SOURCE."""
+    from pyspark.sql import Window as W
+
+    (docs,) = T(spark, sf_dir, "documents")
+    terms = docs.select(
+        "source",
+        F.explode(
+            F.expr("filter(split(lower(text), ' '), x -> x <> '')")
+        ).alias("term"),
+    )
+    st = terms.groupBy("source", "term").agg(F.count("*").alias("tf"))
+    st = cache_scoped(st)
+    per_term = st.groupBy("term").agg(F.sum("tf").cast("bigint").alias("tf_t"))
+    per_src = st.groupBy("source").agg(F.sum("tf").cast("bigint").alias("n_s"))
+    n = st.agg(F.sum("tf")).collect()[0][0]  # one corpus scalar
+    scored = (
+        st.filter(F.col("tf") >= 5)
+        .join(per_term, "term")
+        .join(F.broadcast(per_src), "source")
+        .select(
+            "source",
+            "term",
+            "tf",
+            (
+                (F.col("tf").cast("double") * F.lit(int(n)))
+                / (F.col("tf_t").cast("double") * F.col("n_s"))
+            ).alias("lift"),
+        )
+    )
+    w = W.partitionBy("source").orderBy(F.col("lift").desc(), "term")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("source", "term", "tf", "lift", "rn")
     )

@@ -1159,3 +1159,63 @@ def test_label_propagation_forms_nontrivial_communities(spark):
     for r in rows:
         sizes[r.community] = sizes.get(r.community, 0) + 1
     assert max(sizes.values()) > 1
+
+
+def test_multiprobe_recall_dominates_single_probe(spark):
+    """Multi-probe LSH must never lose to single-probe: per query, the
+    probed candidate set is a superset of the query's own bucket, so
+    n_cand >= n_bucket and (because rerank is exact within candidates)
+    recall >= the single-probe recall."""
+    from map_reduce485_spark.queries.similarity import (
+        ann_lsh_multiprobe_recall,
+        ann_lsh_recall_eval,
+    )
+
+    single = {r.query_id: r for r in ann_lsh_recall_eval(spark, SF_SMOKE).collect()}
+    multi = {
+        r.query_id: r for r in ann_lsh_multiprobe_recall(spark, SF_SMOKE).collect()
+    }
+    assert set(single) == set(multi) and len(multi) == 5
+    for q, m in multi.items():
+        s = single[q]
+        assert m.n_cand >= s.n_bucket
+        assert m.recall >= s.recall
+        assert m.n_hits <= m.n_lsh <= min(10, m.n_cand)
+
+
+def test_source_term_lift_recomputes(spark):
+    """Spot-check the lift arithmetic against a driver-side recomputation
+    from raw token counts at sf0.001, and the per-source top-5 contract."""
+    import collections
+
+    from map_reduce485_spark.queries.text_analysis import source_term_lift
+
+    rows = source_term_lift(spark, SF_SMOKE).collect()
+    assert rows
+    docs = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("source", "text")
+        .collect()
+    )
+    st: dict = collections.Counter()
+    for r in docs:
+        for t in r.text.lower().split(" "):
+            if t:
+                st[(r.source, t)] += 1
+    tf_t = collections.Counter()
+    n_s = collections.Counter()
+    for (s, t), c in st.items():
+        tf_t[t] += c
+        n_s[s] += c
+    n = sum(st.values())
+    by_src: dict = {}
+    for r in rows:
+        assert r.tf >= 5
+        want = (st[(r.source, r.term)] * float(n)) / (tf_t[r.term] * float(n_s[r.source]))
+        assert abs(r.lift - want) < 1e-12
+        by_src.setdefault(r.source, []).append(r)
+    for s, rs in by_src.items():
+        assert len(rs) <= 5
+        rs.sort(key=lambda r: r.rn)
+        keys = [(-r.lift, r.term) for r in rs]
+        assert keys == sorted(keys)
