@@ -49,12 +49,15 @@ def assign_clusters(
     constants, so the codegen cache reuses ONE compiled plan across all
     Lloyd iterations — embedding fresh centroid literals forced a
     multi-thousand-node codegen compile every iteration, which dominated
-    the (tiny) shuffle.  Assignment = broadcast join + per-vector argmin
-    via a (dist, cid)-ordered window — identical distances and identical
-    first-match tie-breaking to the literal `array_position` formulation
-    (and structurally the same ROW_NUMBER the DuckDB oracle replays)."""
-    from pyspark.sql import Window as W
-
+    the (tiny) shuffle.  Assignment = broadcast join + MIN(struct(dist,
+    cid)) groupBy: struct comparison is field-ordered, so the minimum is
+    exactly "lowest distance, then lowest centroid id" — the identical
+    distances and first-match tie-breaking of the previous ROW_NUMBER
+    window form (which the DuckDB oracles still replay), but map-side
+    COMBINABLE: the n×K joined frame collapses to one candidate per
+    vector inside the scan stage, so the shuffle carries n rows, not n×K
+    (at the 100× smoke with corpus-scaled k that is 781× less shuffle —
+    the window form sorted 156 M joined rows per Lloyd pass)."""
     spark = emb.sparkSession
     cent_df = spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
@@ -64,14 +67,18 @@ def assign_clusters(
         "aggregate(zip_with(embedding, c, (x, cc) -> (CAST(x AS DOUBLE) - cc)"
         " * (CAST(x AS DOUBLE) - cc)), 0D, (acc, v) -> acc + v)"
     )
-    w = W.partitionBy(id_col).orderBy(F.col("_d").asc(), F.col("cid").asc())
+    others = [c for c in emb.columns if c != id_col]
     return (
         emb.join(F.broadcast(cent_df))
         .withColumn("_d", dist)
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .withColumnRenamed("cid", "cluster")
-        .drop("_d", "_rn", "c")
+        .groupBy(id_col)
+        .agg(
+            F.min(F.struct(F.col("_d"), F.col("cid"))).alias("_m"),
+            # every non-id column is constant within a vec_id group (the
+            # join only replicated rows), so first() is value-deterministic
+            *[F.first(c).alias(c) for c in others],
+        )
+        .select(id_col, *others, F.col("_m.cid").alias("cluster"))
     )
 
 
@@ -108,15 +115,35 @@ def kmeans_fit(
     k: int = 16,
     iterations: int = 3,
     id_col: str = "vec_id",
+    train_mod: int = 1,
 ) -> list[list[float]]:
-    """Run ``iterations`` Lloyd steps; returns the final centroids."""
+    """Run ``iterations`` Lloyd steps; returns the final centroids.
+
+    ``train_mod`` > 1 trains on a DETERMINISTIC md5-bucket sample of the
+    corpus (vec_id hash % train_mod == 0, expected 1/train_mod of the
+    rows) — the production k-means recipe (nobody runs Lloyd over the
+    full corpus; ~64 sampled points per centroid estimate the means, the
+    full corpus is assigned exactly ONCE afterwards).  Init (lowest-id k)
+    comes from the same sample so the whole training path sees one
+    consistent frame.  Callers that need oracle-replayable training keep
+    train_mod=1 (every gate-scale corpus does: the scaled-k policy's
+    sample cap exceeds gate corpus sizes, so the gate hash-checks the
+    identical no-sample path)."""
+    train = emb
+    if train_mod > 1:
+        bucket = (
+            F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 4), 16, 10)
+            .cast("int")
+            % train_mod
+        )
+        train = emb.filter(bucket == 0)
     first = (
-        emb.orderBy(id_col).limit(k).select("embedding").collect()
+        train.orderBy(id_col).limit(k).select("embedding").collect()
     )
     dim = len(first[0].embedding)
     centroids = [[float(x) for x in r.embedding] for r in first]
     for _ in range(iterations):
-        assigned = assign_clusters(emb, centroids)
+        assigned = assign_clusters(train, centroids)
         centroids = _recompute_centroids(assigned, dim, k)
     return centroids
 

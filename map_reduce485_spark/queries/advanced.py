@@ -2967,3 +2967,137 @@ def exact_global_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranked.join(F.broadcast(targets), "rk")
         .select("pct", "rk", F.col("n_chars").alias("value"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Benjamini-Hochberg FDR over per-cell anomaly tests
+# ---------------------------------------------------------------------------
+
+_BH_Q = "0.1e0"  # target FDR, as a double literal on both engines
+
+_BH_FDR_ORACLE = f"""
+WITH m AS (
+  SELECT event_type, EXTRACT(HOUR FROM ts) AS hr,
+         CAST(ROUND(value * 100) AS BIGINT) AS v
+  FROM events
+),
+cells AS (
+  SELECT event_type, hr, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(CAST(SUM(CAST(v AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS DOUBLE) AS s1
+  FROM m GROUP BY event_type, hr
+),
+gstats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS gn,
+         CAST(CAST(SUM(CAST(v AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS DOUBLE) AS gs1,
+         CAST(CAST(SUM(CAST(v * v AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS DOUBLE) AS gs2
+  FROM m
+),
+scored AS (
+  SELECT event_type, hr, n,
+         ROUND((s1 / n - gs1 / gn)
+               / sqrt(((gn * gs2 - gs1 * gs1) / (gn * CAST(gn AS DOUBLE))) / n),
+               6) AS z
+  FROM cells, gstats
+),
+pvals AS (
+  SELECT event_type, hr, n, z, ROUND(exp(-(z * z) / 2e0), 6) AS p
+  FROM scored
+),
+ranked AS (
+  SELECT event_type, hr, n, z, p,
+         ROW_NUMBER() OVER (ORDER BY p, event_type, hr) AS rk,
+         COUNT(*) OVER () AS mm
+  FROM pvals
+),
+kstar AS (
+  SELECT COALESCE(MAX(CASE WHEN p * mm <= {_BH_Q} * rk THEN rk END), 0) AS k
+  FROM ranked
+)
+SELECT event_type, hr, n, z, p, rk,
+       CAST(rk <= kstar.k AS INTEGER) AS rejected
+FROM ranked, kstar
+"""
+
+
+@query("bh_fdr_correction", _BH_FDR_ORACLE, tags=("stats",))
+def bh_fdr_correction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg false-discovery-rate control over a many-cell
+    anomaly scan: every (event_type, hour) cell is tested for mean shift
+    against the corpus (one-sample z on exact integer-cent moments, the
+    `ols_regression_fit` technique), then BH's step-up rule marks the
+    largest prefix of the p-ordered cells with p_(i) <= q*i/m as
+    discoveries — the multiple-testing correction every metrics-QA sweep
+    needs once it tests hundreds of cells at once (per-test alpha would
+    drown the pipeline in false alarms).
+
+    The "p-value" is the Chernoff proxy exp(-z^2/2) — monotone in |z|,
+    which is the only property BH's ORDERING needs; both engines compute
+    it with one exp over a round-6 z, then round-6 again before the
+    threshold comparison so the step-up decisions are bit-identical.
+
+    Scale: the corpus-sized work is two map-side-combinable integer
+    aggregations (per-cell and global); everything after operates on the
+    |types| x 24 AGGREGATED cell table — the rank window runs over ~120
+    rows (the plan-audit unpartitioned-window rule exempts aggregated
+    inputs), and k* is a 1-row broadcast."""
+    (events,) = T(spark, sf_dir, "events")
+    m = events.select(
+        "event_type",
+        F.hour("ts").alias("hr"),
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+
+    def mom(e):
+        return F.sum(e.cast("decimal(38,0)")).cast("double")
+
+    cells = m.groupBy("event_type", "hr").agg(
+        F.count("*").alias("n"), mom(F.col("v")).alias("s1")
+    )
+    glob = m.agg(
+        F.count("*").alias("gn"),
+        mom(F.col("v")).alias("gs1"),
+        mom(F.col("v") * F.col("v")).alias("gs2"),
+    )
+    gn = F.col("gn")
+    z = F.round(
+        (F.col("s1") / F.col("n") - F.col("gs1") / gn)
+        / F.sqrt(
+            ((gn * F.col("gs2") - F.col("gs1") * F.col("gs1")) / (gn * gn.cast("double")))
+            / F.col("n")
+        ),
+        6,
+    )
+    pvals = (
+        cells.crossJoin(F.broadcast(glob))
+        .select("event_type", "hr", "n", z.alias("z"))
+        .withColumn("p", F.round(F.exp(-(F.col("z") * F.col("z")) / F.lit(2.0)), 6))
+    )
+    pvals = cache_scoped(pvals)
+    # the ranked frame is the aggregated ~|types|*24-row cell table
+    from pyspark.sql import Window as W
+
+    w = W.orderBy("p", "event_type", "hr")
+    ranked = pvals.withColumn("rk", F.row_number().over(w)).crossJoin(
+        F.broadcast(pvals.agg(F.count("*").alias("mm")))
+    )
+    ranked = cache_scoped(ranked)
+    kstar = ranked.agg(
+        F.coalesce(
+            F.max(
+                F.when(
+                    F.col("p") * F.col("mm") <= F.lit(0.1) * F.col("rk"),
+                    F.col("rk"),
+                )
+            ),
+            F.lit(0),
+        ).alias("k")
+    )
+    return ranked.crossJoin(F.broadcast(kstar)).select(
+        "event_type",
+        "hr",
+        "n",
+        "z",
+        "p",
+        "rk",
+        (F.col("rk") <= F.col("k")).cast("int").alias("rejected"),
+    )

@@ -2521,3 +2521,72 @@ def cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("sum_chars"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# soft dedup: 1/cluster-size loss weights instead of hard removal
+# ---------------------------------------------------------------------------
+
+_SOFT_DEDUP_ORACLE = f"""
+WITH RECURSIVE {_CLUSTERS_CTES},
+assign AS (
+  SELECT id AS doc_id, MIN(r) AS cluster_id
+  FROM reach GROUP BY id
+),
+csizes AS (
+  SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+  FROM assign GROUP BY cluster_id
+)
+SELECT d.doc_id,
+       COALESCE(a.cluster_id, d.doc_id) AS cluster_id,
+       COALESCE(s.cluster_size, 1) AS cluster_size,
+       1e0 / COALESCE(s.cluster_size, 1) AS weight
+FROM documents d
+LEFT JOIN assign a ON a.doc_id = d.doc_id
+LEFT JOIN csizes s ON s.cluster_id = a.cluster_id
+"""
+
+
+@query("soft_dedup_weights", _SOFT_DEDUP_ORACLE, tags=("dedup",))
+def soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft deduplication: instead of dropping near-dups, weight every
+    document by 1/cluster_size so each near-dup FAMILY contributes one
+    document's worth of loss (the SoftDeDup alternative to hard removal —
+    keeps rare-but-duplicated content visible to the model without
+    over-representing it).  Downstream, the weight column multiplies the
+    per-example loss or drives `weighted_sample_by_quality`-style
+    sampling.
+
+    Composes the shipped pipeline: `dedup_clusters`' label-propagation
+    components over the verified near-dup pair stream, a cluster-size
+    aggregate (bounded by #clusters), then ONE left broadcast-able join
+    back to documents; singletons (docs in no near-dup pair) get weight
+    1.0 via the null path of the left join.  The weight itself is a
+    single correctly-rounded division of exact BIGINTs, so it
+    hash-matches without rounding.  Scale: cluster assignment is the
+    banded-join + star pipeline (never all-pairs); the size table is
+    cluster-count rows; the join back is a hash join keyed on doc_id."""
+    (docs,) = T(spark, sf_dir, "documents")
+    assign = dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    assign = cache_scoped(assign)
+    sizes = assign.groupBy("cluster_id").agg(
+        F.count("*").cast("bigint").alias("cluster_size")
+    )
+    joined = (
+        docs.select("doc_id")
+        .join(assign, "doc_id", "left")
+        .join(sizes, "cluster_id", "left")
+    )
+    return joined.select(
+        "doc_id",
+        F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
+        F.coalesce(F.col("cluster_size"), F.lit(1).cast("bigint")).alias(
+            "cluster_size"
+        ),
+        (
+            F.lit(1.0)
+            / F.coalesce(F.col("cluster_size"), F.lit(1).cast("bigint")).cast(
+                "double"
+            )
+        ).alias("weight"),
+    )

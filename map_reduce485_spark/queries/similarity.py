@@ -2204,6 +2204,18 @@ def semdedup_prune_scaled_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     sub-cells are missed, exactly as pairs split across k-means cells
     already are.
 
+    Training runs on a deterministic md5-bucket SAMPLE of ~64 vectors
+    per centroid (`kmeans_fit(train_mod=...)`) — the production recipe:
+    Lloyd estimates means, means need a sample, and the full corpus is
+    assigned exactly once afterwards.  The sample cap exceeds every gate
+    corpus (64k = max(1024, n/4) >= n there), so the gate hash-checks
+    the identical no-sample path end to end.  The remaining honest scale
+    limit is the FINAL assignment itself: k = n/{cell} makes one
+    full-corpus nearest-centroid pass O(n*k*d) = O(n^2 d/{cell}) — the
+    production fix is two-level (IVF-style) assignment over clustered
+    centroids, O(n*sqrt(k)*d); the within-cell prune is already bounded
+    by the sub-split regardless.
+
     n comes from a count(*) action at plan build (parquet metadata);
     k x dim centroids are the only driver-side state.  Oracle: the
     SHARED `_kmeans_train_ctes` Lloyd replay at this corpus's k plus the
@@ -2213,7 +2225,13 @@ def semdedup_prune_scaled_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     (emb,) = T(spark, sf_dir, "embeddings")
     n = emb.count()
     k = max(16, n // _SEMDEDUP_CELL)
-    return _semdedup_prune_at_k(spark, sf_dir, k=k, salt_cell=_SEMDEDUP_CELL)
+    # train on ~64 sampled vectors per centroid (production k-means never
+    # runs Lloyd over the full corpus); 64k = max(1024, n/4) >= n at every
+    # gate SF, so train_mod == 1 there and the oracle replay is unchanged
+    train_mod = max(1, -(-n // (64 * k)))
+    return _semdedup_prune_at_k(
+        spark, sf_dir, k=k, salt_cell=_SEMDEDUP_CELL, train_mod=train_mod
+    )
 
 
 semdedup_prune_scaled_k.__doc__ = semdedup_prune_scaled_k.__doc__.format(
@@ -2222,12 +2240,16 @@ semdedup_prune_scaled_k.__doc__ = semdedup_prune_scaled_k.__doc__.format(
 
 
 def _semdedup_prune_at_k(
-    spark: SparkSession, sf_dir: str, k: int, salt_cell: int | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    k: int,
+    salt_cell: int | None = None,
+    train_mod: int = 1,
 ) -> DataFrame:
     from map_reduce485_spark.operators.kmeans import assign_clusters, kmeans_fit
 
     (emb,) = T(spark, sf_dir, "embeddings")
-    centroids = kmeans_fit(emb, k=k, iterations=3)
+    centroids = kmeans_fit(emb, k=k, iterations=3, train_mod=train_mod)
     assigned = assign_clusters(emb, centroids).select("vec_id", "embedding", "cluster")
     if salt_cell is None:
         keyed = assigned.withColumn("sb", F.lit(0))

@@ -2558,3 +2558,301 @@ def source_term_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .select("source", "term", "tf", "lift", "rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# Zipf law fit over the corpus rank-frequency curve
+# ---------------------------------------------------------------------------
+
+_ZIPF_K = 1000
+
+_ZIPF_ORACLE = f"""
+WITH tokens AS (
+  SELECT UNNEST(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS token
+  FROM documents
+),
+counted AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS freq FROM tokens GROUP BY token
+),
+vocab AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_terms FROM counted),
+top AS (
+  SELECT token, freq,
+         ROW_NUMBER() OVER (ORDER BY freq DESC, token) AS rk
+  FROM counted
+  QUALIFY rk <= {_ZIPF_K}
+),
+-- the five OLS moments of (ln rank, ln freq) as SEQUENTIAL FOLDS in rank
+-- order (the token_entropy technique): identical summation order on both
+-- engines, one final round-6
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list(ln(CAST(rk AS DOUBLE)) ORDER BY rk)), (a, b) -> a + b) AS sx,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list(ln(CAST(freq AS DOUBLE)) ORDER BY rk)), (a, b) -> a + b) AS sy,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list(ln(CAST(rk AS DOUBLE)) * ln(CAST(rk AS DOUBLE)) ORDER BY rk)),
+             (a, b) -> a + b) AS sxx,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list(ln(CAST(freq AS DOUBLE)) * ln(CAST(freq AS DOUBLE)) ORDER BY rk)),
+             (a, b) -> a + b) AS syy,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list(ln(CAST(rk AS DOUBLE)) * ln(CAST(freq AS DOUBLE)) ORDER BY rk)),
+             (a, b) -> a + b) AS sxy
+  FROM top
+)
+SELECT vocab.n_terms, m.k,
+       ROUND((m.k * m.sxy - m.sx * m.sy) / (m.k * m.sxx - m.sx * m.sx), 6)
+         AS zipf_slope,
+       ROUND((m.sy - ((m.k * m.sxy - m.sx * m.sy) / (m.k * m.sxx - m.sx * m.sx))
+                     * m.sx) / m.k, 6) AS intercept,
+       ROUND(((m.k * m.sxy - m.sx * m.sy) * (m.k * m.sxy - m.sx * m.sy))
+             / ((m.k * m.sxx - m.sx * m.sx) * (m.k * m.syy - m.sy * m.sy)), 6)
+         AS r2
+FROM m, vocab
+"""
+
+
+@query("zipf_law_fit", _ZIPF_ORACLE, tags=("text", "stats"))
+def zipf_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf power-law fit of the corpus rank-frequency curve: OLS of
+    ln(freq) ~ ln(rank) over the top-{_ZIPF_K} terms.  Natural corpora fit
+    slope ~ -1 with high R^2; a corpus whose head deviates hard (slope
+    near 0, or low R^2) is boilerplate-heavy or template-generated — the
+    distribution-level analog of the per-doc `repetition_ratio` /
+    `token_entropy` quality signals, and the sanity check run after every
+    large crawl ingest.
+
+    Scale: the only corpus-sized work is the token count groupBy (map-side
+    combinable); the rank cut is distributed top-k (TakeOrderedAndProject
+    with a lexicographic tiebreaker — never a global window), and the OLS
+    moments are SEQUENTIAL FOLDS over the {_ZIPF_K}-element rank-ordered
+    array (the `token_entropy` technique) so both engines sum the ln()
+    terms in the identical order; one round-6 at the end.  The reference
+    could express the count phase as its wordcount job
+    (`tests/testdata/exec/wc_*`, SURVEY §2.b) but has no fit stage."""
+    (docs,) = T(spark, sf_dir, "documents")
+    counted = (
+        docs.select(
+            F.explode(
+                F.expr("filter(split(lower(text), ' '), x -> x <> '')")
+            ).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.count("*").alias("freq"))
+    )
+    counted = cache_scoped(counted)
+    vocab = counted.agg(F.count("*").cast("bigint").alias("n_terms"))
+    top = counted.orderBy(F.col("freq").desc(), "token").limit(_ZIPF_K)
+    # one array, already in rank order (sort by (-freq, token) = rank order)
+    m = top.agg(
+        F.expr(
+            "array_sort(transform(collect_list(struct(freq, token)),"
+            " s -> struct(-s.freq AS nf, s.token AS token, s.freq AS freq)))"
+        ).alias("arr")
+    ).select(
+        F.expr("CAST(size(arr) AS BIGINT)").alias("k"),
+        F.expr(
+            "aggregate(transform(arr, (s, i) -> ln(CAST(i + 1 AS DOUBLE))),"
+            " CAST(0.0 AS DOUBLE), (a, v) -> a + v)"
+        ).alias("sx"),
+        F.expr(
+            "aggregate(transform(arr, (s, i) -> ln(CAST(s.freq AS DOUBLE))),"
+            " CAST(0.0 AS DOUBLE), (a, v) -> a + v)"
+        ).alias("sy"),
+        F.expr(
+            "aggregate(transform(arr, (s, i) -> ln(CAST(i + 1 AS DOUBLE))"
+            " * ln(CAST(i + 1 AS DOUBLE))), CAST(0.0 AS DOUBLE), (a, v) -> a + v)"
+        ).alias("sxx"),
+        F.expr(
+            "aggregate(transform(arr, (s, i) -> ln(CAST(s.freq AS DOUBLE))"
+            " * ln(CAST(s.freq AS DOUBLE))), CAST(0.0 AS DOUBLE), (a, v) -> a + v)"
+        ).alias("syy"),
+        F.expr(
+            "aggregate(transform(arr, (s, i) -> ln(CAST(i + 1 AS DOUBLE))"
+            " * ln(CAST(s.freq AS DOUBLE))), CAST(0.0 AS DOUBLE), (a, v) -> a + v)"
+        ).alias("sxy"),
+    )
+    k = F.col("k")
+    slope = (k * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        k * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return m.crossJoin(F.broadcast(vocab)).select(
+        "n_terms",
+        "k",
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / k, 6).alias("intercept"),
+        F.round(
+            (
+                (k * F.col("sxy") - F.col("sx") * F.col("sy"))
+                * (k * F.col("sxy") - F.col("sx") * F.col("sy"))
+            )
+            / (
+                (k * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * (k * F.col("syy") - F.col("sy") * F.col("sy"))
+            ),
+            6,
+        ).alias("r2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# distinct-n diversity per source
+# ---------------------------------------------------------------------------
+
+_DIVERSITY_ORACLE = """
+WITH words AS (
+  SELECT source, list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+  FROM documents
+),
+unigrams AS (
+  SELECT source, UNNEST(w) AS g FROM words
+),
+bigrams AS (
+  SELECT source, UNNEST(list_transform(
+           generate_series(1, len(w) - 1), i -> w[i] || ' ' || w[i + 1]
+         )) AS g
+  FROM words WHERE len(w) >= 2
+),
+u AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_unigrams,
+         CAST(COUNT(DISTINCT g) AS BIGINT) AS d_unigrams
+  FROM unigrams GROUP BY source
+),
+b AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         CAST(COUNT(DISTINCT g) AS BIGINT) AS d_bigrams
+  FROM bigrams GROUP BY source
+)
+SELECT u.source, n_unigrams, d_unigrams,
+       CAST(d_unigrams AS DOUBLE) / n_unigrams AS distinct_1,
+       n_bigrams, d_bigrams,
+       CAST(d_bigrams AS DOUBLE) / n_bigrams AS distinct_2
+FROM u JOIN b ON u.source = b.source
+"""
+
+
+@query("distinct_ngram_diversity", _DIVERSITY_ORACLE, tags=("text",))
+def distinct_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-n diversity per source: distinct-1 and distinct-2 ratios
+    (distinct n-grams / total n-grams) — the corpus-diversity metric used
+    to catch template farms and model-generated text (low distinct-2 =
+    repetitive phrasing) before it enters a training mix; the per-source
+    grain matches how mixing decisions are made (`corpus_mix_sample`).
+
+    Scale: two explode + groupBy passes, both map-side combinable; the
+    distinct counts are exact (source, gram) aggregations — one shuffle
+    each, keyed on the gram so cardinality work distributes over the
+    value domain, never a global window.  Ratios are single divisions of
+    exact BIGINTs (the `ab_test_two_proportion` hash-stability rule)."""
+    (docs,) = T(spark, sf_dir, "documents")
+    words = docs.select(
+        "source",
+        F.expr("filter(split(lower(text), ' '), x -> x <> '')").alias("w"),
+    )
+    unigrams = words.select("source", F.explode("w").alias("g"))
+    bigrams = (
+        words.filter(F.size("w") >= 2)
+        .select(
+            "source",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(w) - 1),"
+                    " i -> concat_ws(' ', w[i-1], w[i]))"
+                )
+            ).alias("g"),
+        )
+    )
+    u = unigrams.groupBy("source").agg(
+        F.count("*").alias("n_unigrams"),
+        F.countDistinct("g").alias("d_unigrams"),
+    )
+    b = bigrams.groupBy("source").agg(
+        F.count("*").alias("n_bigrams"),
+        F.countDistinct("g").alias("d_bigrams"),
+    )
+    return u.join(b, "source").select(
+        "source",
+        "n_unigrams",
+        "d_unigrams",
+        (F.col("d_unigrams").cast("double") / F.col("n_unigrams")).alias(
+            "distinct_1"
+        ),
+        "n_bigrams",
+        "d_bigrams",
+        (F.col("d_bigrams").cast("double") / F.col("n_bigrams")).alias(
+            "distinct_2"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# per-source relative quality filtering (quantile thresholds)
+# ---------------------------------------------------------------------------
+
+_SRC_QFILTER_ORACLE = """
+WITH ranked AS (
+  SELECT source, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY source) AS n
+  FROM documents
+),
+thresh AS (
+  SELECT source, MAX(n) AS n,
+         MAX(CASE WHEN rn = (n + 3) // 4 THEN n_chars END) AS q25_chars
+  FROM ranked GROUP BY source
+)
+SELECT t.source, CAST(t.n AS BIGINT) AS n_docs, t.q25_chars,
+       CAST(SUM(CAST(d.n_chars >= t.q25_chars AS BIGINT)) AS BIGINT) AS n_kept,
+       CAST(SUM(CAST(d.n_chars >= t.q25_chars AS BIGINT)) AS DOUBLE)
+         / t.n AS kept_frac
+FROM documents d JOIN thresh t ON d.source = t.source
+GROUP BY t.source, t.n, t.q25_chars
+"""
+
+
+@query("per_source_quantile_filter", _SRC_QFILTER_ORACLE, tags=("text", "etl"))
+def per_source_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RELATIVE quality filtering: drop each source's bottom quartile by
+    length rather than applying one absolute corpus-wide threshold — the
+    production pattern (per-domain thresholds) that keeps a verbose
+    source from crowding out a terse-but-clean one, complementing the
+    absolute sweeps in `filter_threshold_sweep`.  Exact order statistics
+    (the `mad_robust_stats` integer technique): the q25 cut is the value
+    at rank ceil(n/4) under a deterministic (n_chars, doc_id) order.
+
+    Scale: the rank window is PARTITIONED by source — every source sorts
+    in parallel, nothing single-partition; the threshold table is
+    |sources| rows, broadcast back for the keep count.  At 100 TB a
+    source with heavy skew sorts on its own executors (range partitions
+    within the window shuffle), and the second pass is one broadcast
+    join + map-side-combinable count."""
+    from pyspark.sql import Window as W
+
+    (docs,) = T(spark, sf_dir, "documents")
+    w = W.partitionBy("source").orderBy("n_chars", "doc_id")
+    ranked = docs.select("source", "n_chars", "doc_id").withColumn(
+        "rn", F.row_number().over(w)
+    )
+    counts = docs.groupBy("source").agg(F.count("*").alias("n"))
+    thresh = (
+        ranked.join(F.broadcast(counts), "source")
+        .filter(F.col("rn") == F.floor((F.col("n") + 3) / 4))
+        .select("source", "n", F.col("n_chars").alias("q25_chars"))
+    )
+    return (
+        docs.join(F.broadcast(thresh), "source")
+        .groupBy("source", "n", "q25_chars")
+        .agg(
+            F.sum((F.col("n_chars") >= F.col("q25_chars")).cast("bigint")).alias(
+                "n_kept"
+            )
+        )
+        .select(
+            "source",
+            F.col("n").alias("n_docs"),
+            "q25_chars",
+            "n_kept",
+            (F.col("n_kept").cast("double") / F.col("n")).alias("kept_frac"),
+        )
+    )

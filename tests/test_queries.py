@@ -1219,3 +1219,95 @@ def test_source_term_lift_recomputes(spark):
         rs.sort(key=lambda r: r.rn)
         keys = [(-r.lift, r.term) for r in rs]
         assert keys == sorted(keys)
+
+
+def test_zipf_fit_shape(spark):
+    """Zipf fit invariants on the synthetic corpus: k = min(1000, vocab),
+    slope is negative (frequency decreases with rank by construction of
+    the rank), and R^2 lies in [0, 1]."""
+    from map_reduce485_spark.queries.text_analysis import zipf_law_fit
+
+    row = zipf_law_fit(spark, "/root/testdata/sf0.001").collect()[0]
+    assert row.k <= 1000 and row.k <= row.n_terms
+    assert row.zipf_slope < 0
+    assert 0.0 <= row.r2 <= 1.0
+
+
+def test_distinct_ngram_diversity_bounds(spark):
+    """distinct-n ratios are valid probabilities and distinct counts never
+    exceed totals; bigram totals are exactly unigram totals minus one per
+    document with >= 2 words (sliding-window count identity)."""
+    from map_reduce485_spark.queries.text_analysis import (
+        distinct_ngram_diversity,
+    )
+
+    rows = distinct_ngram_diversity(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.d_unigrams <= r.n_unigrams
+        assert 0 < r.d_bigrams <= r.n_bigrams
+        assert 0.0 < r.distinct_1 <= 1.0
+        assert 0.0 < r.distinct_2 <= 1.0
+        # bigrams are strictly harder to repeat than unigrams
+        assert r.distinct_2 >= r.distinct_1
+
+
+def test_per_source_quantile_filter_quota(spark):
+    """The per-source q25 cut keeps roughly the top three quartiles —
+    exactly n - ceil(n/4) + ties at the threshold — and never less than
+    half the source (the threshold is a REAL value from the source, so at
+    least rows >= it from rank ceil(n/4) up survive)."""
+    from map_reduce485_spark.queries.text_analysis import (
+        per_source_quantile_filter,
+    )
+
+    rows = per_source_quantile_filter(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        expect_min = r.n_docs - (r.n_docs + 3) // 4 + 1  # ranks above the cut
+        assert expect_min <= r.n_kept <= r.n_docs
+        assert abs(r.kept_frac - r.n_kept / r.n_docs) < 1e-12
+
+
+def test_soft_dedup_weights_mass(spark):
+    """Soft-dedup invariants: every document appears exactly once; weights
+    are 1/cluster_size; the total weighted mass equals the number of
+    near-dup FAMILIES plus singletons (each cluster contributes exactly
+    1.0), which is also what hard dedup would keep."""
+    from map_reduce485_spark.queries.dedup import (
+        dedup_clusters,
+        soft_dedup_weights,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = soft_dedup_weights(spark, sf).collect()
+    n_docs = spark.read.parquet(f"{sf}/documents.parquet").count()
+    assert len(rows) == n_docs
+    assert len({r.doc_id for r in rows}) == n_docs
+    for r in rows:
+        assert abs(r.weight - 1.0 / r.cluster_size) < 1e-15
+    mass = sum(r.weight for r in rows)
+    n_families = len(
+        {r.cluster_id for r in dedup_clusters(spark, sf).collect()}
+    )
+    n_clustered = sum(1 for r in rows if r.cluster_size > 1)
+    n_singletons = n_docs - n_clustered
+    assert abs(mass - (n_families + n_singletons)) < 1e-9
+
+
+def test_bh_fdr_step_up_rule(spark):
+    """Recompute the BH step-up decision in Python from the emitted
+    (p, rk) columns and check the rejected flags match exactly; the
+    rejected set must be a PREFIX of the p-ordered cells."""
+    from map_reduce485_spark.queries.advanced import bh_fdr_correction
+
+    rows = sorted(
+        bh_fdr_correction(spark, "/root/testdata/sf0.001").collect(),
+        key=lambda r: r.rk,
+    )
+    m = len(rows)
+    kstar = max((r.rk for r in rows if r.p * m <= 0.1 * r.rk), default=0)
+    for r in rows:
+        assert r.rejected == (1 if r.rk <= kstar else 0)
+    flags = [r.rejected for r in rows]
+    assert flags == sorted(flags, reverse=True)  # prefix property

@@ -84,6 +84,16 @@ KNOWN_BNLJ: dict[str, int | None] = {
     "dedup_lsh_recall_eval": 8,
     # 1-row n_true broadcast onto the 3-row per-geometry aggregate
     "dedup_lsh_band_sweep": 8,
+    # 1-row exact-baseline count broadcast onto the 1-row recall aggregate
+    "ann_lsh_recall_eval": 8,
+    # same shape, one row per probe-radius setting x the 1-row exact-count
+    # probe (3 settings -> 9-row build side measured at sf0.001)
+    "ann_lsh_multiprobe_recall": 16,
+    # 1-row vocab-size broadcast onto the 1-row OLS-moments aggregate
+    "zipf_law_fit": 8,
+    # 1-row global-moments broadcast onto the ~120-row cell table, then
+    # 1-row (m, k*) broadcasts back onto it — the q22 free-probe class
+    "bh_fdr_correction": 8,
     "kmv_distinct_estimate": 8,
     "kmv_set_ops_estimate": 8,
     "embedding_covariance_matrix": 8,
