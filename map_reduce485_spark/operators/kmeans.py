@@ -116,6 +116,7 @@ def kmeans_fit(
     iterations: int = 3,
     id_col: str = "vec_id",
     train_mod: int = 1,
+    two_level: bool = False,
 ) -> list[list[float]]:
     """Run ``iterations`` Lloyd steps; returns the final centroids.
 
@@ -142,8 +143,9 @@ def kmeans_fit(
     )
     dim = len(first[0].embedding)
     centroids = [[float(x) for x in r.embedding] for r in first]
+    assigner = assign_clusters_two_level if two_level else assign_clusters
     for _ in range(iterations):
-        assigned = assign_clusters(train, centroids)
+        assigned = assigner(train, centroids)
         centroids = _recompute_centroids(assigned, dim, k)
     return centroids
 
@@ -164,4 +166,126 @@ def assign_with_distance(emb: DataFrame, centroids: list[list[float]]) -> DataFr
         .withColumn("cluster", F.expr("array_position(_d, array_min(_d))").cast("int") - 1)
         .withColumn("_mindist", F.expr("array_min(_d)"))
         .drop("_cents", "_d")
+    )
+
+
+# ---------------------------------------------------------------------------
+# two-level (IVF-style) assignment — O(n·√k·d) instead of O(n·k·d)
+# ---------------------------------------------------------------------------
+
+
+def _lloyd_rows(
+    points: list[list[float]], g: int, iterations: int = 3
+) -> list[int]:
+    """Deterministic Lloyd over a SMALL in-driver point list (the centroid
+    table, k rows): returns each point's final group id in [0, g).
+
+    Exactly the distributed algorithm's conventions, in pure Python: init
+    = the g lowest-index points, assignment = argmin squared L2 with
+    lowest-group tie-break, update = per-dimension mean over integer
+    micro-units (round(val*1e6) summed as ints).  No RNG anywhere, so the
+    grouping is bit-reproducible across processes."""
+    dim = len(points[0])
+    cents = [list(points[i]) for i in range(min(g, len(points)))]
+
+    def nearest(p: list[float]) -> int:
+        best, bd = 0, None
+        for j, c in enumerate(cents):
+            d = 0.0
+            for x, y in zip(p, c):
+                d += (x - y) * (x - y)
+            if bd is None or d < bd:
+                best, bd = j, d
+        return best
+
+    assign = [0] * len(points)
+    for _ in range(iterations):
+        assign = [nearest(p) for p in points]
+        sums = [[0] * dim for _ in range(len(cents))]
+        cnts = [0] * len(cents)
+        for p, a in zip(points, assign):
+            cnts[a] += 1
+            for i, x in enumerate(p):
+                sums[a][i] += int(round(x * 1000000.0))
+        for j in range(len(cents)):
+            if cnts[j]:
+                cents[j] = [s / cnts[j] / 1000000.0 for s in sums[j]]
+            else:
+                cents[j] = [0.0] * dim
+    return [nearest(p) for p in points]
+
+
+def assign_clusters_two_level(
+    emb: DataFrame, centroids: list[list[float]], id_col: str = "vec_id"
+) -> DataFrame:
+    """(emb columns…, cluster) — APPROXIMATE nearest-centroid assignment in
+    O(n·√k·d): the IVF-on-centroids form that keeps corpus-scaled k
+    (k ∝ n, `semdedup_prune_scaled_k`) from making assignment quadratic
+    in corpus size.
+
+    The k centroids are themselves clustered into g = ceil(√k) groups by
+    a deterministic in-driver Lloyd (`_lloyd_rows` — k rows of driver
+    state, already the operator's documented budget).  Each vector then
+    (1) finds its nearest GROUP representative (n·g distance evals,
+    broadcast join + map-side MIN-struct), and (2) searches only that
+    group's member centroids (n·avg(k/g) evals, equi-join on the group
+    id).  Total ≈ 2n√k·d vs n·k·d flat — the standard IVF trade: a
+    vector whose true nearest centroid lives in a different group gets
+    its best IN-GROUP centroid instead (for SemDeDup that only
+    re-draws cell boundaries; the within-cell prune is cell-bounded
+    either way).  Both passes are map-side-combinable MIN(struct)
+    aggregates — the same tie-breaking contract as `assign_clusters`,
+    pytest-pinned to return the exact in-group argmin."""
+    import math
+
+    spark = emb.sparkSession
+    g = max(1, math.isqrt(len(centroids) - 1) + 1) if len(centroids) > 1 else 1
+    groups = _lloyd_rows(centroids, g)
+    cent_df = spark.createDataFrame(
+        [
+            (i, groups[i], [float(x) for x in c])
+            for i, c in enumerate(centroids)
+        ],
+        "cid int, grp int, c array<double>",
+    )
+    # group representatives: micro-unit mean of member centroids (matches
+    # _lloyd_rows' update rule), empty groups excluded entirely
+    reps: dict[int, list[float]] = {}
+    cnt: dict[int, int] = {}
+    dim = len(centroids[0])
+    acc: dict[int, list[int]] = {}
+    for c, grp in zip(centroids, groups):
+        a = acc.setdefault(grp, [0] * dim)
+        for i, x in enumerate(c):
+            a[i] += int(round(x * 1000000.0))
+        cnt[grp] = cnt.get(grp, 0) + 1
+    for grp, a in acc.items():
+        reps[grp] = [s / cnt[grp] / 1000000.0 for s in a]
+    rep_df = spark.createDataFrame(
+        [(grp, v) for grp, v in sorted(reps.items())], "grp int, c array<double>"
+    )
+    dist = F.expr(
+        "aggregate(zip_with(embedding, c, (x, cc) -> (CAST(x AS DOUBLE) - cc)"
+        " * (CAST(x AS DOUBLE) - cc)), 0D, (acc, v) -> acc + v)"
+    )
+    others = [c for c in emb.columns if c != id_col]
+    coarse = (
+        emb.join(F.broadcast(rep_df))
+        .withColumn("_d", dist)
+        .groupBy(id_col)
+        .agg(
+            F.min(F.struct(F.col("_d"), F.col("grp"))).alias("_m"),
+            *[F.first(c).alias(c) for c in others],
+        )
+        .select(id_col, *others, F.col("_m.grp").alias("grp"))
+    )
+    return (
+        coarse.join(F.broadcast(cent_df), "grp")
+        .withColumn("_d", dist)
+        .groupBy(id_col)
+        .agg(
+            F.min(F.struct(F.col("_d"), F.col("cid"))).alias("_m"),
+            *[F.first(c).alias(c) for c in others],
+        )
+        .select(id_col, *others, F.col("_m.cid").alias("cluster"))
     )

@@ -2229,8 +2229,13 @@ def semdedup_prune_scaled_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     # runs Lloyd over the full corpus); 64k = max(1024, n/4) >= n at every
     # gate SF, so train_mod == 1 there and the oracle replay is unchanged
     train_mod = max(1, -(-n // (64 * k)))
+    # two-level (IVF-style) assignment once k outgrows the gate's flat
+    # range: O(n*sqrt(k)*d), the fix for the O(n*k*d) quadratic the
+    # docstring names; every gate corpus has k = 16 < 64, so the
+    # oracle-replayed flat path is what the gate hash-checks
     return _semdedup_prune_at_k(
-        spark, sf_dir, k=k, salt_cell=_SEMDEDUP_CELL, train_mod=train_mod
+        spark, sf_dir, k=k, salt_cell=_SEMDEDUP_CELL, train_mod=train_mod,
+        two_level=k >= 64,
     )
 
 
@@ -2245,12 +2250,20 @@ def _semdedup_prune_at_k(
     k: int,
     salt_cell: int | None = None,
     train_mod: int = 1,
+    two_level: bool = False,
 ) -> DataFrame:
-    from map_reduce485_spark.operators.kmeans import assign_clusters, kmeans_fit
+    from map_reduce485_spark.operators.kmeans import (
+        assign_clusters,
+        assign_clusters_two_level,
+        kmeans_fit,
+    )
 
     (emb,) = T(spark, sf_dir, "embeddings")
-    centroids = kmeans_fit(emb, k=k, iterations=3, train_mod=train_mod)
-    assigned = assign_clusters(emb, centroids).select("vec_id", "embedding", "cluster")
+    centroids = kmeans_fit(
+        emb, k=k, iterations=3, train_mod=train_mod, two_level=two_level
+    )
+    assigner = assign_clusters_two_level if two_level else assign_clusters
+    assigned = assigner(emb, centroids).select("vec_id", "embedding", "cluster")
     if salt_cell is None:
         keyed = assigned.withColumn("sb", F.lit(0))
     else:

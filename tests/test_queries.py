@@ -1311,3 +1311,63 @@ def test_bh_fdr_step_up_rule(spark):
         assert r.rejected == (1 if r.rk <= kstar else 0)
     flags = [r.rejected for r in rows]
     assert flags == sorted(flags, reverse=True)  # prefix property
+
+
+def test_two_level_assignment_contract(spark):
+    """`assign_clusters_two_level` invariants on a small deterministic
+    frame: (1) every vector is assigned exactly once; (2) the chosen
+    centroid is the EXACT argmin (lowest distance, then lowest cid)
+    among the centroids of the vector's chosen group — the in-group
+    search is exact even though the group routing is approximate; and
+    (3) with k <= g (every centroid its own group) it degenerates to
+    the exact flat assignment."""
+    from pyspark.sql import functions as F
+
+    from map_reduce485_spark.operators.kmeans import (
+        _lloyd_rows,
+        assign_clusters,
+        assign_clusters_two_level,
+        kmeans_fit,
+    )
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .limit(200)
+    )
+    cents = kmeans_fit(emb, k=25, iterations=2)
+    rows = {r.vec_id: r for r in assign_clusters_two_level(emb, cents).collect()}
+    assert len(rows) == emb.count()
+
+    import math
+
+    g = math.isqrt(24) + 1
+    groups = _lloyd_rows(cents, g)
+
+    def sqdist(v, c):
+        return sum((float(x) - y) * (float(x) - y) for x, y in zip(v, c))
+
+    vecs = {r.vec_id: r.embedding for r in emb.collect()}
+    for vid, r in rows.items():
+        grp = groups[r.cluster]
+        in_group = [i for i in range(len(cents)) if groups[i] == grp]
+        best = min(in_group, key=lambda i: (sqdist(vecs[vid], cents[i]), i))
+        assert r.cluster == best, (vid, r.cluster, best)
+
+    # degenerate case: k=2 -> g=2, every centroid its own group, so the
+    # coarse routing IS the exact assignment — provided the centroids sit
+    # on the 1e-6 grid (group representatives are micro-unit-rounded
+    # means; off-grid centroids would differ from their own rep by <1e-6
+    # and could flip a bisector vector)
+    cents_small = [
+        [round(x * 1e6) / 1e6 for x in c]
+        for c in kmeans_fit(emb, k=2, iterations=1)
+    ]
+    flat = {
+        r.vec_id: r.cluster for r in assign_clusters(emb, cents_small).collect()
+    }
+    two = {
+        r.vec_id: r.cluster
+        for r in assign_clusters_two_level(emb, cents_small).collect()
+    }
+    assert flat == two
