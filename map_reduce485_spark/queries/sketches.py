@@ -1077,3 +1077,114 @@ def hll_merge_days(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("is_equal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# moments sketch: distributed merge proof (the fourth sketch algebra)
+# ---------------------------------------------------------------------------
+
+_MOMENTS_MERGE_ORACLE = """
+WITH m AS (
+  SELECT o_orderkey % 4 AS site,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v
+  FROM orders
+),
+per_site AS (
+  SELECT site,
+         CAST(COUNT(*) AS BIGINT) AS m0,
+         CAST(SUM(CAST(v AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS m1,
+         CAST(SUM(CAST(v AS DECIMAL(38,0)) * v) AS DECIMAL(38,0)) AS m2,
+         CAST(SUM(CAST(v AS DECIMAL(38,0)) * v * v) AS DECIMAL(38,0)) AS m3
+  FROM m GROUP BY site
+),
+merged AS (
+  SELECT CAST(SUM(m0) AS BIGINT) AS m0,
+         CAST(SUM(m1) AS DECIMAL(38,0)) AS m1,
+         CAST(SUM(m2) AS DECIMAL(38,0)) AS m2,
+         CAST(SUM(m3) AS DECIMAL(38,0)) AS m3
+  FROM per_site
+),
+direct AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS m0,
+         CAST(SUM(CAST(v AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS m1,
+         CAST(SUM(CAST(v AS DECIMAL(38,0)) * v) AS DECIMAL(38,0)) AS m2,
+         CAST(SUM(CAST(v AS DECIMAL(38,0)) * v * v) AS DECIMAL(38,0)) AS m3
+  FROM m
+)
+SELECT mg.m0, CAST(mg.m1 AS DOUBLE) AS m1, CAST(mg.m2 AS DOUBLE) AS m2,
+       CAST(mg.m3 AS DOUBLE) AS m3,
+       CAST(mg.m0 = d.m0 AND mg.m1 = d.m1 AND mg.m2 = d.m2 AND mg.m3 = d.m3
+            AS BIGINT) AS is_equal,
+       ROUND(CAST(mg.m1 AS DOUBLE) / mg.m0 / 100e0, 6) AS mean_price,
+       ROUND(sqrt((CAST(mg.m2 AS DOUBLE) - CAST(mg.m1 AS DOUBLE)
+                   * CAST(mg.m1 AS DOUBLE) / mg.m0) / mg.m0) / 100e0, 6)
+         AS stddev_price
+FROM merged mg, direct d
+"""
+
+
+@query("moments_sketch_merge", _MOMENTS_MERGE_ORACLE, tags=("sketch",))
+def moments_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moments-sketch merge proof — the FOURTH shipped sketch algebra
+    witness beside CMS (counter addition), HLL (register max) and KMV
+    (bottom-k union): the (count, Σv, Σv², Σv³) vector is a group
+    homomorphism under per-component ADDITION, so per-site sketches
+    merged by summing equal the direct single-pass build cell-exactly —
+    the property that makes any moments-derived statistic (mean,
+    variance, skew, Gaussian-quantile estimates a la the Moments Sketch
+    paper) computable from mergeable per-shard state at 100 TB.  Four
+    per-site sketches (orders split by o_orderkey % 4, standing in for
+    ingest sites), merged, compared against the direct build; moments
+    accumulate over exact integer cents in DECIMAL(38,0) (cents³ ≈ 1e21
+    per row — far under the 1e38 ceiling at any corpus size), so
+    equality is exact, not approximate.  Mean and stddev are derived at
+    the end as fixed scalar IEEE ops, round-6.
+
+    Scale: both builds are one map-side-combinable aggregation each;
+    the merge operates on 4 rows."""
+    (orders,) = T(spark, sf_dir, "orders")
+    v = F.round(F.col("o_totalprice") * 100).cast("long")
+    m = orders.select((F.col("o_orderkey") % 4).alias("site"), v.alias("v"))
+    vd = F.col("v").cast("decimal(38,0)")
+
+    def moments(df, keys):
+        g = df.groupBy(*keys) if keys else df.groupBy()
+        return g.agg(
+            F.count("*").alias("m0"),
+            F.sum(vd).cast("decimal(38,0)").alias("m1"),
+            F.sum(vd * F.col("v")).cast("decimal(38,0)").alias("m2"),
+            F.sum(vd * F.col("v") * F.col("v")).cast("decimal(38,0)").alias("m3"),
+        )
+
+    merged = moments(m, ["site"]).agg(
+        F.sum("m0").cast("bigint").alias("m0"),
+        F.sum("m1").cast("decimal(38,0)").alias("m1"),
+        F.sum("m2").cast("decimal(38,0)").alias("m2"),
+        F.sum("m3").cast("decimal(38,0)").alias("m3"),
+    )
+    direct = moments(m, []).select(
+        F.col("m0").alias("d0"),
+        F.col("m1").alias("d1"),
+        F.col("m2").alias("d2"),
+        F.col("m3").alias("d3"),
+    )
+    mg0, mg1 = F.col("m0"), F.col("m1").cast("double")
+    mg2 = F.col("m2").cast("double")
+    return merged.crossJoin(F.broadcast(direct)).select(
+        "m0",
+        mg1.alias("m1"),
+        mg2.alias("m2"),
+        F.col("m3").cast("double").alias("m3"),
+        (
+            (F.col("m0") == F.col("d0"))
+            & (F.col("m1") == F.col("d1"))
+            & (F.col("m2") == F.col("d2"))
+            & (F.col("m3") == F.col("d3"))
+        )
+        .cast("bigint")
+        .alias("is_equal"),
+        F.round(mg1 / mg0 / F.lit(100.0), 6).alias("mean_price"),
+        F.round(
+            F.sqrt((mg2 - mg1 * mg1 / mg0) / mg0) / F.lit(100.0), 6
+        ).alias("stddev_price"),
+    )

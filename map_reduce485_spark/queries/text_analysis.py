@@ -2856,3 +2856,92 @@ def per_source_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_kept").cast("double") / F.col("n")).alias("kept_frac"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# per-document novelty: fraction of 8-grams this doc contributes first
+# ---------------------------------------------------------------------------
+
+_NOVELTY_N = 8
+
+_NOVELTY_ORACLE = f"""
+WITH words AS (
+  SELECT doc_id, source,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+  FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id, source,
+         UNNEST(list_transform(
+           generate_series(1, len(w) - {_NOVELTY_N - 1}),
+           i -> array_to_string(w[i:i+{_NOVELTY_N - 1}], ' ')
+         )) AS g
+  FROM words WHERE len(w) >= {_NOVELTY_N}
+),
+firsts AS (SELECT g, MIN(doc_id) AS first_doc FROM grams GROUP BY g)
+SELECT gr.doc_id, gr.source,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(SUM(CAST(f.first_doc = gr.doc_id AS BIGINT)) AS BIGINT)
+         AS n_novel,
+       CAST(SUM(CAST(f.first_doc = gr.doc_id AS BIGINT)) AS DOUBLE)
+         / COUNT(*) AS novelty
+FROM grams gr JOIN firsts f ON f.g = gr.g
+GROUP BY gr.doc_id, gr.source
+"""
+
+
+@query("ngram_novelty_score", _NOVELTY_ORACLE, tags=("text", "dedup"))
+def ngram_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document NOVELTY: the fraction of a doc's distinct 8-grams
+    whose first corpus occurrence (minimum doc_id, standing in for
+    ingest order) is this document — the contribution-rate metric that
+    separates documents adding new content from documents restating the
+    corpus (novelty ~0 = fully derivative, the ingest-ordered complement
+    of `ngram_commonness`'s order-free boilerplate score).  Production
+    crawls run exactly this to decide whether a re-crawled site still
+    pays its storage.
+
+    Scale: gram extraction is corpus-linear; `firsts` is one map-side
+    combinable MIN per distinct gram (the shuffle is keyed on the gram,
+    like `ngram_commonness`); the join back is gram-keyed and the final
+    per-doc rollup is map-side combinable.  Nothing quadratic, no
+    windows.  Ratio is a single division of exact BIGINTs."""
+    (docs,) = T(spark, sf_dir, "documents")
+    grams = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.expr("filter(split(lower(text), ' '), x -> x <> '')").alias("w"),
+        )
+        .filter(F.size("w") >= _NOVELTY_N)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(w) - {_NOVELTY_N - 1}),"
+                    f" i -> concat_ws(' ', slice(w, i, {_NOVELTY_N})))"
+                )
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    grams = cache_scoped(grams)
+    firsts = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        grams.join(firsts, "g")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum((F.col("first_doc") == F.col("doc_id")).cast("bigint")).alias(
+                "n_novel"
+            ),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "n_grams",
+            "n_novel",
+            (F.col("n_novel").cast("double") / F.col("n_grams")).alias("novelty"),
+        )
+    )

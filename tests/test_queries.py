@@ -1371,3 +1371,64 @@ def test_two_level_assignment_contract(spark):
         for r in assign_clusters_two_level(emb, cents_small).collect()
     }
     assert flat == two
+
+
+def test_moments_sketch_merge_identity(spark):
+    """The merge proof must actually witness equality (is_equal = 1) and
+    the derived mean/stddev must match a NumPy recomputation over the raw
+    cents to 6 decimals."""
+    from map_reduce485_spark.queries.sketches import moments_sketch_merge
+
+    row = moments_sketch_merge(spark, "/root/testdata/sf0.001").collect()[0]
+    assert row.is_equal == 1
+    import math
+
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    cents = [
+        int(round(r.o_totalprice * 100)) for r in orders.select("o_totalprice").collect()
+    ]
+    n = len(cents)
+    mean = sum(cents) / n / 100.0
+    var = (sum(c * c for c in cents) - sum(cents) ** 2 / n) / n
+    assert abs(row.mean_price - round(mean, 6)) < 1e-9
+    assert abs(row.stddev_price - round(math.sqrt(var) / 100.0, 6)) < 1e-6
+
+
+def test_ngram_novelty_bounds_and_first_doc(spark):
+    """Novelty invariants: ratios in (0, 1]; the lowest doc_id (the first
+    ever ingested) has novelty exactly 1.0 (every one of its grams first
+    occurs there); per-doc novel counts sum to the number of DISTINCT
+    grams in the corpus (each gram is novel exactly once)."""
+    from pyspark.sql import functions as F
+
+    from map_reduce485_spark.queries.text_analysis import (
+        _NOVELTY_N,
+        ngram_novelty_score,
+    )
+
+    rows = ngram_novelty_score(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        # 0.0 is legitimate: a fully derivative doc (every gram first
+        # appeared in a lower doc_id)
+        assert 0.0 <= r.novelty <= 1.0
+        assert 0 <= r.n_novel <= r.n_grams
+    first = min(rows, key=lambda r: r.doc_id)
+    assert first.novelty == 1.0
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    grams = (
+        docs.select(
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(filter(split(lower(text), ' '),"
+                    f" x -> x <> '')) - {_NOVELTY_N - 1}),"
+                    f" i -> concat_ws(' ', slice(filter(split(lower(text), ' '),"
+                    f" x -> x <> ''), i, {_NOVELTY_N})))"
+                )
+            ).alias("g")
+        )
+        .filter(F.col("g") != "")
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_novel for r in rows) == grams

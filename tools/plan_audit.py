@@ -91,6 +91,8 @@ KNOWN_BNLJ: dict[str, int | None] = {
     "ann_lsh_multiprobe_recall": 16,
     # 1-row vocab-size broadcast onto the 1-row OLS-moments aggregate
     "zipf_law_fit": 8,
+    # 1-row direct-build moments broadcast onto the 1-row merged sketch
+    "moments_sketch_merge": 8,
     # 1-row global-moments broadcast onto the ~120-row cell table, then
     # 1-row (m, k*) broadcasts back onto it — the q22 free-probe class
     "bh_fdr_correction": 8,
