@@ -57,7 +57,13 @@ def assign_clusters(
     COMBINABLE: the n×K joined frame collapses to one candidate per
     vector inside the scan stage, so the shuffle carries n rows, not n×K
     (at the 100× smoke with corpus-scaled k that is 781× less shuffle —
-    the window form sorted 156 M joined rows per Lloyd pass)."""
+    the window form sorted 156 M joined rows per Lloyd pass).
+
+    PRECONDITION: ``id_col`` uniquely identifies rows — with duplicate
+    ids the per-column first() aggregates could splice `others` values
+    from different input rows (round-9 advice; pinned in
+    `tests/test_queries.py::test_assign_clusters_column_contract`).
+    Output columns preserve the input order, with `cluster` appended."""
     spark = emb.sparkSession
     cent_df = spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
@@ -78,7 +84,7 @@ def assign_clusters(
             # join only replicated rows), so first() is value-deterministic
             *[F.first(c).alias(c) for c in others],
         )
-        .select(id_col, *others, F.col("_m.cid").alias("cluster"))
+        .select(*emb.columns, F.col("_m.cid").alias("cluster"))
     )
 
 
@@ -126,10 +132,16 @@ def kmeans_fit(
     full corpus; ~64 sampled points per centroid estimate the means, the
     full corpus is assigned exactly ONCE afterwards).  Init (lowest-id k)
     comes from the same sample so the whole training path sees one
-    consistent frame.  Callers that need oracle-replayable training keep
-    train_mod=1 (every gate-scale corpus does: the scaled-k policy's
-    sample cap exceeds gate corpus sizes, so the gate hash-checks the
-    identical no-sample path)."""
+    consistent frame.  Sampled training stays oracle-replayable:
+    `queries/similarity._kmeans_train_ctes(sampled=True)` reruns the
+    identical hash filter with the modulus computed from the corpus
+    count in-SQL, so hashes match at every SF, not just where the
+    modulus degenerates to 1.
+
+    A small or unlucky corpus can leave the hash sample with fewer than
+    k rows (or none — IndexError at init); training then falls back to
+    the FULL frame (round-9 advice).  The oracle mirrors the fallback
+    with the same count-conditional branch."""
     train = emb
     if train_mod > 1:
         bucket = (
@@ -141,6 +153,9 @@ def kmeans_fit(
     first = (
         train.orderBy(id_col).limit(k).select("embedding").collect()
     )
+    if train_mod > 1 and len(first) < k:
+        train = emb
+        first = train.orderBy(id_col).limit(k).select("embedding").collect()
     dim = len(first[0].embedding)
     centroids = [[float(x) for x in r.embedding] for r in first]
     assigner = assign_clusters_two_level if two_level else assign_clusters
@@ -174,6 +189,16 @@ def assign_with_distance(emb: DataFrame, centroids: list[list[float]]) -> DataFr
 # ---------------------------------------------------------------------------
 
 
+def _round_half_away(v: float) -> int:
+    """round-half-away-from-zero to int — the rounding BOTH SQL engines'
+    ROUND() implement.  Python's builtin round() is banker's (half-to-
+    even), which would silently diverge from the DuckDB oracle replay of
+    the two-level grouping exactly on .5 micro-unit boundaries."""
+    import math
+
+    return int(math.copysign(math.floor(abs(v) + 0.5), v))
+
+
 def _lloyd_rows(
     points: list[list[float]], g: int, iterations: int = 3
 ) -> list[int]:
@@ -183,8 +208,10 @@ def _lloyd_rows(
     Exactly the distributed algorithm's conventions, in pure Python: init
     = the g lowest-index points, assignment = argmin squared L2 with
     lowest-group tie-break, update = per-dimension mean over integer
-    micro-units (round(val*1e6) summed as ints).  No RNG anywhere, so the
-    grouping is bit-reproducible across processes."""
+    micro-units (half-away round(val*1e6) summed as ints — see
+    `_round_half_away`).  No RNG anywhere, so the grouping is
+    bit-reproducible across processes AND replayable in SQL
+    (`queries/similarity._two_level_assign_oracle`)."""
     dim = len(points[0])
     cents = [list(points[i]) for i in range(min(g, len(points)))]
 
@@ -206,7 +233,7 @@ def _lloyd_rows(
         for p, a in zip(points, assign):
             cnts[a] += 1
             for i, x in enumerate(p):
-                sums[a][i] += int(round(x * 1000000.0))
+                sums[a][i] += _round_half_away(x * 1000000.0)
         for j in range(len(cents)):
             if cnts[j]:
                 cents[j] = [s / cnts[j] / 1000000.0 for s in sums[j]]
@@ -235,7 +262,9 @@ def assign_clusters_two_level(
     re-draws cell boundaries; the within-cell prune is cell-bounded
     either way).  Both passes are map-side-combinable MIN(struct)
     aggregates — the same tie-breaking contract as `assign_clusters`,
-    pytest-pinned to return the exact in-group argmin."""
+    pytest-pinned to return the exact in-group argmin.  Same unique-
+    ``id_col`` precondition and output column order as
+    `assign_clusters`."""
     import math
 
     spark = emb.sparkSession
@@ -257,7 +286,7 @@ def assign_clusters_two_level(
     for c, grp in zip(centroids, groups):
         a = acc.setdefault(grp, [0] * dim)
         for i, x in enumerate(c):
-            a[i] += int(round(x * 1000000.0))
+            a[i] += _round_half_away(x * 1000000.0)
         cnt[grp] = cnt.get(grp, 0) + 1
     for grp, a in acc.items():
         reps[grp] = [s / cnt[grp] / 1000000.0 for s in a]
@@ -287,5 +316,5 @@ def assign_clusters_two_level(
             F.min(F.struct(F.col("_d"), F.col("cid"))).alias("_m"),
             *[F.first(c).alias(c) for c in others],
         )
-        .select(id_col, *others, F.col("_m.cid").alias("cluster"))
+        .select(*emb.columns, F.col("_m.cid").alias("cluster"))
     )

@@ -192,6 +192,79 @@ def distributed_prefix_max(
     )
 
 
+def distributed_prefix_sum(
+    df: DataFrame,
+    order_by: list[str | Column],
+    value_col: str | list[str],
+    alias: str | list[str],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Running (INCLUSIVE) SUM of ``value_col`` in the total order
+    ``order_by`` — the sweep-line / gaps-and-islands scan, replacing
+    ``sum().over(Window.orderBy(...).rowsBetween(unboundedPreceding, 0))``
+    which Spark executes as one global partition ("Moving all data to a
+    single partition") and which therefore degrades to a single executor at
+    exactly the data scale the sweep is for.
+
+    Same two-level shape as :func:`distributed_prefix_max`: range-partition
+    on the order key, inclusive prefix sum WITHIN each range partition (the
+    window is partitioned by the range-partition id, so no partition sees
+    more than its range slice), plus an exclusive prefix sum OVER the
+    per-partition totals (≤ partition-count rows, broadcast back).  Row
+    answer = local_prefix + partition_offset.  Sums are exact whenever the
+    value type is (integral/decimal); for doubles the usual float-order
+    caveat applies — pass decimals for hash-checked paths.
+
+    Same total-order requirement as :func:`distributed_rank`; with a total
+    order the result is bit-identical to the single-partition window
+    regardless of where the sampled range boundaries fall.
+
+    ``value_col``/``alias`` may be parallel LISTS to scan several columns
+    in ONE pass (one range shuffle, one offsets broadcast) — the KS
+    running-CDF pair is the motivating case.  A STRICT prefix (unbounded
+    preceding → −1) is the inclusive result minus the row's own value —
+    exact for integer/decimal inputs, so no separate variant ships.
+    """
+    vcols = [value_col] if isinstance(value_col, str) else list(value_col)
+    aliases = [alias] if isinstance(alias, str) else list(alias)
+    if len(vcols) != len(aliases):
+        raise ValueError("value_col and alias must pair up")
+    cols = _order_cols(order_by)
+    part = (
+        df.repartitionByRange(num_partitions, *cols)
+        if num_partitions
+        else df.repartitionByRange(*cols)
+    )
+    tagged = part.select("*", F.spark_partition_id().alias("_ps_pid"))
+    lw = (
+        W.partitionBy("_ps_pid")
+        .orderBy(*cols)
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    local = tagged.select(
+        "*", *[F.sum(v).over(lw).alias(f"_ps_lps_{i}") for i, v in enumerate(vcols)]
+    )
+    totals = tagged.groupBy("_ps_pid").agg(
+        *[F.sum(v).alias(f"_ps_tot_{i}") for i, v in enumerate(vcols)]
+    )
+    pw = W.orderBy("_ps_pid").rowsBetween(W.unboundedPreceding, -1)
+    offs = totals.select(
+        "_ps_pid",
+        *[
+            F.coalesce(F.sum(f"_ps_tot_{i}").over(pw), F.lit(0)).alias(f"_ps_off_{i}")
+            for i in range(len(vcols))
+        ],
+    )
+    out = local.join(F.broadcast(offs), "_ps_pid")
+    for i, a in enumerate(aliases):
+        out = out.withColumn(a, F.col(f"_ps_lps_{i}") + F.col(f"_ps_off_{i}"))
+    return out.drop(
+        "_ps_pid",
+        *[f"_ps_lps_{i}" for i in range(len(vcols))],
+        *[f"_ps_off_{i}" for i in range(len(vcols))],
+    )
+
+
 def dsum(expr: str, alias: str, scale: int = 2, precision: int = 24) -> Column:
     """Exact, order-independent SUM of a double expression, surfaced as DOUBLE.
 

@@ -12,7 +12,14 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from map_reduce485_spark.queries import query
-from map_reduce485_spark.queries._util import T, cache_scoped, dsum, fmt_ts, oracle_dsum
+from map_reduce485_spark.queries._util import (
+    T,
+    cache_scoped,
+    distributed_prefix_sum,
+    dsum,
+    fmt_ts,
+    oracle_dsum,
+)
 
 # ---------------------------------------------------------------------------
 # as-of join
@@ -2339,11 +2346,12 @@ def ks_two_sample_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     gap n_a·n_b·|F_a−F_b| = |c_a·n_b − c_b·n_a| is a bigint, the argmax
     is decided on bigints (no float comparisons anywhere), and the
     statistic's single division happens once at the end.  The running
-    CDFs are one ordered window over the DISTINCT-value steps (bounded by
-    the value domain, not the row count; at 100 TB pre-bin values first —
-    `approx_percentile_binned`'s move)."""
-    from pyspark.sql import Window as W
-
+    CDFs are ONE :func:`distributed_prefix_sum` pass (both cumulative
+    counts in a single range shuffle) over the DISTINCT-value steps —
+    the value domain scales with the corpus (prices multiply with the
+    part catalog), so a single-partition ordered window here is the
+    round-9-item-1 failure shape; `ks_two_sample_binned` additionally
+    pre-bins to a constant domain (the 100 TB twin)."""
     (events,) = T(spark, sf_dir, "events")
     s = events.filter(F.col("event_type").isin("view", "purchase")).select(
         F.round(F.col("value") * 100).cast("long").alias("cents"),
@@ -2356,12 +2364,9 @@ def ks_two_sample_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_v = s.groupBy("cents").agg(
         F.sum("is_a").alias("da"), F.sum(1 - F.col("is_a")).alias("db")
     )
-    w = W.orderBy("cents").rowsBetween(W.unboundedPreceding, 0)
-    steps = per_v.select(
-        "cents",
-        F.sum("da").over(w).alias("c_a"),
-        F.sum("db").over(w).alias("c_b"),
-    )
+    steps = distributed_prefix_sum(
+        per_v, ["cents"], ["da", "db"], ["c_a", "c_b"]
+    ).select("cents", "c_a", "c_b")
     gaps = steps.crossJoin(F.broadcast(n)).select(
         "cents",
         F.abs(F.col("c_a") * F.col("n_b") - F.col("c_b") * F.col("n_a")).alias(
@@ -2568,11 +2573,12 @@ def mann_whitney_u_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     in the final expression, computed with an identical tree (+,-,*,/,
     sqrt — all IEEE-correctly-rounded) on both engines, hence emitted
     UNROUNDED.  Scale: same shape as KS — one groupBy on the value
-    domain, one ordered window over the distinct-value steps (pre-bin
-    at 100 TB, `approx_percentile_binned`'s move), then a 1-row
-    reduction."""
-    from pyspark.sql import Window as W
-
+    domain, then a :func:`distributed_prefix_sum` over the distinct-value
+    steps (the value domain scales with the corpus — a single-partition
+    ordered window is the round-9-item-1 failure shape;
+    `mann_whitney_u_binned` pre-bins to a constant domain for 100 TB);
+    the STRICT prefix cum_before is the inclusive scan minus the step's
+    own tie count t — exact bigint arithmetic — then a 1-row reduction."""
     (events,) = T(spark, sf_dir, "events")
     s = events.filter(F.col("event_type").isin("view", "purchase")).select(
         F.round(F.col("value") * 100).cast("long").alias("cents"),
@@ -2581,14 +2587,13 @@ def mann_whitney_u_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_v = s.groupBy("cents").agg(
         F.sum("is_a").alias("da"), F.sum(1 - F.col("is_a")).alias("db")
     )
-    w = W.orderBy("cents").rowsBetween(W.unboundedPreceding, -1)
-    steps = per_v.select(
-        "da",
-        "db",
-        (F.col("da") + F.col("db")).alias("t"),
-        F.coalesce(F.sum(F.col("da") + F.col("db")).over(w), F.lit(0)).alias(
-            "cum_before"
-        ),
+    steps = distributed_prefix_sum(
+        per_v.select("cents", "da", "db", (F.col("da") + F.col("db")).alias("t")),
+        ["cents"],
+        "t",
+        "cum_incl",
+    ).select(
+        "da", "db", "t", (F.col("cum_incl") - F.col("t")).alias("cum_before")
     )
     agg = steps.agg(
         F.sum("da").alias("n_a"),

@@ -32,11 +32,36 @@ not a re-scan of the fact tables.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from map_reduce485_spark.queries import query
 from map_reduce485_spark.queries._util import T, cache_scoped
+
+
+def _graph_bcast_max() -> int:
+    """Max node-frame rows eligible for broadcast in the iterative loops.
+
+    2M (node, bigint) rows is ~32 MB serialized — comfortably under
+    executor memory and orders of magnitude under Spark's 8 GB broadcast
+    hard cap, while still covering every test SF and the 10x/100x smokes.
+    `SPARK_GRAFT_GRAPH_BCAST_MAX` overrides (the scale smoke forces the
+    shuffle path by setting it low)."""
+    return int(os.environ.get("SPARK_GRAFT_GRAPH_BCAST_MAX", "2000000"))
+
+
+def _maybe_broadcast(state: DataFrame, n_nodes: int) -> DataFrame:
+    """Size-conditional join side for node-scale state frames — the
+    stats-before-strategy move (round-8): the caller MATERIALIZES the node
+    count first, then each round's join either broadcasts the state (small
+    graph: zero edge movement per round) or leaves it to the shuffle join
+    co-partitioned with the cached edge layout (node count scales with the
+    corpus — at 100 TB TPC-H the node table is billions of rows and an
+    unconditional broadcast would ERROR at the 8 GB cap, not degrade)."""
+    return F.broadcast(state) if n_nodes <= _graph_bcast_max() else state
+
 
 _PR_ITERS = 5
 _PR_SCALE = 10**12  # rank 1.0 in scaled-integer units
@@ -85,22 +110,35 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    edges = e0.unionAll(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    edges = cache_scoped(
+        e0.unionAll(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    )
     deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
+    # STATS-BEFORE-STRATEGY (round-9 verdict item 2): materialize the node
+    # count FIRST (one aggregate over the cached edge frame), then pick the
+    # per-round join strategy from it instead of broadcasting node-scale
+    # state unconditionally — at 100 TB TPC-H the node table is billions of
+    # rows and a hard-coded broadcast ERRORS at the 8 GB cap.
+    n_nodes = edges.select(F.countDistinct("src").alias("n")).first()[0]
+    bcast = n_nodes <= _graph_bcast_max()
     # one frame carrying (src, dst, out_deg): cached once, PRE-PARTITIONED
-    # on dst so every round's message aggregation reuses the partitioning —
-    # with the rank table broadcast, an iteration moves ZERO edge bytes
-    # (broadcast-join map-side, then an exchange-free HashAggregate).  The
-    # broadcast is right while the node table is small relative to the
-    # edge list (here ~16k nodes vs ~1M directed edges at sf0.1); past the
-    # broadcast threshold the same loop runs as a shuffle join co-
-    # partitioned with this edge layout.
-    edges_deg = cache_scoped(edges.join(deg, "src").repartition("dst"))
+    # for the chosen strategy.  Broadcast mode partitions on dst so every
+    # round's message aggregation reuses the partitioning — an iteration
+    # moves ZERO edge bytes (broadcast-join map-side, then an exchange-free
+    # HashAggregate).  Shuffle mode partitions on src, the JOIN key, so the
+    # cached layout feeds the sort-merge/hash join without re-shuffling the
+    # edges — each round moves only the rank frame plus the messages (the
+    # standard distributed-PageRank round).
+    edges_deg = cache_scoped(
+        edges.join(deg, "src").repartition("dst" if bcast else "src")
+    )
 
     rank = deg.select(F.col("src").alias("node"), F.lit(_PR_SCALE).alias("pr"))
     for _ in range(_PR_ITERS):
         rank = (
-            edges_deg.join(F.broadcast(rank), edges_deg.src == rank.node)
+            edges_deg.join(
+                _maybe_broadcast(rank, n_nodes), edges_deg.src == rank.node
+            )
             .select(
                 F.col("dst").alias("node"),
                 F.expr("pr div out_deg").alias("contrib"),
@@ -172,15 +210,26 @@ def bfs_hops_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    edges = e0.unionAll(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    edges = cache_scoped(
+        e0.unionAll(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    )
+    # stats-before-strategy: frontier/visited grow toward node scale, so
+    # the per-level joins broadcast them only while the node count allows
+    # it; past the bound they run as shuffle joins against the cached
+    # src-partitioned edge layout (see `_maybe_broadcast`)
+    n_nodes = edges.select(F.countDistinct("src").alias("n")).first()[0]
+    if n_nodes > _graph_bcast_max():
+        edges = cache_scoped(edges.repartition("src"))
     visited = spark.createDataFrame([(0, 0)], "node long, dist int")
     frontier = visited.select("node")
     for d in range(1, _BFS_LEVELS + 1):
         nxt = (
-            edges.join(frontier, edges.src == frontier.node)
+            edges.join(
+                _maybe_broadcast(frontier, n_nodes), edges.src == frontier.node
+            )
             .select(F.col("dst").alias("node"))
             .distinct()
-            .join(visited.select("node"), "node", "left_anti")
+            .join(_maybe_broadcast(visited.select("node"), n_nodes), "node", "left_anti")
         )
         visited = visited.unionAll(nxt.select("node", F.lit(d).alias("dist")))
         frontier = nxt
@@ -254,11 +303,12 @@ def sssp_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     # the `pagerank_trade_graph` layout: edges cached once, PRE-PARTITIONED
-    # on dst so each round's min-aggregation of relaxation messages reuses
-    # the partitioning, and the (node-sized, small) tentative-distance
-    # frame is BROADCAST into the map-side join — a round moves zero edge
-    # bytes.  Past the broadcast threshold the same loop runs as a shuffle
-    # join co-partitioned with this layout (pagerank's documented trade).
+    # for the strategy the materialized node count picks (stats-before-
+    # strategy, see `_maybe_broadcast`): broadcast mode partitions on dst
+    # so each round's min-aggregation of relaxation messages reuses the
+    # partitioning and a round moves zero edge bytes; shuffle mode
+    # partitions on src, the join key, so only the tentative-distance
+    # frame and the messages move per round.
     #
     # ZERO-WEIGHT SELF-LOOPS replace the textbook `dist ∪ messages` union:
     # dist_{k-1}(v) reaches round k as the message v --0--> v, so the min
@@ -275,11 +325,14 @@ def sssp_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the source node keeps its distance even if it has no edges
         spark.createDataFrame([(0, 0, 0)], "src long, dst long, w long")
     )
-    edges = cache_scoped(und.unionAll(loops).repartition("dst"))
+    all_edges = cache_scoped(und.unionAll(loops))
+    n_nodes = all_edges.select(F.countDistinct("src").alias("n")).first()[0]
+    bcast = n_nodes <= _graph_bcast_max()
+    edges = cache_scoped(all_edges.repartition("dst" if bcast else "src"))
     dist = spark.createDataFrame([(0, 0)], "node long, dist long")
     for _ in range(_SSSP_ROUNDS):
         dist = (
-            edges.join(F.broadcast(dist), edges.src == dist.node)
+            edges.join(_maybe_broadcast(dist, n_nodes), edges.src == dist.node)
             .select(
                 F.col("dst").alias("node"), (F.col("dist") + F.col("w")).alias("dist")
             )
@@ -341,16 +394,27 @@ def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     edges = e0.unionAll(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    deg = edges.groupBy("src").agg(F.count("*").alias("d")).select(
-        F.col("src").alias("node"), "d"
+    # the degree table is NODE-SCALE: cache it, materialize its count, and
+    # only then decide whether the two degree joins broadcast (stats-
+    # before-strategy — an unconditional broadcast errors at 100 TB node
+    # counts; the shuffle alternative is two plain hash joins on node keys)
+    deg = cache_scoped(
+        edges.groupBy("src").agg(F.count("*").alias("d")).select(
+            F.col("src").alias("node"), "d"
+        )
     )
+    n_nodes = deg.count()
     pairs = (
         edges.join(
-            F.broadcast(deg.select(F.col("node").alias("src"), F.col("d").alias("x"))),
+            _maybe_broadcast(
+                deg.select(F.col("node").alias("src"), F.col("d").alias("x")), n_nodes
+            ),
             "src",
         )
         .join(
-            F.broadcast(deg.select(F.col("node").alias("dst"), F.col("d").alias("y"))),
+            _maybe_broadcast(
+                deg.select(F.col("node").alias("dst"), F.col("d").alias("y")), n_nodes
+            ),
             "dst",
         )
         .select("x", "y")

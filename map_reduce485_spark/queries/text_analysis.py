@@ -1760,11 +1760,14 @@ def keyword_search_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         score = contrib if score is None else score + contrib
     final = scored.select("doc_id", score.alias("score"))
+    # top-k FIRST via orderBy+limit (TakeOrderedAndProject: per-partition
+    # heap + driver merge — never a global sort or a corpus-scale global
+    # window); the rank window then runs over only the 25 survivors
+    # (same pattern as `vocab_top_bigrams`; round-9 verdict item 1)
+    top = final.orderBy(F.col("score").desc(), "doc_id").limit(25)
     w = W.orderBy(F.col("score").desc(), "doc_id")
-    return (
-        final.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 25)
-        .select("doc_id", F.round("score", 6).alias("score"), "rank")
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "doc_id", F.round("score", 6).alias("score"), "rank"
     )
 
 
@@ -2188,9 +2191,15 @@ def filter_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical cross-engine (see `quality_score`), so bucketing by
     floor(quality*10) cannot disagree at bucket boundaries."""
     q = quality_score(spark, sf_dir)
-    b = q.groupBy(
-        F.least(F.floor(F.col("quality") * 10), F.lit(9)).cast("long").alias("bucket")
-    ).agg(
+    # project the decile key BEFORE grouping (named `bucket` column, a
+    # bounded domain the plan audit can classify; an expression groupBy
+    # reaches the physical agg as an anonymous `_groupingexpression`)
+    b = q.select(
+        F.least(F.floor(F.col("quality") * 10), F.lit(9))
+        .cast("long")
+        .alias("bucket"),
+        "n_tokens",
+    ).groupBy("bucket").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").alias("n_tokens"),
     )

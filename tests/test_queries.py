@@ -1373,6 +1373,33 @@ def test_two_level_assignment_contract(spark):
     assert flat == two
 
 
+def test_assign_clusters_column_contract(spark):
+    """Round-9 advice: both assigners must (1) preserve the input column
+    ORDER with `cluster` appended (positional consumers), and (2) carry
+    each row's own `others` values intact — which holds because id_col is
+    unique; a duplicated id could splice values across rows, so the
+    fixture asserts the uniqueness precondition the docstring documents."""
+    from map_reduce485_spark.operators.kmeans import (
+        assign_clusters,
+        assign_clusters_two_level,
+        kmeans_fit,
+    )
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("label", "vec_id", "embedding")  # id deliberately NOT first
+        .limit(100)
+    )
+    assert emb.count() == emb.select("vec_id").distinct().count()
+    cents = kmeans_fit(emb.select("vec_id", "embedding"), k=4, iterations=1)
+    labels = {r.vec_id: r.label for r in emb.collect()}
+    for fn in (assign_clusters, assign_clusters_two_level):
+        out = fn(emb, cents)
+        assert out.columns == ["label", "vec_id", "embedding", "cluster"], fn
+        for r in out.collect():
+            assert r.label == labels[r.vec_id], fn
+
+
 def test_moments_sketch_merge_identity(spark):
     """The merge proof must actually witness equality (is_equal = 1) and
     the derived mean/stddev must match a NumPy recomputation over the raw
@@ -1417,13 +1444,18 @@ def test_ngram_novelty_bounds_and_first_doc(spark):
     assert first.novelty == 1.0
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     grams = (
+        # mirror the query's own >= _NOVELTY_N token guard: without it a
+        # short doc makes sequence(1, size-7) descend through 0 and the
+        # slice throws at runtime (round-9 advice)
         docs.select(
+            F.expr("filter(split(lower(text), ' '), x -> x <> '')").alias("w")
+        )
+        .filter(F.size("w") >= _NOVELTY_N)
+        .select(
             F.explode(
                 F.expr(
-                    f"transform(sequence(1, size(filter(split(lower(text), ' '),"
-                    f" x -> x <> '')) - {_NOVELTY_N - 1}),"
-                    f" i -> concat_ws(' ', slice(filter(split(lower(text), ' '),"
-                    f" x -> x <> ''), i, {_NOVELTY_N})))"
+                    f"transform(sequence(1, size(w) - {_NOVELTY_N - 1}),"
+                    f" i -> concat_ws(' ', slice(w, i, {_NOVELTY_N})))"
                 )
             ).alias("g")
         )

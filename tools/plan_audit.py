@@ -61,6 +61,9 @@ KNOWN_BNLJ: dict[str, int | None] = {
     "semdedup_prune": 64,
     # same k-row centroid probe; k = max(16, n/256) = 16 at audit SF
     "semdedup_prune_scaled_k": 64,
+    # two-phase assignment probes: g<=5 group representatives (coarse BNLJ
+    # build side), then an equi hash join on the group id (k=25 centroids)
+    "ann_two_level_assign": 64,
     # 20-row literal price-band table
     "range_join_price_bands": 64,
     # 10-row threshold grid x <=10-row score-bucket table: the retention
@@ -152,16 +155,151 @@ KNOWN_GLOBAL_WINDOW: dict[str, str] = {
 }
 
 
+# Grouping keys whose VALUE DOMAIN is bounded by something other than data
+# volume, so an aggregate grouping on (only) these yields a bounded frame a
+# global window may safely run over: Spark partition ids (≤ partition
+# count), catalog/dimension keys, enum-like TPC-H columns, calendar
+# buckets, literal band/bin/threshold grids.  A groupBy on a DATA-SCALE key
+# (doc_id, user_id, session_id, order/part/supp keys, …) yields data-scale
+# rows — round-9 verdict item 1: such an aggregate must NOT count as
+# bounding the window above it.
+import re as _re
+
+_BOUNDED_KEY_RE = _re.compile(
+    r"""^(
+      _dr_pid | _dp_pid | _ps_pid | _pid.*          # spark_partition_id tags
+    | event_type | lang | language | source | split | label | level
+    | r_regionkey | r_name | n_nationkey | n_name | cntrycode
+    | l_returnflag | l_linestatus | l_shipmode | l_shipinstruct
+    | o_orderstatus | o_orderpriority | c_mktsegment
+    | p_brand | p_type | p_size | p_container | p_mfgr
+    | year | month | day | date | week | weekday | dow | hour | hr | h
+    | ts_hour | ts_day | event_date | event_hour | hour_of_day
+    | digit | bucket | bin(_id)? | band(_id)? | cell(_id)? | decile
+    | quantile | q | k | r | geometry | grid | threshold | radius
+    | cluster(_id)? | centroid(_id)? | cid | shard(_id)? | replicate
+    | term | token_len | len_bucket | n_gram | peak | sign | lag
+    | t_hours            # duration-in-hours keys: bounded by the calendar
+    )$""",               # span of the corpus, not its row count
+    _re.VERBOSE,
+)
+
+# grouping EXPRESSIONS (surfaced as `_groupingexpression` attributes) whose
+# value domain is calendar-bounded: any truncation of a timestamp to a
+# calendar grain yields at most span/grain distinct values
+_CALENDAR_EXPR_RE = _re.compile(
+    r"date_trunc|to_date|\byear\(|\bmonth\(|\bweekofyear\(|\bdayofweek\("
+    r"|\bhour\(|\bwindow\(|time_window"
+)
+
+
+def _grouping_key_names(jagg) -> list[str]:
+    """Attribute names of an aggregate node's grouping expressions; for
+    anonymous `_groupingexpression` attributes the expression TEXT is
+    substituted so calendar truncations stay classifiable."""
+    try:
+        ge = jagg.groupingExpressions()
+    except Exception:
+        return ["<unreadable>"]
+    names = []
+    for i in range(ge.size()):
+        e = ge.apply(i)
+        try:
+            nm = str(e.name())
+        except Exception:
+            nm = e.toString()
+        if nm.startswith("_groupingexpression"):
+            nm = e.toString()
+        names.append(nm)
+    return names
+
+
+def _key_bounded(name: str) -> bool:
+    return bool(_BOUNDED_KEY_RE.match(name)) or bool(
+        _CALENDAR_EXPR_RE.search(name)
+    )
+
+
+def _direct_children(jnode):
+    """Immediate logical children, descending through adaptive wrappers,
+    query stages, and reused exchanges."""
+    cname = jnode.getClass().getSimpleName()
+    if cname == "AdaptiveSparkPlanExec":
+        return [jnode.executedPlan()]
+    if cname.endswith("QueryStageExec"):
+        return [jnode.plan()]
+    if cname == "ReusedExchangeExec":
+        return [jnode.child()]
+    ch = jnode.children()
+    return [ch.apply(i) for i in range(ch.size())]
+
+
+def _bounded_below(jnode) -> tuple[bool, list[str]]:
+    """Is ``jnode``'s output row count bounded by a non-data-scale
+    quantity?  Walks down to the NEAREST bounding node on each input path:
+
+    - literal leaves (LocalTableScan, Range) — bounded by construction;
+    - a scalar aggregate (no grouping keys) — exactly one row;
+    - a grouped aggregate — bounded ONLY if every grouping key has a
+      bounded value domain (``_BOUNDED_KEY_RE``); a groupBy on doc_id /
+      session_id is corpus-scale and does NOT bound the window above it;
+    - GenerateExec (explode) re-expands rows before any deeper aggregate
+      can bound them — unbounded;
+    - file-scan leaves — data-scale, unbounded;
+    - everything else — bounded iff ALL input branches are bounded.
+
+    Returns (bounded, offending-grouping-keys)."""
+    cname = jnode.getClass().getSimpleName()
+    if cname in (
+        "LocalTableScanExec",
+        "RangeExec",
+        "OneRowRelationExec",
+        # limit-first top-k (TakeOrderedAndProject / limit): output is ≤ k
+        # rows by construction — the `vocab_top_bigrams` pattern
+        "TakeOrderedAndProjectExec",
+        "GlobalLimitExec",
+        "CollectLimitExec",
+    ):
+        return True, []
+    if "Aggregate" in cname:
+        keys = _grouping_key_names(jnode)
+        if not keys:
+            return True, []
+        bad = [k for k in keys if not _key_bounded(k)]
+        if not bad:
+            return True, []
+        # an aggregate never emits MORE rows than its input, so a grouped
+        # aggregate over already-bounded input is bounded regardless of its
+        # keys (e.g. a threshold-grid groupBy over Range ⋈ bucket-agg)
+        children = _direct_children(jnode)
+        if children and all(_bounded_below(c)[0] for c in children):
+            return True, []
+        return False, bad
+    if cname == "GenerateExec":
+        return False, []
+    children = _direct_children(jnode)
+    if not children:
+        return False, []  # data leaf (file scan) — scales with the corpus
+    offending: list[str] = []
+    for c in children:
+        ok, bad = _bounded_below(c)
+        if not ok:
+            return False, bad
+        offending.extend(bad)
+    return True, offending
+
+
 def global_window_violations(df) -> list[str]:
     """Return a finding for every WindowExec in ``df``'s physical plan that
-    has an EMPTY partitionSpec and no aggregate below it — i.e. a global
+    has an EMPTY partitionSpec and is not bounded below — i.e. a global
     window whose input row count scales with the data, which Spark executes
     on a single partition ("Moving all data to a single partition").
 
-    Windows above an aggregate are allowed: their input is bounded by the
-    group count (partition-offset prefix sums, post-agg ratio frames,
-    distinct-value-domain ranks).  Literal leaves (LocalTableScan, Range)
-    are likewise bounded by construction."""
+    Round-9 tightening (round-9 verdict item 1): an aggregate below the
+    window only bounds it when the aggregate is scalar or groups on
+    bounded-domain keys — a groupBy on doc_id/session_id yields data-scale
+    rows and previously slipped through (`keyword_search_rank`,
+    `peak_concurrency_sweep`)."""
     out: list[str] = []
     plan = df._jdf.queryExecution().sparkPlan()
     for n in _iter_jnodes(plan):
@@ -169,19 +307,18 @@ def global_window_violations(df) -> list[str]:
             continue
         if not n.partitionSpec().isEmpty():
             continue
-        bounded = False
         ch = n.children()
+        bounded, bad = True, []
         for i in range(ch.size()):
-            for b in _iter_jnodes(ch.apply(i)):
-                cn = b.getClass().getSimpleName()
-                if "Aggregate" in cn or cn in ("LocalTableScanExec", "RangeExec"):
-                    bounded = True
-                    break
-            if bounded:
+            ok, b = _bounded_below(ch.apply(i))
+            if not ok:
+                bounded, bad = False, b
                 break
         if not bounded:
+            detail = f" (data-scale grouping keys: {bad})" if bad else ""
             out.append(
-                "unpartitioned WindowExec over non-aggregated input "
+                "unpartitioned WindowExec over non-aggregated or "
+                f"data-scale input{detail} "
                 "(single-partition global sort at scale)"
             )
     return out
