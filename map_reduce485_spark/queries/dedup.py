@@ -2590,3 +2590,164 @@ def soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("weight"),
     )
+
+
+# ---------------------------------------------------------------------------
+# MinHash estimator calibration — round 10
+# ---------------------------------------------------------------------------
+
+_CALIB_MATCHES_SQL = " + ".join(
+    f"(CASE WHEN sa.h{j} = sb.h{j} THEN 1 ELSE 0 END)" for j in range(_N_PERM)
+)
+
+_CALIB_ORACLE = f"""
+WITH {_ORACLE_SHINGLES},
+sig AS (
+  SELECT doc_id,
+         {_MINHASH_SIG_COLS_SQL},
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM sh GROUP BY doc_id
+),
+bands AS ({_MINHASH_BANDS_SQL}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_id = b.band_id AND a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT c.a_id, c.b_id, CAST(COUNT(*) AS BIGINT) AS i
+  FROM cand c
+  JOIN sh x ON x.doc_id = c.a_id
+  JOIN sh y ON y.doc_id = c.b_id AND y.shingle = x.shingle
+  GROUP BY c.a_id, c.b_id
+),
+scored AS (
+  SELECT CAST({_CALIB_MATCHES_SQL} AS BIGINT) AS matches,
+         i.i AS it, sa.n + sb.n - i.i AS un
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.a_id
+  JOIN sig sb ON sb.doc_id = c.b_id
+  JOIN inter i ON i.a_id = c.a_id AND i.b_id = c.b_id
+)
+SELECT CAST(FLOOR(CAST(it AS DOUBLE) / un * 10) AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(matches) AS DOUBLE) / {_N_PERM} / COUNT(*) AS mean_est,
+       CAST(SUM(CAST(CAST(it AS DOUBLE) / un AS DECIMAL(24,6))) AS DOUBLE)
+         / COUNT(*) AS mean_exact,
+       CAST(SUM(CAST(abs(matches / {_N_PERM}e0 - CAST(it AS DOUBLE) / un)
+                     AS DECIMAL(24,6))) AS DOUBLE)
+         / COUNT(*) AS mean_abs_err
+FROM scored GROUP BY 1
+"""
+
+
+@query("minhash_jaccard_calibration", _CALIB_ORACLE, tags=("dedup", "eval"))
+def minhash_jaccard_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CALIBRATION of the MinHash similarity estimator against exact
+    Jaccard, binned by true similarity — completing the evaluated-not-
+    trusted family (`dedup_lsh_recall_eval` measures which pairs the
+    BANDING finds; this measures how well the SIGNATURE estimates their
+    similarity, the number a pipeline uses when it thresholds on
+    estimated Jaccard instead of running exact verification).  For every
+    banded candidate pair: est = (matching signature components)/8 — an
+    unbiased Jaccard estimator — vs the exact shingle Jaccard, aggregated
+    per true-similarity decile into (n_pairs, mean_est, mean_exact,
+    mean_abs_err).  With 8 permutations the theoretical RMS error is
+    ~sqrt(j(1-j)/8) ≈ 0.14 at j=0.5 — the table shows the realized error
+    at each operating point, which is what decides whether 8 permutations
+    suffice or the signature needs widening.
+
+    Exactness: matches and intersections are integers; est sums as
+    Σmatches (exact); the double-valued exact Jaccard and |est−exact| go
+    through the DECIMAL(24,6) order-independent sum (the `dsum` scale-6
+    discipline) before their final divisions, so every bin row
+    hash-matches.  Scale: this is an EVAL query — production runs it
+    over a dup-family-preserving sampled slice (the
+    `dedup_lsh_recall_eval_sampled` protocol); candidates come from the
+    same banded equi-join as the production pipeline, never all pairs."""
+    (docs,) = T(spark, sf_dir, "documents")
+    sh = cache_scoped(_spark_shingles(docs))
+    sig = cache_scoped(
+        sh.groupBy("doc_id").agg(
+            *[
+                F.min(
+                    F.md5(F.concat(F.col("shingle"), F.lit(f"#{j}")))
+                ).alias(f"h{j}")
+                for j in range(_N_PERM)
+            ],
+            F.count("*").alias("n"),
+        )
+    )
+    bands = None
+    for bi, band in enumerate(_BANDS):
+        b = sig.select(
+            "doc_id",
+            F.lit(bi).alias("band_id"),
+            F.md5(F.concat(*[F.col(f"h{j}") for j in band])).alias("band"),
+        )
+        bands = b if bands is None else bands.unionAll(b)
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b.hint("shuffle_merge"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .distinct()
+    )
+    inter = (
+        cand.join(sh.select(F.col("doc_id").alias("a_id"), "shingle"), "a_id")
+        .join(
+            sh.select(F.col("doc_id").alias("b_id"), "shingle"),
+            ["b_id", "shingle"],
+        )
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("it"))
+    )
+    sa = sig.select(
+        F.col("doc_id").alias("a_id"),
+        *[F.col(f"h{j}").alias(f"ha{j}") for j in range(_N_PERM)],
+        F.col("n").alias("na"),
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("b_id"),
+        *[F.col(f"h{j}").alias(f"hb{j}") for j in range(_N_PERM)],
+        F.col("n").alias("nb"),
+    )
+    matches = None
+    for j in range(_N_PERM):
+        m = (F.col(f"ha{j}") == F.col(f"hb{j}")).cast("int")
+        matches = m if matches is None else matches + m
+    scored = (
+        cand.join(sa, "a_id")
+        .join(sb, "b_id")
+        .join(inter, ["a_id", "b_id"])
+        .select(
+            matches.cast("long").alias("matches"),
+            "it",
+            (F.col("na") + F.col("nb") - F.col("it")).alias("un"),
+        )
+    )
+    j_exact = F.col("it").cast("double") / F.col("un")
+    est = F.col("matches") / F.lit(float(_N_PERM))
+    return (
+        scored.groupBy(
+            F.floor(j_exact * 10).cast("long").alias("bin")
+        )
+        .agg(
+            F.count("*").alias("n_pairs"),
+            (
+                F.sum("matches").cast("double") / _N_PERM / F.count("*")
+            ).alias("mean_est"),
+            (
+                F.sum(j_exact.cast("decimal(24,6)")).cast("double")
+                / F.count("*")
+            ).alias("mean_exact"),
+            (
+                F.sum(F.abs(est - j_exact).cast("decimal(24,6)")).cast("double")
+                / F.count("*")
+            ).alias("mean_abs_err"),
+        )
+    )

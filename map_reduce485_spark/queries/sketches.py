@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from map_reduce485_spark.queries import query
-from map_reduce485_spark.queries._util import T
+from map_reduce485_spark.queries._util import T, cache_scoped
 
 _M_BITS = 65536  # filter width (2^16 bits, 2048 64-bit... stored as 32-bit-used blocks)
 _K = 4  # hash functions
@@ -1188,3 +1188,153 @@ def moments_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sqrt((mg2 - mg1 * mg1 / mg0) / mg0) / F.lit(100.0), 6
         ).alias("stddev_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# AMS F2 sketch (second frequency moment / self-join size) — round 10
+# ---------------------------------------------------------------------------
+
+_AMS_R = 16  # independent ±1 replicates averaged into the estimate
+
+_AMS_SIGN_DUCK = (
+    "CASE WHEN CAST('0x' || substr(md5(CAST(r AS VARCHAR) || ':'"
+    " || CAST(k AS VARCHAR)), 1, 1) AS INT) % 2 = 1 THEN 1 ELSE -1 END"
+)
+
+_AMS_ORACLE = f"""
+WITH li AS (SELECT l_partkey AS k, l_orderkey % 4 AS site FROM lineitem),
+rep AS (SELECT UNNEST(generate_series(0, {_AMS_R - 1})) AS r),
+signed AS (
+  SELECT site, r, {_AMS_SIGN_DUCK} AS s FROM li CROSS JOIN rep
+),
+per_site AS (
+  SELECT site, r, CAST(SUM(s) AS BIGINT) AS x FROM signed GROUP BY site, r
+),
+merged AS (SELECT r, CAST(SUM(x) AS BIGINT) AS x FROM per_site GROUP BY r),
+direct AS (SELECT r, CAST(SUM(s) AS BIGINT) AS x FROM signed GROUP BY r),
+eq AS (
+  SELECT CAST(MIN(CASE WHEN m.x = d.x THEN 1 ELSE 0 END) AS BIGINT) AS is_equal
+  FROM merged m JOIN direct d ON d.r = m.r
+),
+est AS (
+  SELECT CAST(SUM(CAST(x AS DECIMAL(38,0)) * x) AS DOUBLE) / {_AMS_R}e0 AS f2_est
+  FROM merged
+),
+ex AS (
+  SELECT CAST(SUM(CAST(c AS DECIMAL(38,0)) * c) AS DOUBLE) AS f2_exact
+  FROM (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM li GROUP BY k)
+)
+SELECT CAST({_AMS_R} AS BIGINT) AS n_replicates,
+       eq.is_equal,
+       ex.f2_exact,
+       est.f2_est,
+       ROUND(abs(est.f2_est - ex.f2_exact) / ex.f2_exact, 6) AS rel_err
+FROM eq, est, ex
+"""
+
+
+@query("ams_f2_sketch_merge", _AMS_ORACLE, tags=("sketch",))
+def ams_f2_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS (Alon-Matias-Szegedy) F2 sketch with a hash-checked distributed-
+    merge proof — the FIFTH shipped sketch algebra beside CMS (counter
+    addition), HLL (register max), KMV (bottom-k union) and moments
+    (moment-vector addition): here the mergeable state is a vector of
+    SIGNED counters.  F2 = Σ_key count(key)² is the self-join size on the
+    key — THE quantity a planner needs to predict join blow-up and key
+    skew (complements `join_cardinality_estimate`, which computes it
+    exactly; the sketch answers the same question from O(R) mergeable
+    longs at any corpus size).  Each replicate r draws a deterministic
+    ±1 sign per key from an md5 nibble parity; X_r = Σ_rows sign(r, key)
+    is ADDITIVE across shards, and E[X_r²] = F2.  The proof splits
+    lineitem into four md5-independent "sites" (o_orderkey % 4), merges
+    per-site X vectors by addition, and checks bigint equality with the
+    direct single-pass build — the map-side-combinability witness.  The
+    estimate averages X_r² over {rr} replicates (Var ≈ 2·F2²/R); the
+    exact F2 and the relative error ride along, so the sketch is
+    EVALUATED against ground truth, not trusted (the recall-eval
+    discipline).
+
+    Scale: the signed expansion is a map-side explode (R rows per input
+    row, combined into R longs per partition before any shuffle); both
+    builds are one aggregation; the merge operates on 4×R rows.  All
+    arithmetic is exact integers until the two final scalar divisions."""
+    (lineitem,) = T(spark, sf_dir, "lineitem")
+    li = lineitem.select(
+        F.col("l_partkey").alias("k"), (F.col("l_orderkey") % 4).alias("site")
+    )
+    signed = li.select(
+        "site",
+        "k",
+        F.explode(F.sequence(F.lit(0), F.lit(_AMS_R - 1))).alias("r"),
+    ).select(
+        "site",
+        "r",
+        F.when(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("r").cast("string"),
+                            F.lit(":"),
+                            F.col("k").cast("string"),
+                        )
+                    ),
+                    1,
+                    1,
+                ),
+                16,
+                10,
+            ).cast("int")
+            % 2
+            == 1,
+            1,
+        )
+        .otherwise(-1)
+        .alias("s"),
+    )
+    signed = cache_scoped(signed)
+    per_site = signed.groupBy("site", "r").agg(F.sum("s").alias("x"))
+    merged = per_site.groupBy("r").agg(F.sum("x").alias("x"))
+    direct = signed.groupBy("r").agg(F.sum("s").alias("x"))
+    eq = (
+        merged.alias("m")
+        .join(direct.alias("d"), "r")
+        .agg(
+            F.min(
+                F.when(F.col("m.x") == F.col("d.x"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("is_equal")
+        )
+    )
+    est = merged.agg(
+        (
+            F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).cast("double")
+            / F.expr(f"{_AMS_R}e0")
+        ).alias("f2_est")
+    )
+    ex = (
+        li.groupBy("k")
+        .agg(F.count("*").alias("c"))
+        .agg(
+            F.sum(F.col("c").cast("decimal(38,0)") * F.col("c"))
+            .cast("double")
+            .alias("f2_exact")
+        )
+    )
+    return (
+        eq.crossJoin(F.broadcast(est))
+        .crossJoin(F.broadcast(ex))
+        .select(
+            F.lit(_AMS_R).cast("long").alias("n_replicates"),
+            "is_equal",
+            "f2_exact",
+            "f2_est",
+            F.round(
+                F.abs(F.col("f2_est") - F.col("f2_exact")) / F.col("f2_exact"), 6
+            ).alias("rel_err"),
+        )
+    )
+
+
+ams_f2_sketch_merge.__doc__ = ams_f2_sketch_merge.__doc__.replace("{rr}", str(_AMS_R))

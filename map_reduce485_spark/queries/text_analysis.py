@@ -2954,3 +2954,90 @@ def ngram_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_novel").cast("double") / F.col("n_grams")).alias("novelty"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# vocabulary coverage curve — round 10
+# ---------------------------------------------------------------------------
+
+_COVERAGE_NS = (100, 1000, 10000)
+
+_COVERAGE_ORACLE = f"""
+WITH tok AS (
+  SELECT UNNEST(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS token
+  FROM documents
+),
+counts AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS freq FROM tok GROUP BY token),
+ranked AS (
+  SELECT freq, ROW_NUMBER() OVER (ORDER BY freq DESC, token) AS rk FROM counts
+),
+agg AS (
+  SELECT CAST(SUM(freq) AS BIGINT) AS total,
+         {", ".join(
+             f"CAST(SUM(CASE WHEN rk <= {n} THEN freq ELSE 0 END) AS BIGINT)"
+             f" AS c{n}"
+             for n in _COVERAGE_NS
+         )}
+  FROM ranked
+)
+{" UNION ALL ".join(
+    f"SELECT CAST({n} AS BIGINT) AS vocab_size, c{n} AS covered_tokens,"
+    f" total AS total_tokens,"
+    f" CAST(c{n} AS DOUBLE) / total AS coverage FROM agg"
+    for n in _COVERAGE_NS
+)}
+"""
+
+
+@query("vocab_coverage_curve", _COVERAGE_ORACLE, tags=("text",))
+def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary COVERAGE curve: what fraction of all corpus token
+    occurrences a top-N frequency-ranked vocabulary covers, for N in
+    {100, 1k, 10k} — THE sizing curve for tokenizer/vocab design (the
+    integral form of `zipf_law_fit`'s rank-frequency line: Zipf predicts
+    diminishing coverage returns, this measures them) and the standard
+    OOV-rate estimate at each candidate vocab size (1 − coverage).
+
+    Scale shape: one token explode → one groupBy(token) with map-side
+    combine; the global frequency rank is :func:`distributed_rank`
+    (range partition + broadcast offsets — never a single-partition
+    window); the curve itself is ONE conditional aggregation over the
+    ranked vocab (total + per-N covered sums in the same pass, so no
+    per-N rescan and no join), unpivoted to one row per N.  All counts
+    are exact bigints; coverage is one final division."""
+    (docs,) = T(spark, sf_dir, "documents")
+    counts = (
+        docs.select(
+            F.explode(
+                F.expr("filter(split(lower(text), ' '), x -> x <> '')")
+            ).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.count("*").alias("freq"))
+    )
+    ranked = distributed_rank(
+        counts, [F.col("freq").desc(), F.col("token")], alias="rk"
+    )
+    agg = ranked.agg(
+        F.sum("freq").alias("total"),
+        *[
+            F.sum(F.when(F.col("rk") <= n, F.col("freq")).otherwise(0)).alias(
+                f"c{n}"
+            )
+            for n in _COVERAGE_NS
+        ],
+    )
+    stack = ", ".join(f"{n}L, c{n}" for n in _COVERAGE_NS)
+    return agg.select(
+        F.expr(
+            f"stack({len(_COVERAGE_NS)}, {stack}) AS (vocab_size, covered_tokens)"
+        ),
+        F.col("total").alias("total_tokens"),
+    ).select(
+        "vocab_size",
+        "covered_tokens",
+        "total_tokens",
+        (F.col("covered_tokens").cast("double") / F.col("total_tokens")).alias(
+            "coverage"
+        ),
+    )

@@ -96,6 +96,9 @@ KNOWN_BNLJ: dict[str, int | None] = {
     "zipf_law_fit": 8,
     # 1-row direct-build moments broadcast onto the 1-row merged sketch
     "moments_sketch_merge": 8,
+    # two 1-row scalar probes (estimate + exact F2) onto the 1-row
+    # merge-equality aggregate
+    "ams_f2_sketch_merge": 8,
     # 1-row global-moments broadcast onto the ~120-row cell table, then
     # 1-row (m, k*) broadcasts back onto it — the q22 free-probe class
     "bh_fdr_correction": 8,
