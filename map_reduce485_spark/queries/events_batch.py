@@ -1630,25 +1630,28 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     # project the calendar key BEFORE grouping: grouping directly on the
     # expression would reach the physical agg as an anonymous
     # `_groupingexpression` attribute that the plan audit's bounded-domain
-    # classifier cannot read (the named column `h` is calendar-bounded)
+    # classifier cannot read (the named column `ts_hour` is
+    # calendar-bounded; the short name `h` is deliberately NOT on the
+    # audit allowlist — dedup modules use it for md5 hash columns, a
+    # data-scale domain)
     hourly = events.select(
-        F.date_trunc("hour", "ts").alias("h"),
+        F.date_trunc("hour", "ts").alias("ts_hour"),
         F.round(F.col("value") * 100).cast("long").alias("cents"),
-    ).groupBy("h").agg(F.sum("cents").alias("s"))
+    ).groupBy("ts_hour").agg(F.sum("cents").alias("s"))
     tot = hourly.agg(
         F.count("*").alias("n"), F.sum("s").alias("total")
     )
     dev = hourly.crossJoin(F.broadcast(tot)).select(
-        "h",
+        "ts_hour",
         "s",
         "n",
         F.sum(F.col("n") * F.col("s") - F.col("total"))
-        .over(W.orderBy("h").rowsBetween(W.unboundedPreceding, 0))
+        .over(W.orderBy("ts_hour").rowsBetween(W.unboundedPreceding, 0))
         .alias("ncusum"),
     )
     mx = dev.agg(F.max(F.abs(F.col("ncusum"))).alias("peak"))
     return dev.crossJoin(F.broadcast(mx)).select(
-        fmt_ts("h", "hour_s"),
+        fmt_ts("ts_hour", "hour_s"),
         "s",
         (F.col("ncusum").cast("double") / F.col("n") / 100.0).alias("cusum"),
         (F.abs(F.col("ncusum")) == F.col("peak")).cast("int").alias("is_changepoint"),

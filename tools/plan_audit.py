@@ -176,7 +176,7 @@ _BOUNDED_KEY_RE = _re.compile(
     | l_returnflag | l_linestatus | l_shipmode | l_shipinstruct
     | o_orderstatus | o_orderpriority | c_mktsegment
     | p_brand | p_type | p_size | p_container | p_mfgr
-    | year | month | day | date | week | weekday | dow | hour | hr | h
+    | year | month | day | date | week | weekday | dow | hour | hr
     | ts_hour | ts_day | event_date | event_hour | hour_of_day
     | digit | bucket | bin(_id)? | band(_id)? | cell(_id)? | decile
     | quantile | q | k | r | geometry | grid | threshold | radius
@@ -241,11 +241,15 @@ def _bounded_below(jnode) -> tuple[bool, list[str]]:
     """Is ``jnode``'s output row count bounded by a non-data-scale
     quantity?  Walks down to the NEAREST bounding node on each input path:
 
-    - literal leaves (LocalTableScan, Range) — bounded by construction;
+    - literal leaves (LocalTableScan, Range) and limit-first top-k
+      (TakeOrderedAndProject / limits) — bounded by construction;
     - a scalar aggregate (no grouping keys) — exactly one row;
-    - a grouped aggregate — bounded ONLY if every grouping key has a
-      bounded value domain (``_BOUNDED_KEY_RE``); a groupBy on doc_id /
-      session_id is corpus-scale and does NOT bound the window above it;
+    - a grouped aggregate — bounded if every grouping key has a bounded
+      value domain (``_key_bounded``: the name allowlist, or a calendar
+      truncation resolved from the expression text), OR if all its
+      inputs are themselves bounded (an aggregate never emits more rows
+      than it reads); a groupBy on doc_id / session_id over corpus-scale
+      input does NOT bound the window above it;
     - GenerateExec (explode) re-expands rows before any deeper aggregate
       can bound them — unbounded;
     - file-scan leaves — data-scale, unbounded;
