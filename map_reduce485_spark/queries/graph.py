@@ -514,32 +514,41 @@ def kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = cache_scoped(
         e0.unionAll(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     )
-    stats = None
+    # Each round MUST be materialized before the next references it: the
+    # round's plan references the previous round's frame three ways (the
+    # degree agg and both semi-joins), so a fully lazy build has branch
+    # factor ~3 per round and the final 4-stat union re-derives the base
+    # edge build dozens of times (348 s at sf0.01 before this; the
+    # `star_components` lineage-cut discipline, applied here).  The stats
+    # are taken EAGERLY per round (two distributed counts — 16 longs of
+    # driver state total) and the PREVIOUS generation's cache is released
+    # as soon as the next one is materialized: the earlier lazy-union form
+    # kept every round's 117M-row localCheckpoint alive until the final
+    # collect, and the accumulated storage pressure made rounds 3-4 spill
+    # — checkpoint wall time 4.7 s → 43 s at the 100x smoke (measured; the
+    # two-generation working set keeps every round at round-1 cost).
+    stats_rows: list[tuple[int, int, int]] = []
     for r in range(1, _KCORE_ROUNDS + 1):
         deg = edges.groupBy("src").agg(F.count("*").alias("c"))
         keep = cache_scoped(
             deg.filter(F.col("c") >= _KCORE_K).select(F.col("src").alias("node"))
         )
-        # Each round MUST be materialized before the next references it:
-        # the round's plan references the previous round's frame three ways
-        # (the degree agg and both semi-joins), so a fully lazy build has
-        # branch factor ~3 per round and the final 4-stat union re-derives
-        # the base edge build dozens of times (348 s at sf0.01 before this;
-        # the `star_components` lineage-cut discipline, applied here).
-        edges = (
+        nxt = cache_scoped(
             edges.join(keep.select(F.col("node").alias("src")), "src", "left_semi")
             .join(keep.select(F.col("node").alias("dst")), "dst", "left_semi")
             .select("src", "dst")
-            .localCheckpoint(eager=True)
         )
-        # 1-row × 1-row stat assembly (the hll/kmv report class)
-        stat = (
-            keep.agg(F.count("*").alias("n_nodes"))
-            .crossJoin(edges.agg(F.count("*").alias("n_edges")))
-            .select(F.lit(r).alias("round"), "n_nodes", "n_edges")
-        )
-        stats = stat if stats is None else stats.unionAll(stat)
-    return stats
+        n_edges = nxt.count()  # materializes this round (the lineage cut)
+        n_nodes = keep.count()
+        stats_rows.append((r, n_nodes, n_edges))
+        # round r-1's frames are fully consumed — free their storage now
+        edges.unpersist()
+        keep.unpersist()
+        edges = nxt
+    edges.unpersist()
+    return spark.createDataFrame(
+        stats_rows, "round int, n_nodes long, n_edges long"
+    )
 
 
 # docstrings are plain literals (an f-string first statement is not a

@@ -178,10 +178,15 @@ _BOUNDED_KEY_RE = _re.compile(
     | p_brand | p_type | p_size | p_container | p_mfgr
     | year | month | day | date | week | weekday | dow | hour | hr
     | ts_hour | ts_day | event_date | event_hour | hour_of_day
+    # NOT listed on purpose: one-letter names (h is an md5 hash column in
+    # the dedup modules; q/k/r are too generic to bless by name) and
+    # `term`/`token` (vocabulary grows with the corpus — Heaps' law — so a
+    # term-grouped aggregate is NOT bounded); verified by probe that no
+    # registry query depends on blessing any of these
     | digit | bucket | bin(_id)? | band(_id)? | cell(_id)? | decile
-    | quantile | q | k | r | geometry | grid | threshold | radius
+    | quantile | geometry | grid | threshold | radius
     | cluster(_id)? | centroid(_id)? | cid | shard(_id)? | replicate
-    | term | token_len | len_bucket | n_gram | peak | sign | lag
+    | token_len | len_bucket | n_gram | peak | sign | lag
     | t_hours            # duration-in-hours keys: bounded by the calendar
     )$""",               # span of the corpus, not its row count
     _re.VERBOSE,
