@@ -237,7 +237,12 @@ def bfs_hops_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     visited = spark.createDataFrame([(0, 0)], "node long, dist int")
     frontier = visited.select("node")
     for d in range(1, _BFS_LEVELS + 1):
-        nxt = (
+        # LINEAGE CUT per level (the kcore lesson, round 10): nxt is
+        # referenced twice (union into visited, next frontier) and visited
+        # twice (anti-join, union), so an uncut plan re-derives level 1's
+        # subtree ~2^levels times — measured 29.6 s → 6.8 s at the 10x
+        # smoke from caching these two NODE-SCALE frames per level
+        nxt = cache_scoped(
             edges.join(
                 _maybe_broadcast(frontier, n_nodes), edges.src == frontier.node
             )
@@ -245,7 +250,9 @@ def bfs_hops_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
             .join(_maybe_broadcast(visited.select("node"), n_nodes), "node", "left_anti")
         )
-        visited = visited.unionAll(nxt.select("node", F.lit(d).alias("dist")))
+        visited = cache_scoped(
+            visited.unionAll(nxt.select("node", F.lit(d).alias("dist")))
+        )
         frontier = nxt
     return visited
 

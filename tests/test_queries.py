@@ -945,6 +945,44 @@ def test_keep_best_star_matches_baseline_on_shared_clusters(spark):
     assert any(len(ms) > 1 for ms in shared), "only singletons shared"
 
 
+def test_distributed_prefix_sum_matches_global_window(spark):
+    """`distributed_prefix_sum` (round 10) must be bit-identical to the
+    single-partition `sum().over(Window.orderBy(...))` it replaces, for
+    any total order — including the MULTI-COLUMN one-pass form (several
+    running sums in one range shuffle) and negative values (the sweep
+    line's ±1 deltas).  Built over a shuffled frame with several range
+    partitions so the broadcast offsets are actually exercised."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from map_reduce485_spark.queries._util import distributed_prefix_sum
+
+    n = 5000
+    df = (
+        spark.range(n)
+        .select(
+            F.col("id").alias("uid"),
+            (F.hash("id") % 7 - 3).alias("a"),
+            (F.hash("id", "id") % 1000).alias("b"),
+        )
+        .repartition(13)
+    )
+    got = {
+        r.uid: (r.ca, r.cb)
+        for r in distributed_prefix_sum(
+            df, ["uid"], ["a", "b"], ["ca", "cb"], num_partitions=7
+        ).collect()
+    }
+    w = W.orderBy("uid").rowsBetween(W.unboundedPreceding, 0)
+    want = {
+        r.uid: (r.ca, r.cb)
+        for r in df.select(
+            "uid", F.sum("a").over(w).alias("ca"), F.sum("b").over(w).alias("cb")
+        ).collect()
+    }
+    assert got == want
+
+
 def test_distributed_rank_dense_total_order(spark):
     """Canary for `distributed_rank`'s two structural assumptions: (1)
     monotonically_increasing_id increments by exactly 1 per row in row
