@@ -2469,16 +2469,19 @@ def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = events.select(
         "event_id", F.round(F.col("value") * 100).cast("long").alias("cents")
     )
-    r = spark.range(_BOOT_B).select(F.col("id").cast("int").alias("r"))
+    # the resample id is named `replicate` so the plan audit can classify
+    # the groupBy below as bounded-by-B (it comes from a 32-row Range, not
+    # from data; the generic one-letter `r` is deliberately not blessable)
+    r = spark.range(_BOOT_B).select(F.col("id").cast("int").alias("replicate"))
     u = (
-        "CAST(conv(substring(md5(concat(CAST(r AS STRING), ':',"
+        "CAST(conv(substring(md5(concat(CAST(replicate AS STRING), ':',"
         " CAST(event_id AS STRING))), 1, 8), 16, 10) AS BIGINT) / 4294967296.0"
     )
     expanded = s.crossJoin(F.broadcast(r)).select(
-        "r", "cents", F.expr(_weight_case(u)).alias("w")
+        "replicate", "cents", F.expr(_weight_case(u)).alias("w")
     )
     boots = (
-        expanded.groupBy("r")
+        expanded.groupBy("replicate")
         .agg(
             (
                 F.sum(F.col("w") * F.col("cents")).cast("double")

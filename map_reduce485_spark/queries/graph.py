@@ -658,3 +658,213 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         labels = cache_scoped(labels)
     return labels.select("node", F.col("label").alias("community"))
+
+
+# ---------------------------------------------------------------------------
+# Personalized PageRank (seed-set expansion) — round 10
+# ---------------------------------------------------------------------------
+
+_PPR_ITERS = 4
+_PPR_SCALE = 10**12  # total walk mass 1.0 in scaled-integer units
+_PPR_SEGMENT = "BUILDING"
+
+
+def _oracle_ppr() -> str:
+    ctes = [
+        "e0 AS (SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst"
+        " FROM orders JOIN lineitem ON l_orderkey = o_orderkey)",
+        "edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)",
+        "deg AS (SELECT src, COUNT(*) AS out_deg FROM edges GROUP BY src)",
+        f"seeds AS (SELECT c_custkey * 2 AS node FROM customer"
+        f" WHERE c_mktsegment = '{_PPR_SEGMENT}')",
+        "ns AS (SELECT COUNT(*) AS n FROM seeds)",
+        f"unit AS (SELECT CAST({_PPR_SCALE} AS BIGINT) // n AS u FROM ns)",
+        "base AS (SELECT node, (15 * (SELECT u FROM unit)) // 100 AS b FROM seeds)",
+        "r0 AS (SELECT node, (SELECT u FROM unit) AS pr FROM seeds)",
+    ]
+    for it in range(1, _PPR_ITERS + 1):
+        ctes.append(
+            f"r{it} AS (SELECT node,"
+            f" CAST((85 * SUM(c)) // 100 + SUM(b) AS BIGINT) AS pr FROM ("
+            f"SELECT e.dst AS node, r.pr // d.out_deg AS c, 0 AS b"
+            f" FROM r{it - 1} r JOIN deg d ON d.src = r.node"
+            f" JOIN edges e ON e.src = r.node"
+            f" UNION ALL SELECT node, 0, b FROM base) GROUP BY node)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT node, pr AS ppr_scaled FROM r{_PPR_ITERS} "
+        f"ORDER BY pr DESC, node LIMIT {_TOP_N}"
+    )
+
+
+@query("ppr_seed_expansion", _oracle_ppr(), tags=("graph", "iterative"))
+def ppr_seed_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSONALIZED PageRank from a seed set — the graph-side curation
+    primitive `pagerank_trade_graph` doesn't cover: random walks restart
+    at the SEEDS (customers in the {_PPR_SEGMENT} market segment), so the
+    stationary mass measures proximity TO THE SEED SET, the standard
+    seed-expansion move for finding "more data like this slice" (local
+    community detection, Andersen-Chung-Lang style, as fixed power
+    iterations).  Top-{_TOP_N} nodes by personalized rank.
+
+    Exactness AND overflow safety by construction: total walk mass is
+    normalized to {_PPR_SCALE} scaled-integer units SPLIT ACROSS the
+    seeds (`unit = SCALE div n_seeds`), so every per-node value is
+    bounded by the total mass ~SCALE regardless of graph size or seed
+    count — unlike an unnormalized power iteration, whose values grow
+    like degree^iters and overflow bigint at cluster scale.  Every step
+    is integer division / multiplication (associative, engine-identical),
+    the same discipline as `pagerank_trade_graph`; the restart term
+    rides the SAME aggregation as the walk messages (tagged union:
+    contribution rows carry (c, 0), restart rows (0, b)), so each round
+    is exactly ONE shuffle.
+
+    Scale shape: identical to pagerank — edges+degrees cached once,
+    pre-partitioned for the size-conditional join strategy
+    (:func:`_maybe_broadcast`, stats-before-strategy via
+    :func:`_node_bound`); the rank frame is SPARSE (only reached nodes),
+    so early rounds move strictly less than node-scale state."""
+    orders, lineitem, customer = T(spark, sf_dir, "orders", "lineitem", "customer")
+    e0 = (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = e0.unionAll(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
+    n_nodes = _node_bound(spark, sf_dir)
+    bcast = n_nodes <= _graph_bcast_max()
+    edges_deg = cache_scoped(
+        edges.join(deg, "src").repartition("dst" if bcast else "src")
+    )
+    seeds = customer.filter(F.col("c_mktsegment") == _PPR_SEGMENT).select(
+        (F.col("c_custkey") * 2).alias("node")
+    )
+    ns = seeds.agg(F.count("*").alias("n"))
+    unit = F.expr(f"CAST({_PPR_SCALE} AS BIGINT) div n")
+    base = cache_scoped(
+        seeds.crossJoin(F.broadcast(ns)).select(
+            "node", F.expr(f"(15 * (CAST({_PPR_SCALE} AS BIGINT) div n)) div 100").alias("b")
+        )
+    )
+    rank = seeds.crossJoin(F.broadcast(ns)).select("node", unit.alias("pr"))
+    for _ in range(_PPR_ITERS):
+        msgs = (
+            edges_deg.join(
+                _maybe_broadcast(rank, n_nodes), edges_deg.src == rank.node
+            )
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("pr div out_deg").alias("c"),
+                F.lit(0).cast("long").alias("b"),
+            )
+        )
+        restart = base.select("node", F.lit(0).cast("long").alias("c"), "b")
+        rank = (
+            msgs.unionAll(restart)
+            .groupBy("node")
+            .agg(F.expr("(85 * sum(c)) div 100 + sum(b)").alias("pr"))
+        )
+    return (
+        rank.orderBy(F.col("pr").desc(), "node")
+        .limit(_TOP_N)
+        .select("node", F.col("pr").alias("ppr_scaled"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Common-neighbor link prediction (Jaccard over the bipartite graph)
+# ---------------------------------------------------------------------------
+
+_LP_MAX_DEG = 128  # customers with more distinct suppliers are hub-filtered
+_LP_TOP = 50
+
+_LP_ORACLE = f"""
+WITH e0 AS (
+  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+),
+cdeg AS (SELECT c, COUNT(*) AS d FROM e0 GROUP BY c),
+e AS (
+  SELECT e0.c, e0.s FROM e0 JOIN cdeg ON cdeg.c = e0.c
+  WHERE cdeg.d <= {_LP_MAX_DEG}
+),
+sdeg AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY s),
+common AS (
+  SELECT a.s AS s1, b.s AS s2, CAST(COUNT(*) AS BIGINT) AS common
+  FROM e a JOIN e b ON a.c = b.c AND a.s < b.s
+  GROUP BY a.s, b.s
+),
+scored AS (
+  SELECT s1, s2, common, d1.d AS deg1, d2.d AS deg2,
+         CAST(common AS DOUBLE) / (d1.d + d2.d - common) AS jaccard
+  FROM common JOIN sdeg d1 ON d1.s = common.s1 JOIN sdeg d2 ON d2.s = common.s2
+)
+SELECT s1, s2, common, deg1, deg2, jaccard
+FROM scored ORDER BY jaccard DESC, s1, s2 LIMIT {_LP_TOP}
+"""
+
+
+@query("link_prediction_jaccard", _LP_ORACLE, tags=("graph",))
+def link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor LINK PREDICTION: Jaccard similarity of supplier
+    neighborhoods in the customer-supplier bipartite graph — suppliers
+    sharing many customers are near-substitutes (the co-occurrence
+    signal behind item-item recommendation and graph-side near-dup
+    grouping).  Top-{_LP_TOP} pairs by Jaccard, (s1, s2) tiebreak.
+
+    The pair generator is the classic neighbor self-join on the shared
+    customer — per-customer cost is degree², so HUB customers are
+    degree-capped out first (> {_LP_MAX_DEG} distinct suppliers; hub
+    co-occurrence carries ~no signal, the standard practice from
+    item-item CF).  In TPC-H a customer's supplier degree is bounded by
+    its order count — a CONSTANT as SF grows — so total pair volume
+    scales LINEARLY with customers; degrees in the Jaccard are computed
+    over the SAME capped edge set, keeping the metric internally
+    consistent.  All counts are exact bigints off two groupBys; the
+    score is one bigint division; the top-{_LP_TOP} is
+    `orderBy().limit()` = TakeOrderedAndProject (per-partition heaps,
+    never a global window).  Degree lookups join on supplier keys —
+    supplier-scale frames, joined (not broadcast) so the plan survives
+    dimension growth at 100 TB."""
+    orders, lineitem = T(spark, sf_dir, "orders", "lineitem")
+    e0 = (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    cdeg = e0.groupBy("c").agg(F.count("*").alias("d"))
+    e = cache_scoped(
+        e0.join(cdeg.filter(F.col("d") <= _LP_MAX_DEG).select("c"), "c")
+    )
+    sdeg = e.groupBy("s").agg(F.count("*").alias("d"))
+    a, b = e.alias("a"), e.alias("b")
+    common = (
+        a.join(b, (F.col("a.c") == F.col("b.c")) & (F.col("a.s") < F.col("b.s")))
+        .groupBy(F.col("a.s").alias("s1"), F.col("b.s").alias("s2"))
+        .agg(F.count("*").alias("common"))
+    )
+    scored = (
+        common.join(sdeg.select(F.col("s").alias("s1"), F.col("d").alias("deg1")), "s1")
+        .join(sdeg.select(F.col("s").alias("s2"), F.col("d").alias("deg2")), "s2")
+        .select(
+            "s1",
+            "s2",
+            "common",
+            "deg1",
+            "deg2",
+            (
+                F.col("common").cast("double")
+                / (F.col("deg1") + F.col("deg2") - F.col("common"))
+            ).alias("jaccard"),
+        )
+    )
+    return scored.orderBy(
+        F.col("jaccard").desc(), "s1", "s2"
+    ).limit(_LP_TOP).select("s1", "s2", "common", "deg1", "deg2", "jaccard")

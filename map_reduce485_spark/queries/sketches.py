@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from map_reduce485_spark.queries import query
-from map_reduce485_spark.queries._util import T, cache_scoped
+from map_reduce485_spark.queries._util import T, cache_scoped, distributed_rank
 
 _M_BITS = 65536  # filter width (2^16 bits, 2048 64-bit... stored as 32-bit-used blocks)
 _K = 4  # hash functions
@@ -1338,3 +1338,190 @@ def ams_f2_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ams_f2_sketch_merge.__doc__ = ams_f2_sketch_merge.__doc__.replace("{rr}", str(_AMS_R))
+
+
+# ---------------------------------------------------------------------------
+# Bottom-k uniform-sample quantile sketch (merge proof + realized error)
+# ---------------------------------------------------------------------------
+
+_BK_K = 256
+_BK_PS = ((25, 0.25), (50, 0.50), (75, 0.75), (90, 0.90))
+
+
+def _bk_oracle() -> str:
+    import math
+
+    est_cols = ",\n".join(
+        f"       (SELECT value FROM vsorted WHERE vrk = {math.ceil(p * _BK_K)})"
+        f" AS est_q{tag}" for tag, p in _BK_PS
+    )
+    exact_cols = ",\n".join(
+        f"       (SELECT value FROM ranked, n"
+        f" WHERE rk = CAST(CEIL({p!r} * n_total) AS BIGINT)) AS exact_q{tag}"
+        for tag, p in _BK_PS
+    )
+    err_cols = ",\n".join(
+        f"       ABS((SELECT value FROM vsorted WHERE vrk = {math.ceil(p * _BK_K)})"
+        f" - (SELECT value FROM ranked, n"
+        f" WHERE rk = CAST(CEIL({p!r} * n_total) AS BIGINT))) AS err_q{tag}"
+        for tag, p in _BK_PS
+    )
+    return f"""
+WITH base AS (
+  SELECT event_id % 4 AS site, event_id, value,
+         md5(CAST(event_id AS VARCHAR)) AS h
+  FROM events
+),
+site_sk AS (
+  SELECT site, h, event_id, value FROM base
+  QUALIFY row_number() OVER (PARTITION BY site ORDER BY h, event_id) <= {_BK_K}
+),
+merged AS (
+  SELECT h, event_id, value FROM site_sk
+  QUALIFY row_number() OVER (ORDER BY h, event_id) <= {_BK_K}
+),
+direct AS (
+  SELECT h, event_id, value FROM base
+  QUALIFY row_number() OVER (ORDER BY h, event_id) <= {_BK_K}
+),
+vsorted AS (
+  SELECT value, row_number() OVER (ORDER BY value, event_id) AS vrk FROM merged
+),
+ranked AS (
+  SELECT value, row_number() OVER (ORDER BY value, event_id) AS rk FROM base
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM base)
+SELECT {_BK_K} AS k,
+       n.n_total,
+       (SELECT md5(string_agg(h, ',' ORDER BY h)) FROM merged) AS sample_digest,
+       CAST((SELECT md5(string_agg(h, ',' ORDER BY h)) FROM merged)
+          = (SELECT md5(string_agg(h, ',' ORDER BY h)) FROM direct) AS INT)
+         AS merge_ok,
+{est_cols},
+{exact_cols},
+{err_cols}
+FROM n
+"""
+
+
+@query("bottomk_quantile_sketch_merge", _bk_oracle(), tags=("sketch",))
+def bottomk_quantile_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SEVENTH sketch algebra on the shelf (Bloom: membership; CMS:
+    frequency; HLL + KMV: cardinality; moments + AMS: moments): a
+    mergeable QUANTILE sketch — the bottom-{_BK_K} rows of `events` by a
+    deterministic md5 hash of the row key, i.e. a uniform k-row sample
+    whose merge operator is itself bottom-k.  Because (hash, event_id) is
+    a total order, bottom-k is ASSOCIATIVE: the bottom-k of a union is
+    the bottom-k of the per-part bottom-ks, which is exactly the map-side
+    combine property the other six algebras carry — and like them it is
+    hash-PROVEN here, not assumed: four per-site sketches (events split
+    by `event_id % 4`) are merged and the merged sample's md5 digest must
+    equal the digest of the sketch built directly over the union
+    (`merge_ok = 1`).
+
+    The sketch's product is the quantile estimate: order the k sampled
+    values and read the ceil(p*k)-th; the realized error |est - exact| is
+    measured in the same row against the TRUE order statistics
+    (ceil(p*n)-th value over all rows, computed via
+    :func:`distributed_rank` — never a single-partition window), applying
+    the recall-eval discipline (measure what the sketch estimates, don't
+    trust it) to quantiles.  Estimates and exacts are copies of input
+    doubles and the error one exact IEEE subtraction, so every output
+    hash-checks.
+
+    Scale shape: the Spark plan's per-site bottom-k is a two-phase
+    array-slice aggregation — per-partition local bottom-k (the agg state
+    never exceeds k structs, regardless of partition row count), then a
+    per-site merge of ≤ #partitions k-arrays — the literal mergeable-
+    sketch execution; the direct global sketch is `orderBy().limit(k)` =
+    TakeOrderedAndProject (per-partition heap + k-row driver merge).  At
+    100 TB each executor ships k rows, not its data."""
+    import math
+
+    (events,) = T(spark, sf_dir, "events")
+    base = events.select(
+        (F.col("event_id") % 4).alias("site"),
+        "event_id",
+        "value",
+        F.md5(F.col("event_id").cast("string")).alias("h"),
+    )
+    row = F.struct("h", "event_id", "value")
+    # per-partition local bottom-k, then per-site merge: agg state <= k rows
+    local = (
+        base.withColumn("pid", F.spark_partition_id())
+        .groupBy("site", "pid")
+        .agg(F.slice(F.array_sort(F.collect_list(row)), 1, _BK_K).alias("arr"))
+    )
+    site_sk = local.groupBy("site").agg(
+        F.slice(F.array_sort(F.flatten(F.collect_list("arr"))), 1, _BK_K).alias("arr")
+    )
+    merged = site_sk.agg(
+        F.slice(F.array_sort(F.flatten(F.collect_list("arr"))), 1, _BK_K).alias("arr")
+    )
+    direct = (
+        base.orderBy("h", "event_id")
+        .limit(_BK_K)
+        .agg(F.array_sort(F.collect_list(row)).alias("arr"))
+    )
+    digest = "md5(concat_ws(',', transform(arr, s -> s.h)))"
+    m = merged.select(
+        F.col("arr"),
+        F.expr(digest).alias("sample_digest"),
+        F.expr(
+            "array_sort(transform(arr, s ->"
+            " struct(s.value AS value, s.event_id AS event_id)))"
+        ).alias("vsorted"),
+    )
+    d = direct.select(F.expr(digest).alias("direct_digest"))
+    n = base.agg(F.count("*").alias("n_total"))
+    ranked = distributed_rank(
+        base.select("value", "event_id"), ["value", "event_id"], alias="rk"
+    )
+    exacts = (
+        ranked.crossJoin(F.broadcast(n))
+        .filter(
+            " OR ".join(
+                f"rk = CAST(CEIL({p!r} * n_total) AS BIGINT)" for _, p in _BK_PS
+            )
+        )
+        .crossJoin(F.broadcast(n.select(F.col("n_total").alias("_nt"))))
+        .agg(
+            *[
+                F.max(
+                    F.when(
+                        F.col("rk")
+                        == F.ceil(F.lit(p) * F.col("_nt")).cast("long"),
+                        F.col("value"),
+                    )
+                ).alias(f"exact_q{tag}")
+                for tag, p in _BK_PS
+            ]
+        )
+    )
+    out = (
+        m.crossJoin(F.broadcast(d))
+        .crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(exacts))
+    )
+    return out.select(
+        F.lit(_BK_K).cast("int").alias("k"),
+        "n_total",
+        "sample_digest",
+        (F.col("sample_digest") == F.col("direct_digest")).cast("int").alias(
+            "merge_ok"
+        ),
+        *[
+            F.expr(f"element_at(vsorted, {math.ceil(p * _BK_K)}).value").alias(
+                f"est_q{tag}"
+            )
+            for tag, p in _BK_PS
+        ],
+        *[F.col(f"exact_q{tag}") for tag, _ in _BK_PS],
+        *[
+            F.abs(
+                F.expr(f"element_at(vsorted, {math.ceil(p * _BK_K)}).value")
+                - F.col(f"exact_q{tag}")
+            ).alias(f"err_q{tag}")
+            for tag, p in _BK_PS
+        ],
+    )

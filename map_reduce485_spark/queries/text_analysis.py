@@ -3041,3 +3041,192 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "coverage"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher/MassiveText repetition filters
+# ---------------------------------------------------------------------------
+
+_GOPHER_TOP_NS = (2, 3, 4)     # top-n-gram char-fraction metrics
+_GOPHER_DUP_N = 5              # duplicated-n-gram char-fraction metric
+# MassiveText thresholds (Rae et al. 2021, "Scaling Language Models:
+# ... Gopher", Table A1): top-2gram 0.20, top-3gram 0.18, top-4gram 0.16,
+# dup-5gram 0.15.
+_GOPHER_THRESHOLDS = {2: 0.20, 3: 0.18, 4: 0.16}
+_GOPHER_DUP_THRESHOLD = 0.15
+
+
+def _gopher_oracle() -> str:
+    ns = (*_GOPHER_TOP_NS, _GOPHER_DUP_N)
+    branches = "\n    UNION ALL\n".join(
+        f"""    SELECT doc_id, {n} AS n,
+      CASE WHEN len(w) >= {n}
+           THEN list_transform(generate_series(1, len(w) - {n} + 1),
+                               i -> array_to_string(w[i:i + {n} - 1], ' '))
+           ELSE [] END AS grams
+    FROM w"""
+        for n in ns
+    )
+    top_cols = ",\n".join(
+        f"""       COALESCE(MAX(CASE WHEN n = {n} THEN top_frac END), 0.0)
+         AS frac_top_{n}gram"""
+        for n in _GOPHER_TOP_NS
+    )
+    flag_cols = ",\n".join(
+        f"""       CAST(COALESCE(MAX(CASE WHEN n = {n} THEN top_frac END), 0.0)
+         <= {_GOPHER_THRESHOLDS[n]!r} AS INT) AS pass_top_{n}gram"""
+        for n in _GOPHER_TOP_NS
+    )
+    all_pass = " AND ".join(
+        [
+            f"COALESCE(MAX(CASE WHEN n = {n} THEN top_frac END), 0.0)"
+            f" <= {_GOPHER_THRESHOLDS[n]!r}"
+            for n in _GOPHER_TOP_NS
+        ]
+        + [
+            f"COALESCE(MAX(CASE WHEN n = {_GOPHER_DUP_N} THEN dup_frac END), 0.0)"
+            f" <= {_GOPHER_DUP_THRESHOLD!r}"
+        ]
+    )
+    return f"""
+WITH w AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+  FROM documents
+),
+g AS (
+  SELECT doc_id, n, UNNEST(grams) AS gram FROM (
+{branches}
+  )
+),
+c AS (
+  SELECT doc_id, n, gram, COUNT(*) AS cnt FROM g GROUP BY doc_id, n, gram
+),
+l AS (
+  SELECT doc_id, n,
+         CAST(SUM(cnt * length(gram)) AS BIGINT) AS tot,
+         MAX(struct_pack(cnt := cnt, glen := length(gram), gram := gram)) AS top,
+         CAST(SUM(CASE WHEN cnt > 1 THEN cnt * length(gram) ELSE 0 END)
+              AS BIGINT) AS dup
+  FROM c GROUP BY doc_id, n
+),
+f AS (
+  SELECT doc_id, n,
+         CAST(top.cnt * top.glen AS DOUBLE) / tot AS top_frac,
+         CAST(dup AS DOUBLE) / tot AS dup_frac
+  FROM l
+)
+SELECT doc_id,
+{top_cols},
+       COALESCE(MAX(CASE WHEN n = {_GOPHER_DUP_N} THEN dup_frac END), 0.0)
+         AS frac_dup_{_GOPHER_DUP_N}gram,
+{flag_cols},
+       CAST(COALESCE(MAX(CASE WHEN n = {_GOPHER_DUP_N} THEN dup_frac END), 0.0)
+         <= {_GOPHER_DUP_THRESHOLD!r} AS INT) AS pass_dup_{_GOPHER_DUP_N}gram,
+       CAST({all_pass} AS INT) AS gopher_pass
+FROM f GROUP BY doc_id
+"""
+
+
+@query("gopher_repetition_filters", _gopher_oracle(), tags=("text", "quality"))
+def gopher_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MassiveText/Gopher repetition-filter suite (Rae et al. 2021,
+    Table A1) — the standard pre-training quality gate the existing
+    per-doc signals (`repetition_ratio`, `token_entropy`, `quality_score`)
+    don't cover: for n in {2,3,4} the fraction of n-gram characters
+    claimed by the single MOST FREQUENT n-gram (boilerplate headers,
+    navigation chrome), and for n=5 the fraction of n-gram characters in
+    n-grams occurring more than once (template spam).  A doc passes when
+    every fraction is under its published threshold (0.20/0.18/0.16 for
+    top-2/3/4, 0.15 for dup-5).
+
+    Metric definitions kept exactly rational so both engines agree
+    bit-for-bit: the denominator is total characters over ALL n-gram
+    occurrences of that n (not raw doc chars — self-normalizing, ≤ 1 by
+    construction); the "most frequent" tie-break is (count, gram length,
+    gram) lexicographic max, so the winner is deterministic; each
+    fraction is ONE bigint/bigint division (correctly-rounded IEEE on
+    both engines), and the pass flags are exact comparisons of those
+    doubles.  Source texts have no newlines, so Gopher's line-dup
+    metrics have no domain here and are deliberately absent.
+
+    Scale shape: one explode over the four n levels (map-side, ~4x token
+    volume), ONE shuffle to groupBy(doc_id, n, gram) with map-side
+    combine, then two narrowing aggregations (doc_id, n) -> (doc_id) on
+    already-co-partitioned keys.  No windows, no joins, no driver state —
+    the same linear shape as `repetition_ratio`, just with the grouped
+    count needed for the "most frequent gram" statistic.  The reference
+    would need one MapReduce job per n plus a driver-side join
+    (SURVEY.md S2.b has no multi-output grouping)."""
+    (docs,) = T(spark, sf_dir, "documents")
+    ns = (*_GOPHER_TOP_NS, _GOPHER_DUP_N)
+    tagged_arrays = ", ".join(
+        f"if(size(w) >= {n},"
+        f" transform(sequence(1, size(w) - {n} + 1),"
+        f" i -> struct({n} AS n, array_join(slice(w, i, {n}), ' ') AS gram)),"
+        f" array())"
+        for n in ns
+    )
+    grams = (
+        docs.select(
+            "doc_id",
+            F.expr("filter(split(lower(text), ' '), x -> x <> '')").alias("w"),
+        )
+        .select("doc_id", F.explode(F.expr(f"concat({tagged_arrays})")).alias("t"))
+        .select("doc_id", "t.n", "t.gram")
+    )
+    lvl = (
+        grams.groupBy("doc_id", "n", "gram")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("doc_id", "n")
+        .agg(
+            F.sum(F.col("cnt") * F.length("gram")).alias("tot"),
+            F.max(
+                F.struct(
+                    F.col("cnt"),
+                    F.length("gram").alias("glen"),
+                    F.col("gram"),
+                )
+            ).alias("top"),
+            F.sum(
+                F.when(F.col("cnt") > 1, F.col("cnt") * F.length("gram")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("dup"),
+        )
+        .select(
+            "doc_id",
+            "n",
+            (
+                (F.col("top.cnt") * F.col("top.glen")).cast("double") / F.col("tot")
+            ).alias("top_frac"),
+            (F.col("dup").cast("double") / F.col("tot")).alias("dup_frac"),
+        )
+    )
+
+    def _top(n: int):
+        return F.coalesce(
+            F.max(F.when(F.col("n") == n, F.col("top_frac"))), F.lit(0.0)
+        )
+
+    dup5 = F.coalesce(
+        F.max(F.when(F.col("n") == _GOPHER_DUP_N, F.col("dup_frac"))), F.lit(0.0)
+    )
+    all_pass = None
+    for n in _GOPHER_TOP_NS:
+        cond = _top(n) <= _GOPHER_THRESHOLDS[n]
+        all_pass = cond if all_pass is None else (all_pass & cond)
+    all_pass = all_pass & (dup5 <= _GOPHER_DUP_THRESHOLD)
+    return lvl.groupBy("doc_id").agg(
+        *[_top(n).alias(f"frac_top_{n}gram") for n in _GOPHER_TOP_NS],
+        dup5.alias(f"frac_dup_{_GOPHER_DUP_N}gram"),
+        *[
+            (_top(n) <= _GOPHER_THRESHOLDS[n])
+            .cast("int")
+            .alias(f"pass_top_{n}gram")
+            for n in _GOPHER_TOP_NS
+        ],
+        (dup5 <= _GOPHER_DUP_THRESHOLD)
+        .cast("int")
+        .alias(f"pass_dup_{_GOPHER_DUP_N}gram"),
+        all_pass.cast("int").alias("gopher_pass"),
+    )

@@ -1502,3 +1502,138 @@ def test_ngram_novelty_bounds_and_first_doc(spark):
         .count()
     )
     assert sum(r.n_novel for r in rows) == grams
+
+
+def test_gopher_filters_recompute_python(spark):
+    """Recompute every Gopher fraction for 30 docs in pure Python (Counter
+    over n-grams) and require exact agreement with the query's doubles —
+    the per-doc metric must be the published definition, not an
+    approximation of it."""
+    from collections import Counter
+
+    from map_reduce485_spark.queries.text_analysis import (
+        _GOPHER_DUP_N,
+        _GOPHER_TOP_NS,
+        gopher_repetition_filters,
+    )
+
+    got = {
+        r.doc_id: r
+        for r in gopher_repetition_filters(spark, SF_SMOKE).collect()
+    }
+    docs = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .limit(30)
+        .collect()
+    )
+    assert len(docs) == 30
+    for d in docs:
+        w = [t for t in d.text.lower().split(" ") if t]
+        row = got[d.doc_id]
+        for n in _GOPHER_TOP_NS:
+            grams = [" ".join(w[i : i + n]) for i in range(len(w) - n + 1)]
+            if not grams:
+                assert getattr(row, f"frac_top_{n}gram") == 0.0
+                continue
+            c = Counter(grams)
+            tot = sum(cnt * len(g) for g, cnt in c.items())
+            top = max((cnt, len(g), g) for g, cnt in c.items())
+            assert getattr(row, f"frac_top_{n}gram") == top[0] * top[1] / tot
+        grams5 = [
+            " ".join(w[i : i + _GOPHER_DUP_N])
+            for i in range(len(w) - _GOPHER_DUP_N + 1)
+        ]
+        if grams5:
+            c5 = Counter(grams5)
+            tot5 = sum(cnt * len(g) for g, cnt in c5.items())
+            dup5 = sum(cnt * len(g) for g, cnt in c5.items() if cnt > 1)
+            assert row.frac_dup_5gram == dup5 / tot5
+        flags = [row.pass_top_2gram, row.pass_top_3gram, row.pass_top_4gram,
+                 row.pass_dup_5gram]
+        assert row.gopher_pass == int(all(flags))
+
+
+def test_bottomk_sketch_merge_and_error_bound(spark):
+    """merge_ok must witness bottom-k associativity, the estimates must be
+    actual sample order statistics, and the realized quantile error must
+    sit within the DKW-style envelope for k=256 (generous 5x margin)."""
+    from map_reduce485_spark.queries.sketches import (
+        _BK_K,
+        bottomk_quantile_sketch_merge,
+    )
+
+    row = bottomk_quantile_sketch_merge(spark, SF_CORRECT).collect()[0]
+    assert row.merge_ok == 1
+    assert row.n_total > _BK_K
+    vals = sorted(
+        r.value
+        for r in spark.read.parquet(f"{SF_CORRECT}/events.parquet")
+        .select("value")
+        .collect()
+    )
+    import math
+
+    for tag, p in ((25, 0.25), (50, 0.50), (75, 0.75), (90, 0.90)):
+        est = getattr(row, f"est_q{tag}")
+        exact = getattr(row, f"exact_q{tag}")
+        assert exact == vals[math.ceil(p * len(vals)) - 1]
+        assert getattr(row, f"err_q{tag}") == abs(est - exact)
+        # sample quantile concentration: rank error ~ sqrt(p(1-p)/k)
+        rank_of_est = sum(1 for v in vals if v <= est) / len(vals)
+        assert abs(rank_of_est - p) < 5 * math.sqrt(0.25 / _BK_K)
+
+
+def test_ppr_mass_concentrates_on_seed_side(spark):
+    """PPR invariants: every rank positive, total top-rank mass below the
+    normalized budget, and seed-side (customer, even-id) nodes hold rank
+    (restart mass lands there every round)."""
+    from map_reduce485_spark.queries.graph import ppr_seed_expansion
+
+    rows = ppr_seed_expansion(spark, SF_SMOKE).collect()
+    assert rows
+    assert all(r.ppr_scaled > 0 for r in rows)
+    assert any(r.node % 2 == 0 for r in rows)
+    assert sum(r.ppr_scaled for r in rows) <= 10**12
+
+
+def test_link_prediction_jaccard_recompute(spark):
+    """Jaccard must equal common/(d1+d2-common) with degrees over the
+    hub-capped edge set, and the emitted pairs must be the true top-50."""
+    from map_reduce485_spark.queries.graph import (
+        _LP_MAX_DEG,
+        link_prediction_jaccard,
+    )
+
+    rows = link_prediction_jaccard(spark, SF_SMOKE).collect()
+    assert rows
+    from collections import defaultdict
+
+    o = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    l = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    e0 = set(
+        (r.c, r.s)
+        for r in o.join(l, o.o_orderkey == l.l_orderkey)
+        .selectExpr("o_custkey AS c", "l_suppkey AS s")
+        .distinct()
+        .collect()
+    )
+    by_c = defaultdict(set)
+    for c, s in e0:
+        by_c[c].add(s)
+    by_s = defaultdict(set)
+    for c, ss in by_c.items():
+        if len(ss) <= _LP_MAX_DEG:
+            for s in ss:
+                by_s[s].add(c)
+    import itertools
+
+    scores = {}
+    for s1, s2 in itertools.combinations(sorted(by_s), 2):
+        common = len(by_s[s1] & by_s[s2])
+        if common:
+            scores[(s1, s2)] = common / (len(by_s[s1]) + len(by_s[s2]) - common)
+    want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[: len(rows)]
+    got = [((r.s1, r.s2), r.jaccard) for r in rows]
+    assert got == want

@@ -99,6 +99,11 @@ KNOWN_BNLJ: dict[str, int | None] = {
     # two 1-row scalar probes (estimate + exact F2) onto the 1-row
     # merge-equality aggregate
     "ams_f2_sketch_merge": 8,
+    # 1-row digest/count/exact-quantile probes assembled into the report
+    # row (merged sketch x direct digest x n x exact order statistics)
+    "bottomk_quantile_sketch_merge": 8,
+    # 1-row seed-count broadcast seeding the restart-mass frames
+    "ppr_seed_expansion": 8,
     # 1-row global-moments broadcast onto the ~120-row cell table, then
     # 1-row (m, k*) broadcasts back onto it — the q22 free-probe class
     "bh_fdr_correction": 8,
