@@ -1022,35 +1022,37 @@ def _winnow_pairs(docs: DataFrame) -> DataFrame:
     sort-merge join for an ObjectHashAggregate building array state plus
     per-row struct allocation.  The join's pair stream lands directly in
     a partial hash agg (map-side combine across fingerprints), so total
-    shuffle volume is comparable and the JVM-tight join wins."""
-    from pyspark.sql import Window as W
+    shuffle volume is comparable and the JVM-tight join wins.
 
+    FINGERPRINT EXTRACTION is pure per-row array arithmetic (this round):
+    gram hashes, (hash, reversed-position) tie-break keys, the sliding
+    w-window minima, and the per-doc distinct all happen inside one
+    projection via transform/slice/array_min/array_distinct — the
+    document IS the window partition, so there is nothing to shuffle.
+    The previous shape exploded every gram and ran a
+    Window.partitionBy(doc_id) plus a distinct — at the 100x smoke that
+    moved ~2 billion 50-byte gram rows through two full shuffles before
+    the index join even started; the array form moves zero bytes until
+    the (16-byte hash, doc_id) fingerprint explode that feeds the join.
+    Output is bit-identical: same keys, same window rule, same distinct
+    (pinned by the unchanged oracle hash)."""
+    ks = (
+        "transform(sequence(1, size(w) - 2),"
+        " i -> concat(md5(concat(element_at(w, i), ' ', element_at(w, i + 1),"
+        " ' ', element_at(w, i + 2))),"
+        " lpad(CAST(100000000 - i AS STRING), 8, '0')))"
+    )
+    fps = (
+        f"if(size(ks) >= {_WINNOW_W},"
+        f" array_distinct(transform(sequence(1, size(ks) - {_WINNOW_W} + 1),"
+        f" i -> substring(array_min(slice(ks, i, {_WINNOW_W})), 1, 32))),"
+        f" array())"
+    )
     words = docs.select(
         "doc_id", F.expr("filter(split(text, ' '), x -> x <> '')").alias("w")
     ).filter(F.size("w") >= 3)
-    grams = words.select(
-        "doc_id",
-        (F.size("w") - 2).alias("n_grams"),
-        F.explode(F.sequence(F.lit(1), F.size("w") - 2)).alias("i"),
-        "w",
-    ).select(
-        "doc_id",
-        "n_grams",
-        "i",
-        F.expr(
-            "md5(concat(element_at(w, i), ' ', element_at(w, i + 1),"
-            " ' ', element_at(w, i + 2)))"
-        ).alias("h"),
-    )
-    win = W.partitionBy("doc_id").orderBy("i").rowsBetween(0, _WINNOW_W - 1)
-    key = F.concat(
-        "h", F.lpad((F.lit(100000000) - F.col("i")).cast("string"), 8, "0")
-    )
-    fp = (
-        grams.withColumn("sel", F.min(key).over(win))
-        .filter(F.col("i") <= F.col("n_grams") - (_WINNOW_W - 1))
-        .select("doc_id", F.substring("sel", 1, 32).alias("h"))
-        .distinct()
+    fp = words.select("doc_id", F.expr(ks).alias("ks")).select(
+        "doc_id", F.explode(F.expr(fps)).alias("h")
     )
     a = fp.select(F.col("doc_id").alias("a_id"), "h")
     b = fp.select(F.col("doc_id").alias("b_id"), "h")
