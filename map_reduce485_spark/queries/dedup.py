@@ -1024,35 +1024,46 @@ def _winnow_pairs(docs: DataFrame) -> DataFrame:
     a partial hash agg (map-side combine across fingerprints), so total
     shuffle volume is comparable and the JVM-tight join wins.
 
-    FINGERPRINT EXTRACTION is pure per-row array arithmetic (this round):
-    gram hashes, (hash, reversed-position) tie-break keys, the sliding
-    w-window minima, and the per-doc distinct all happen inside one
-    projection via transform/slice/array_min/array_distinct — the
-    document IS the window partition, so there is nothing to shuffle.
-    The previous shape exploded every gram and ran a
-    Window.partitionBy(doc_id) plus a distinct — at the 100x smoke that
-    moved ~2 billion 50-byte gram rows through two full shuffles before
-    the index join even started; the array form moves zero bytes until
-    the (16-byte hash, doc_id) fingerprint explode that feeds the join.
-    Output is bit-identical: same keys, same window rule, same distinct
-    (pinned by the unchanged oracle hash)."""
-    ks = (
-        "transform(sequence(1, size(w) - 2),"
-        " i -> concat(md5(concat(element_at(w, i), ' ', element_at(w, i + 1),"
-        " ' ', element_at(w, i + 2))),"
-        " lpad(CAST(100000000 - i AS STRING), 8, '0')))"
-    )
-    fps = (
-        f"if(size(ks) >= {_WINNOW_W},"
-        f" array_distinct(transform(sequence(1, size(ks) - {_WINNOW_W} + 1),"
-        f" i -> substring(array_min(slice(ks, i, {_WINNOW_W})), 1, 32))),"
-        f" array())"
-    )
+    FINGERPRINT EXTRACTION stays explode + per-doc window + distinct,
+    also after a measured A/B (this round): the all-array alternative
+    (per-row transform/slice/array_min/array_distinct — zero shuffle
+    before the index join) was 70-75% SLOWER at both smokes (10x:
+    3.54 s -> 5.98 s; 100x: 400 s -> 701 s, quiet box, best-of-2).
+    Spark evaluates higher-order functions INTERPRETED, one closure
+    call + object allocation per array element, while the explode /
+    window / distinct pipeline is whole-stage-codegen throughout — at
+    ~50 gram-hashes x ~4-element slices per doc the per-element
+    interpreter overhead costs more than the two shuffles it saves.
+    Same lesson as the pair-generation A/B above: measured plans beat
+    theoretically-shuffle-optimal plans."""
+    from pyspark.sql import Window as W
+
     words = docs.select(
         "doc_id", F.expr("filter(split(text, ' '), x -> x <> '')").alias("w")
     ).filter(F.size("w") >= 3)
-    fp = words.select("doc_id", F.expr(ks).alias("ks")).select(
-        "doc_id", F.explode(F.expr(fps)).alias("h")
+    grams = words.select(
+        "doc_id",
+        (F.size("w") - 2).alias("n_grams"),
+        F.explode(F.sequence(F.lit(1), F.size("w") - 2)).alias("i"),
+        "w",
+    ).select(
+        "doc_id",
+        "n_grams",
+        "i",
+        F.expr(
+            "md5(concat(element_at(w, i), ' ', element_at(w, i + 1),"
+            " ' ', element_at(w, i + 2)))"
+        ).alias("h"),
+    )
+    win = W.partitionBy("doc_id").orderBy("i").rowsBetween(0, _WINNOW_W - 1)
+    key = F.concat(
+        "h", F.lpad((F.lit(100000000) - F.col("i")).cast("string"), 8, "0")
+    )
+    fp = (
+        grams.withColumn("sel", F.min(key).over(win))
+        .filter(F.col("i") <= F.col("n_grams") - (_WINNOW_W - 1))
+        .select("doc_id", F.substring("sel", 1, 32).alias("h"))
+        .distinct()
     )
     a = fp.select(F.col("doc_id").alias("a_id"), "h")
     b = fp.select(F.col("doc_id").alias("b_id"), "h")
@@ -2738,6 +2749,163 @@ def minhash_jaccard_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.groupBy(
             F.floor(j_exact * 10).cast("long").alias("bin")
         )
+        .agg(
+            F.count("*").alias("n_pairs"),
+            (
+                F.sum("matches").cast("double") / _N_PERM / F.count("*")
+            ).alias("mean_est"),
+            (
+                F.sum(j_exact.cast("decimal(24,6)")).cast("double")
+                / F.count("*")
+            ).alias("mean_exact"),
+            (
+                F.sum(F.abs(est - j_exact).cast("decimal(24,6)")).cast("double")
+                / F.count("*")
+            ).alias("mean_abs_err"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash calibration on a random matching (low-similarity operating points)
+# ---------------------------------------------------------------------------
+
+_CALIB_RAND_ORACLE = f"""
+WITH {_ORACLE_SHINGLES},
+sig AS (
+  SELECT doc_id,
+         {_MINHASH_SIG_COLS_SQL},
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM sh GROUP BY doc_id
+),
+ranked AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM documents
+),
+pairs AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM ranked a JOIN ranked b ON b.rk = a.rk + 1 AND a.rk % 2 = 1
+),
+inter AS (
+  SELECT p.a_id, p.b_id, CAST(COUNT(*) AS BIGINT) AS i
+  FROM pairs p
+  JOIN sh x ON x.doc_id = p.a_id
+  JOIN sh y ON y.doc_id = p.b_id AND y.shingle = x.shingle
+  GROUP BY p.a_id, p.b_id
+),
+scored AS (
+  SELECT CAST({_CALIB_MATCHES_SQL} AS BIGINT) AS matches,
+         COALESCE(i.i, 0) AS it, sa.n + sb.n - COALESCE(i.i, 0) AS un
+  FROM pairs c
+  JOIN sig sa ON sa.doc_id = c.a_id
+  JOIN sig sb ON sb.doc_id = c.b_id
+  LEFT JOIN inter i ON i.a_id = c.a_id AND i.b_id = c.b_id
+)
+SELECT CAST(FLOOR(CAST(it AS DOUBLE) / un * 10) AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(matches) AS DOUBLE) / {_N_PERM} / COUNT(*) AS mean_est,
+       CAST(SUM(CAST(CAST(it AS DOUBLE) / un AS DECIMAL(24,6))) AS DOUBLE)
+         / COUNT(*) AS mean_exact,
+       CAST(SUM(CAST(abs(matches / {_N_PERM}e0 - CAST(it AS DOUBLE) / un)
+                     AS DECIMAL(24,6))) AS DOUBLE)
+         / COUNT(*) AS mean_abs_err
+FROM scored GROUP BY 1
+"""
+
+
+@query("minhash_calibration_random_pairs", _CALIB_RAND_ORACLE, tags=("dedup", "eval"))
+def minhash_calibration_random_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator calibration at the LOW-similarity operating
+    points `minhash_jaccard_calibration` cannot reach: banded candidates
+    are (by design) concentrated near the similarity threshold, so its
+    deciles cluster at the top of the range.  This twin scores a
+    deterministic RANDOM PERFECT MATCHING instead — rank every document
+    by md5(doc_id) (:func:`distributed_rank`, never a single-partition
+    window) and pair consecutive ranks (odd rank with its successor): a
+    uniform random pairing that is reproducible on both engines, covers
+    n/2 pairs in strictly linear work, and lands mostly in the 0.0-0.3
+    exact-Jaccard deciles — together the two queries calibrate the
+    8-permutation estimator across the whole operating range (the
+    false-positive side matters when a pipeline thresholds on ESTIMATED
+    similarity: est >= 0.5 on a truly-0.1 pair is the error this table
+    exposes).
+
+    Unlike banded candidates, random pairs can share ZERO shingles, so
+    the intersection join is a LEFT join with COALESCE(i, 0) — exact
+    Jaccard 0, bin 0.  Same exactness discipline as the candidate twin:
+    integer matches/intersections, DECIMAL(24,6) order-independent sums
+    for the double-valued means.  Scale: one rank shuffle, one pairing
+    join on rank keys, one shingle-intersect join bounded by the SMALLER
+    doc's shingle count per pair — everything linear in the corpus."""
+    (docs,) = T(spark, sf_dir, "documents")
+    from map_reduce485_spark.queries._util import distributed_rank
+
+    sh = cache_scoped(_spark_shingles(docs))
+    sig = cache_scoped(
+        sh.groupBy("doc_id").agg(
+            *[
+                F.min(
+                    F.md5(F.concat(F.col("shingle"), F.lit(f"#{j}")))
+                ).alias(f"h{j}")
+                for j in range(_N_PERM)
+            ],
+            F.count("*").alias("n"),
+        )
+    )
+    ranked = distributed_rank(
+        docs.select(
+            "doc_id", F.md5(F.col("doc_id").cast("string")).alias("hkey")
+        ),
+        ["hkey", "doc_id"],
+        alias="rk",
+    ).select("doc_id", "rk")
+    odd = ranked.filter(F.col("rk") % 2 == 1).select(
+        F.col("doc_id").alias("a_id"), (F.col("rk") + 1).alias("brk")
+    )
+    even = ranked.select(F.col("doc_id").alias("b_id"), F.col("rk").alias("brk"))
+    pairs = odd.join(even, "brk").select("a_id", "b_id")
+    inter = (
+        pairs.join(sh.select(F.col("doc_id").alias("a_id"), "shingle"), "a_id")
+        .join(
+            sh.select(F.col("doc_id").alias("b_id"), "shingle"),
+            ["b_id", "shingle"],
+        )
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("it"))
+    )
+    sa = sig.select(
+        F.col("doc_id").alias("a_id"),
+        *[F.col(f"h{j}").alias(f"ha{j}") for j in range(_N_PERM)],
+        F.col("n").alias("na"),
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("b_id"),
+        *[F.col(f"h{j}").alias(f"hb{j}") for j in range(_N_PERM)],
+        F.col("n").alias("nb"),
+    )
+    matches = None
+    for j in range(_N_PERM):
+        m = (F.col(f"ha{j}") == F.col(f"hb{j}")).cast("int")
+        matches = m if matches is None else matches + m
+    scored = (
+        pairs.join(sa, "a_id")
+        .join(sb, "b_id")
+        .join(inter, ["a_id", "b_id"], "left")
+        .select(
+            matches.cast("long").alias("matches"),
+            F.coalesce(F.col("it"), F.lit(0).cast("long")).alias("it"),
+            (
+                F.col("na")
+                + F.col("nb")
+                - F.coalesce(F.col("it"), F.lit(0).cast("long"))
+            ).alias("un"),
+        )
+    )
+    j_exact = F.col("it").cast("double") / F.col("un")
+    est = F.col("matches") / F.lit(float(_N_PERM))
+    return (
+        scored.groupBy(F.floor(j_exact * 10).cast("long").alias("bin"))
         .agg(
             F.count("*").alias("n_pairs"),
             (

@@ -1637,3 +1637,22 @@ def test_link_prediction_jaccard_recompute(spark):
     want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[: len(rows)]
     got = [((r.s1, r.s2), r.jaccard) for r in rows]
     assert got == want
+
+
+def test_minhash_random_pairs_calibration_coverage(spark):
+    """The random matching must score exactly floor(n_docs/2) pairs, bins
+    must be valid deciles, and mean_abs_err must respect the 8-permutation
+    estimator's granularity bounds (est is a multiple of 1/8)."""
+    from map_reduce485_spark.queries.dedup import (
+        minhash_calibration_random_pairs,
+    )
+
+    rows = minhash_calibration_random_pairs(spark, SF_CORRECT).collect()
+    assert rows
+    n_docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet").count()
+    assert sum(r.n_pairs for r in rows) == n_docs // 2
+    for r in rows:
+        assert 0 <= r.bin <= 10
+        assert 0.0 <= r.mean_est <= 1.0
+        assert 0.0 <= r.mean_exact <= 1.0
+        assert r.mean_abs_err >= abs(r.mean_est - r.mean_exact) - 1e-9

@@ -232,6 +232,17 @@ def main() -> int:
         "keyword_search_rank",
         "ann_two_level_assign",
         _PAGERANK_SHUFFLE,
+        # round-10 continuation: the Gopher quality suite (corpus-linear,
+        # one grouped explode — the per-doc filter stage a 100 TB pipeline
+        # runs on everything), the bottom-k quantile sketch (merge proof
+        # must hold at every scale like the other six algebras), seed-set
+        # PPR (sparse iterative state vs pagerank's dense frame), and the
+        # capped common-neighbor pair generator (pair volume must stay
+        # ~linear in customers — the degree-cap claim, measured)
+        "gopher_repetition_filters",
+        "bottomk_quantile_sketch_merge",
+        "ppr_seed_expansion",
+        "link_prediction_jaccard",
     ]
     # scan-parallelism proof on the multi-file layout
     n_parts = load_table(spark, sf_dir, "lineitem").rdd.getNumPartitions()
