@@ -3230,3 +3230,135 @@ def gopher_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias(f"pass_dup_{_GOPHER_DUP_N}gram"),
         all_pass.cast("int").alias("gopher_pass"),
     )
+
+
+# ---------------------------------------------------------------------------
+# familiarity terciles (CCNet-style head/middle/tail split)
+# ---------------------------------------------------------------------------
+
+_TERCILE_ORACLE = """
+WITH words AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+  FROM documents
+),
+tris AS (
+  SELECT doc_id, w[i] AS w1, w[i + 1] AS w2, w[i + 2] AS w3
+  FROM (SELECT doc_id, w, UNNEST(generate_series(1, len(w) - 2)) AS i
+        FROM words WHERE len(w) >= 3)
+),
+corpus AS (
+  SELECT w1, w2, w3, CAST(COUNT(*) AS BIGINT) AS c3 FROM tris GROUP BY 1, 2, 3
+),
+scored AS (
+  SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tri,
+         CAST(SUM(c.c3) AS BIGINT) AS fam_sum
+  FROM tris t JOIN corpus c USING (w1, w2, w3) GROUP BY t.doc_id
+),
+ranked AS (
+  SELECT doc_id, CAST(fam_sum AS DOUBLE) / n_tri AS familiarity,
+         row_number() OVER (
+           ORDER BY CAST(fam_sum AS DOUBLE) / n_tri DESC, doc_id
+         ) AS rk
+  FROM scored
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_scored FROM scored)
+SELECT doc_id, familiarity, rk,
+       CAST(((rk - 1) * 3) // n_scored AS INT) AS bucket
+FROM ranked, n
+"""
+
+
+@query("familiarity_tercile_split", _TERCILE_ORACLE, tags=("text", "etl"))
+def familiarity_tercile_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CCNet move (Wenzek et al. 2019): split the corpus into
+    HEAD / MIDDLE / TAIL terciles by language-model score and treat the
+    buckets differently downstream (keep head, sample middle, drop or
+    re-review tail).  The score is `lm_familiarity_score`'s exact-integer
+    corpus-familiarity (the engine's log-free perplexity stand-in — libm
+    log diverges across engines, see that query), so the whole split is
+    hash-checkable: bucket = ((rank-1) * 3) div n over the familiarity-
+    descending rank.  Bucket 0 is the head (most in-distribution), 2 the
+    tail.
+
+    Scale shape: the familiarity stages are linear (one trigram exchange,
+    one per-doc agg); the global rank is :func:`distributed_rank` (range
+    shuffle + broadcast offsets — never a single-partition window); n is
+    a 1-row broadcast.  The reference could compute the trigram counts as
+    a wordcount job but has no rank or join machinery (SURVEY.md S2.b)."""
+    scored = lm_familiarity_score(spark, sf_dir)
+    ranked = distributed_rank(
+        scored.select("doc_id", "familiarity"),
+        [F.col("familiarity").desc(), F.col("doc_id")],
+        alias="rk",
+    )
+    n = scored.agg(F.count("*").alias("n_scored"))
+    return ranked.crossJoin(F.broadcast(n)).select(
+        "doc_id",
+        "familiarity",
+        "rk",
+        F.expr("CAST(((rk - 1) * 3) div n_scored AS INT)").alias("bucket"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# stratified deterministic bottom-k sample
+# ---------------------------------------------------------------------------
+
+_STRAT_K = 32
+
+_STRAT_ORACLE = f"""
+SELECT lang, doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+       CAST(row_number() OVER (
+         PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+       ) AS BIGINT) AS sample_rank
+FROM documents
+QUALIFY sample_rank <= {_STRAT_K}
+"""
+
+
+@query("stratified_bottomk_sample", _STRAT_ORACLE, tags=("text", "etl"))
+def stratified_bottomk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic STRATIFIED sampling: the bottom-{_STRAT_K} documents
+    per language by md5(doc_id) — a uniform per-stratum sample that is
+    reproducible across engines and reruns (no RNG state), the standard
+    eval-slice / human-review draw a pipeline takes per language or per
+    source.  Each sampled row carries its within-stratum hash rank so a
+    smaller sample (any k' <= k) is a strict prefix — samples NEST, the
+    property RNG-based sampling does not give.
+
+    Scale shape: per-stratum bottom-k runs as the two-phase array-slice
+    aggregation from `bottomk_quantile_sketch_merge` — per-partition
+    local bottom-k (agg state <= k per stratum regardless of partition
+    rows), then a per-stratum merge of <= #partitions k-arrays — NEVER a
+    window partitioned by a handful of languages, which would funnel
+    each stratum's full row set through one task (exactly the skew the
+    plan audit hunts).  posexplode of the merged k-array recovers the
+    rank without any ranking shuffle."""
+    (docs,) = T(spark, sf_dir, "documents")
+    base = docs.select(
+        "lang", "doc_id", F.md5(F.col("doc_id").cast("string")).alias("h")
+    )
+    local = (
+        base.withColumn("pid", F.spark_partition_id())
+        .groupBy("lang", "pid")
+        .agg(
+            F.slice(
+                F.array_sort(F.collect_list(F.struct("h", "doc_id"))),
+                1,
+                _STRAT_K,
+            ).alias("arr")
+        )
+    )
+    strat = local.groupBy("lang").agg(
+        F.slice(
+            F.array_sort(F.flatten(F.collect_list("arr"))), 1, _STRAT_K
+        ).alias("arr")
+    )
+    return strat.select(
+        "lang", F.posexplode("arr").alias("pos", "s")
+    ).select(
+        "lang",
+        F.col("s.doc_id").alias("doc_id"),
+        F.col("s.h").alias("h"),
+        (F.col("pos") + 1).cast("long").alias("sample_rank"),
+    )

@@ -1656,3 +1656,58 @@ def test_minhash_random_pairs_calibration_coverage(spark):
         assert 0.0 <= r.mean_est <= 1.0
         assert 0.0 <= r.mean_exact <= 1.0
         assert r.mean_abs_err >= abs(r.mean_est - r.mean_exact) - 1e-9
+
+
+def test_familiarity_terciles_balanced_and_ordered(spark):
+    """Terciles must partition the scored docs into three near-equal
+    buckets, and bucket boundaries must respect the familiarity order
+    (min familiarity of bucket b >= max familiarity of bucket b+1 up to
+    rank ties broken by doc_id)."""
+    from map_reduce485_spark.queries.text_analysis import (
+        familiarity_tercile_split,
+    )
+
+    rows = familiarity_tercile_split(spark, SF_SMOKE).collect()
+    assert rows
+    n = len(rows)
+    by_bucket = {}
+    for r in rows:
+        by_bucket.setdefault(r.bucket, []).append(r)
+    assert sorted(by_bucket) == [0, 1, 2]
+    for b, rs in by_bucket.items():
+        assert abs(len(rs) - n / 3) <= 1
+    assert min(r.familiarity for r in by_bucket[0]) >= max(
+        r.familiarity for r in by_bucket[1]
+    )
+    assert min(r.familiarity for r in by_bucket[1]) >= max(
+        r.familiarity for r in by_bucket[2]
+    )
+
+
+def test_stratified_sample_nesting_and_uniformity(spark):
+    """Each stratum's sample must be the true bottom-k by md5 (recomputed
+    in Python), ranks must be 1..k contiguous, and a k'=8 prefix must be
+    exactly the first 8 ranks (nesting)."""
+    import hashlib
+
+    from map_reduce485_spark.queries.text_analysis import (
+        _STRAT_K,
+        stratified_bottomk_sample,
+    )
+
+    rows = stratified_bottomk_sample(spark, SF_SMOKE).collect()
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+        "lang", "doc_id"
+    ).collect()
+    by_lang = {}
+    for d in docs:
+        h = hashlib.md5(str(d.doc_id).encode()).hexdigest()
+        by_lang.setdefault(d.lang, []).append((h, d.doc_id))
+    got = {}
+    for r in rows:
+        got.setdefault(r.lang, []).append((r.sample_rank, r.h, r.doc_id))
+    for lang, pairs in by_lang.items():
+        want = sorted(pairs)[:_STRAT_K]
+        g = sorted(got[lang])
+        assert [rk for rk, _, _ in g] == list(range(1, len(want) + 1))
+        assert [(h, d) for _, h, d in g] == want

@@ -104,6 +104,8 @@ KNOWN_BNLJ: dict[str, int | None] = {
     "bottomk_quantile_sketch_merge": 8,
     # 1-row seed-count broadcast seeding the restart-mass frames
     "ppr_seed_expansion": 8,
+    # 1-row scored-doc-count broadcast onto the ranked frame
+    "familiarity_tercile_split": 8,
     # 1-row global-moments broadcast onto the ~120-row cell table, then
     # 1-row (m, k*) broadcasts back onto it — the q22 free-probe class
     "bh_fdr_correction": 8,
