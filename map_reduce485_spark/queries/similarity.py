@@ -3042,3 +3042,105 @@ def ann_lsh_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.coalesce("n_hits", F.lit(0)) / 10.0).alias("recall"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# k-means clustering-quality eval: simplified silhouette per cluster
+# ---------------------------------------------------------------------------
+
+
+def _silhouette_oracle(k: int = 16, iters: int = 3, dim: int = _DIM) -> str:
+    ctes = _kmeans_train_ctes(k, iters, dim)
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+d AS (
+  SELECT e.vec_id, c.cid,
+         sqrt({_kmeans_sqdist('e.v', 'c.c', dim)}) AS dist
+  FROM emb e CROSS JOIN cent{iters} c
+),
+r AS (
+  SELECT vec_id, cid, dist,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+           ORDER BY dist ASC, cid ASC) AS rn
+  FROM d
+),
+sil AS (
+  SELECT a.vec_id, a.cid,
+         CASE WHEN GREATEST(a.dist, b.dist) > 0
+              THEN (b.dist - a.dist) / GREATEST(a.dist, b.dist)
+              ELSE 0.0 END AS s
+  FROM (SELECT vec_id, cid, dist FROM r WHERE rn = 1) a
+  JOIN (SELECT vec_id, dist FROM r WHERE rn = 2) b USING (vec_id)
+)
+SELECT cid AS cluster_id, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(SUM(CAST(s AS DECIMAL(24,6))) AS DOUBLE) / COUNT(*)
+         AS mean_silhouette
+FROM sil GROUP BY cid
+"""
+    )
+
+
+@query("kmeans_silhouette_eval", _silhouette_oracle(), tags=("similarity", "eval"))
+def kmeans_silhouette_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering-QUALITY eval for the trained k-means quantizer — the
+    recall-eval discipline applied to clustering itself: per cluster, the
+    mean SIMPLIFIED SILHOUETTE (Hruschka et al.) s = (b - a) / max(a, b),
+    where a is a vector's Euclidean distance to its own centroid and b
+    its distance to the nearest OTHER centroid.  s near 1: compact,
+    well-separated cells (IVF probes and SemDeDup cell-quadratics behave);
+    s near 0: boundary-heavy cells (raise k or iterations).  Because
+    assignment IS argmin-to-centroid, a and b are simply the two smallest
+    entries of the per-vector distance array — no joins, no second pass.
+
+    Exactness: training replays bit-identically via the shared Lloyd CTEs
+    (`_kmeans_train_ctes`); distances are sequential left folds + one
+    correctly-rounded sqrt; the argmin tie-break is (dist, cid) — the
+    same rule as `assign_clusters`; per-cluster means go through the
+    DECIMAL(24,6) order-independent sum.  The a=b=0 degenerate (vector
+    equal to two centroids) pins s = 0 on both engines.
+
+    Scale shape: one map-side pass over the vectors against the k-row
+    broadcast centroid array (O(n·k·d), the same cost class as
+    assignment), then one bounded groupBy(cid) — k rows out at any
+    corpus size."""
+    from map_reduce485_spark.operators.kmeans import kmeans_fit
+
+    (emb,) = T(spark, sf_dir, "embeddings")
+    centroids = kmeans_fit(emb, k=16, iterations=3)
+    cents = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
+    two = (
+        emb.withColumn("_cents", cents)
+        .select(
+            "vec_id",
+            F.expr(
+                "array_sort(transform(_cents, (c, i) -> struct("
+                "sqrt(aggregate(zip_with(embedding, c,"
+                " (x, cc) -> (CAST(x AS DOUBLE) - cc) * (CAST(x AS DOUBLE) - cc)),"
+                " 0D, (acc, v) -> acc + v)) AS dist, i AS cid)))"
+            ).alias("arr"),
+        )
+        .select(
+            "vec_id",
+            F.expr("arr[0].cid").alias("cid"),
+            F.expr("arr[0].dist").alias("a"),
+            F.expr("arr[1].dist").alias("b"),
+        )
+    )
+    sil = two.select(
+        "vec_id",
+        "cid",
+        F.when(
+            F.greatest("a", "b") > 0,
+            (F.col("b") - F.col("a")) / F.greatest("a", "b"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("s"),
+    )
+    return sil.groupBy(F.col("cid").alias("cluster_id")).agg(
+        F.count("*").alias("n_vecs"),
+        (
+            F.sum(F.col("s").cast("decimal(24,6)")).cast("double") / F.count("*")
+        ).alias("mean_silhouette"),
+    )

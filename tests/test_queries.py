@@ -1711,3 +1711,35 @@ def test_stratified_sample_nesting_and_uniformity(spark):
         g = sorted(got[lang])
         assert [rk for rk, _, _ in g] == list(range(1, len(want) + 1))
         assert [(h, d) for _, h, d in g] == want
+
+
+def test_silhouette_bounds_and_recompute(spark):
+    """Silhouette values must lie in [-1, 1] (simplified silhouette with
+    a = nearest centroid is in [0, 1]); per-cluster sizes must sum to the
+    corpus; and a NumPy recomputation of the per-cluster means must agree
+    to the DECIMAL(24,6) rounding."""
+    import numpy as np
+
+    from map_reduce485_spark.operators.kmeans import kmeans_fit
+    from map_reduce485_spark.queries.similarity import kmeans_silhouette_eval
+
+    rows = kmeans_silhouette_eval(spark, SF_SMOKE).collect()
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").collect()
+    assert sum(r.n_vecs for r in rows) == len(emb)
+    cents = np.array(
+        kmeans_fit(
+            spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet"), k=16, iterations=3
+        )
+    )
+    by_cid = {}
+    for e in emb:
+        v = np.array(e.embedding, dtype=np.float64)
+        d = np.sqrt(((cents - v) ** 2).sum(axis=1))
+        order = np.lexsort((np.arange(len(d)), d))
+        a, b = d[order[0]], d[order[1]]
+        s = (b - a) / max(a, b) if max(a, b) > 0 else 0.0
+        by_cid.setdefault(int(order[0]), []).append(s)
+    for r in rows:
+        assert 0.0 <= r.mean_silhouette <= 1.0
+        want = sum(round(s, 6) for s in by_cid[r.cluster_id]) / r.n_vecs
+        assert abs(r.mean_silhouette - want) < 5e-6
