@@ -243,6 +243,12 @@ def main() -> int:
         "bottomk_quantile_sketch_merge",
         "ppr_seed_expansion",
         "link_prediction_jaccard",
+        # continuation batch 2: clustering-quality eval (O(n*k*d) map
+        # pass), the CCNet tercile split (distributed_rank consumer), and
+        # the per-stratum bottom-k sampler (array-slice agg, state <= k)
+        "kmeans_silhouette_eval",
+        "familiarity_tercile_split",
+        "stratified_bottomk_sample",
     ]
     # scan-parallelism proof on the multi-file layout
     n_parts = load_table(spark, sf_dir, "lineitem").rdd.getNumPartitions()
