@@ -2779,9 +2779,13 @@ sig AS (
   FROM sh GROUP BY doc_id
 ),
 ranked AS (
+  -- rank ONLY shingle-eligible docs (>= 3 words): a doc with no shingles
+  -- has no signature, so pairing it would silently drop its pair at the
+  -- sig join below — eligibility-first keeps the matching a true perfect
+  -- matching over floor(n_eligible/2) pairs (round-10 advice)
   SELECT doc_id,
          row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
-  FROM documents
+  FROM sig
 ),
 pairs AS (
   SELECT a.doc_id AS a_id, b.doc_id AS b_id
@@ -2824,7 +2828,11 @@ def minhash_calibration_random_pairs(spark: SparkSession, sf_dir: str) -> DataFr
     by md5(doc_id) (:func:`distributed_rank`, never a single-partition
     window) and pair consecutive ranks (odd rank with its successor): a
     uniform random pairing that is reproducible on both engines, covers
-    n/2 pairs in strictly linear work, and lands mostly in the 0.0-0.3
+    floor(n_eligible/2) pairs in strictly linear work (eligible = docs
+    with >= 3 words, i.e. at least one shingle — a doc with no shingles
+    has no signature to calibrate, so the ranking is restricted to
+    signature holders up front rather than silently dropping pairs at
+    the sig join), and lands mostly in the 0.0-0.3
     exact-Jaccard deciles — together the two queries calibrate the
     8-permutation estimator across the whole operating range (the
     false-positive side matters when a pipeline thresholds on ESTIMATED
@@ -2853,8 +2861,12 @@ def minhash_calibration_random_pairs(spark: SparkSession, sf_dir: str) -> DataFr
             F.count("*").alias("n"),
         )
     )
+    # rank only shingle-ELIGIBLE docs (those with a signature, i.e. >= 3
+    # words): pairing an ineligible doc would silently drop its pair at the
+    # inner sig join — eligibility-first keeps the matching a true perfect
+    # matching over floor(n_eligible/2) pairs (round-10 advice)
     ranked = distributed_rank(
-        docs.select(
+        sig.select(
             "doc_id", F.md5(F.col("doc_id").cast("string")).alias("hkey")
         ),
         ["hkey", "doc_id"],

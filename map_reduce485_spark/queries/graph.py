@@ -167,6 +167,12 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+pagerank_trade_graph.__doc__ = (
+    pagerank_trade_graph.__doc__.replace("{_PR_ITERS}", str(_PR_ITERS))
+    .replace("{_TOP_N}", str(_TOP_N))
+)
+
+
 _BFS_LEVELS = 4
 
 
@@ -778,6 +784,13 @@ def ppr_seed_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ppr_seed_expansion.__doc__ = (
+    ppr_seed_expansion.__doc__.replace("{_PPR_SEGMENT}", _PPR_SEGMENT)
+    .replace("{_TOP_N}", str(_TOP_N))
+    .replace("{_PPR_SCALE}", str(_PPR_SCALE))
+)
+
+
 # ---------------------------------------------------------------------------
 # Common-neighbor link prediction (Jaccard over the bipartite graph)
 # ---------------------------------------------------------------------------
@@ -868,3 +881,9 @@ def link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(
         F.col("jaccard").desc(), "s1", "s2"
     ).limit(_LP_TOP).select("s1", "s2", "common", "deg1", "deg2", "jaccard")
+
+
+link_prediction_jaccard.__doc__ = (
+    link_prediction_jaccard.__doc__.replace("{_LP_TOP}", str(_LP_TOP))
+    .replace("{_LP_MAX_DEG}", str(_LP_MAX_DEG))
+)

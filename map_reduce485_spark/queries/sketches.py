@@ -1525,3 +1525,8 @@ def bottomk_quantile_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame
             for tag, p in _BK_PS
         ],
     )
+
+
+bottomk_quantile_sketch_merge.__doc__ = bottomk_quantile_sketch_merge.__doc__.replace(
+    "{_BK_K}", str(_BK_K)
+)

@@ -3114,6 +3114,11 @@ f AS (
          CAST(top.cnt * top.glen AS DOUBLE) / tot AS top_frac,
          CAST(dup AS DOUBLE) / tot AS dup_frac
   FROM l
+  -- seed row: a doc too short to form ANY n-gram (< 2 words) must still
+  -- emit a row with all fractions 0.0 / gopher_pass 1, consistent with the
+  -- per-n COALESCE(.., 0.0) defaults (n = 0 matches no CASE arm)
+  UNION ALL
+  SELECT doc_id, 0 AS n, 0.0 AS top_frac, 0.0 AS dup_frac FROM documents
 )
 SELECT doc_id,
 {top_cols},
@@ -3137,7 +3142,12 @@ def gopher_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     navigation chrome), and for n=5 the fraction of n-gram characters in
     n-grams occurring more than once (template spam).  A doc passes when
     every fraction is under its published threshold (0.20/0.18/0.16 for
-    top-2/3/4, 0.15 for dup-5).
+    top-2/3/4, 0.15 for dup-5).  EVERY document emits a row: docs too
+    short to form any n-gram (< 2 words) get all fractions 0.0 and
+    gopher_pass 1 via a seed row per doc — the same "missing level
+    passes" convention the per-n COALESCE defaults establish, so a
+    downstream join on gopher_pass sees short docs pass trivially
+    instead of dropping them (round-10 advice).
 
     Metric definitions kept exactly rational so both engines agree
     bit-for-bit: the denominator is total characters over ALL n-gram
@@ -3200,6 +3210,21 @@ def gopher_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("top.cnt") * F.col("top.glen")).cast("double") / F.col("tot")
             ).alias("top_frac"),
             (F.col("dup").cast("double") / F.col("tot")).alias("dup_frac"),
+        )
+    )
+
+    # seed row per doc (n = 0 matches no per-n CASE arm): a doc too short to
+    # form any n-gram still emits an output row with all fractions 0.0 and
+    # gopher_pass 1 — consistent with the COALESCE(.., 0.0) defaults that
+    # deliberately make MISSING n-levels pass, and what a downstream
+    # gopher_pass join expects (short docs pass trivially, not vanish).
+    # One extra row per doc through a map-side-combinable groupBy.
+    lvl = lvl.unionByName(
+        docs.select(
+            "doc_id",
+            F.lit(0).alias("n"),
+            F.lit(0.0).alias("top_frac"),
+            F.lit(0.0).alias("dup_frac"),
         )
     )
 
@@ -3362,3 +3387,8 @@ def stratified_bottomk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s.h").alias("h"),
         (F.col("pos") + 1).cast("long").alias("sample_rank"),
     )
+
+
+stratified_bottomk_sample.__doc__ = stratified_bottomk_sample.__doc__.replace(
+    "{_STRAT_K}", str(_STRAT_K)
+)

@@ -1640,17 +1640,25 @@ def test_link_prediction_jaccard_recompute(spark):
 
 
 def test_minhash_random_pairs_calibration_coverage(spark):
-    """The random matching must score exactly floor(n_docs/2) pairs, bins
-    must be valid deciles, and mean_abs_err must respect the 8-permutation
-    estimator's granularity bounds (est is a multiple of 1/8)."""
+    """The random matching must score exactly floor(n_eligible/2) pairs
+    (eligible = docs with >= 3 words, i.e. at least one shingle — the
+    ranking is restricted to signature holders), bins must be valid
+    deciles, and mean_abs_err must respect the 8-permutation estimator's
+    granularity bounds (est is a multiple of 1/8)."""
+    from pyspark.sql import functions as F
+
     from map_reduce485_spark.queries.dedup import (
         minhash_calibration_random_pairs,
     )
 
     rows = minhash_calibration_random_pairs(spark, SF_CORRECT).collect()
     assert rows
-    n_docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet").count()
-    assert sum(r.n_pairs for r in rows) == n_docs // 2
+    n_eligible = (
+        spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+        .filter(F.expr("size(filter(split(text, ' '), x -> x <> '')) >= 3"))
+        .count()
+    )
+    assert sum(r.n_pairs for r in rows) == n_eligible // 2
     for r in rows:
         assert 0 <= r.bin <= 10
         assert 0.0 <= r.mean_est <= 1.0
@@ -1743,3 +1751,82 @@ def test_silhouette_bounds_and_recompute(spark):
         assert 0.0 <= r.mean_silhouette <= 1.0
         want = sum(round(s, 6) for s in by_cid[r.cluster_id]) / r.n_vecs
         assert abs(r.mean_silhouette - want) < 5e-6
+
+
+def _write_docs(spark, tmp_path, rows):
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_gopher_short_docs_emit_passing_rows(spark, tmp_path):
+    """A doc too short to form ANY n-gram (< 2 words) must still emit a
+    row with every fraction 0.0 and gopher_pass 1 — on BOTH engines
+    (round-10 advice: downstream gopher_pass joins must see short docs
+    pass trivially, not vanish)."""
+    import duckdb
+
+    from map_reduce485_spark.queries import REGISTRY, _load_all
+
+    _load_all()
+    spec = REGISTRY["gopher_repetition_filters"]
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (1, "one", "en", "t", 3),          # 1 word: no n-grams at any n
+            (2, "a b", "en", "t", 3),          # 2-grams only
+            (3, "x y x y x y x y", "en", "t", 15),  # heavy repetition
+        ],
+    )
+    got = {r.doc_id: r for r in spec.fn(spark, sf).collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[1].gopher_pass == 1
+    assert got[1].frac_top_2gram == 0.0 and got[1].frac_dup_5gram == 0.0
+    assert got[3].gopher_pass == 0  # top-2gram fraction ~0.5 > 0.20
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet/*.parquet'"
+    )
+    ora = {r[0]: r for r in con.execute(spec.oracle).fetchall()}
+    assert set(ora) == {1, 2, 3}
+    cols = [c for c, *_ in con.execute(f"DESCRIBE ({spec.oracle})").fetchall()]
+    for did in (1, 2, 3):
+        for i, c in enumerate(cols):
+            assert got[did][c] == ora[did][i], (did, c)
+
+
+def test_random_pairs_calibration_skips_shingleless_docs(spark, tmp_path):
+    """With a corpus containing a shingle-less (< 3 words) doc, the random
+    matching must cover floor(n_eligible/2) pairs — the short doc neither
+    produces a pair nor silently drops its partner's pair (round-10
+    advice) — and Spark must agree with the oracle."""
+    import duckdb
+
+    from map_reduce485_spark.queries import REGISTRY, _load_all
+
+    _load_all()
+    spec = REGISTRY["minhash_calibration_random_pairs"]
+    texts = [
+        "alpha beta gamma delta epsilon",
+        "alpha beta gamma delta zeta",
+        "one two three four five six",
+        "red green blue yellow purple",
+        "too short",  # 2 words: zero shingles, ineligible
+    ]
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [(i + 1, t, "en", "t", len(t)) for i, t in enumerate(texts)],
+    )
+    rows = spec.fn(spark, sf).collect()
+    assert sum(r.n_pairs for r in rows) == 4 // 2  # 4 eligible docs -> 2 pairs
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet/*.parquet'"
+    )
+    ora = con.execute(spec.oracle).fetchall()
+    assert sorted((r.bin, r.n_pairs) for r in rows) == sorted(
+        (r[0], r[1]) for r in ora
+    )
