@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from map_reduce485_spark.queries import query
-from map_reduce485_spark.queries._util import T, cache_scoped, distributed_rank
+from map_reduce485_spark.queries._util import T, bottomk_hash_prefilter, cache_scoped, distributed_rank
 
 _M_BITS = 65536  # filter width (2^16 bits, 2048 64-bit... stored as 32-bit-used blocks)
 _K = 4  # hash functions
@@ -1429,13 +1429,18 @@ def bottomk_quantile_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame
     doubles and the error one exact IEEE subtraction, so every output
     hash-checks.
 
-    Scale shape: the Spark plan's per-site bottom-k is a two-phase
-    array-slice aggregation — per-partition local bottom-k (the agg state
-    never exceeds k structs, regardless of partition row count), then a
-    per-site merge of ≤ #partitions k-arrays — the literal mergeable-
-    sketch execution; the direct global sketch is `orderBy().limit(k)` =
-    TakeOrderedAndProject (per-partition heap + k-row driver merge).  At
-    100 TB each executor ships k rows, not its data."""
+    Scale shape: per-site counts pick an md5-uniform hash THRESHOLD that
+    keeps ~8k rows per site before anything is collected
+    (:func:`bottomk_hash_prefilter` — the true bottom-k always survives,
+    so the result is identical and equality pytest-pinned), then the
+    two-phase array-slice aggregation runs: per-partition local bottom-k
+    over the ~8k survivors, then a per-site merge of ≤ #partitions
+    k-arrays — the literal mergeable-sketch execution with genuinely
+    O(k)-bounded agg state (a bare collect_list would buffer the whole
+    partition before the slice — round-10 advice); the direct global
+    sketch is `orderBy().limit(k)` = TakeOrderedAndProject
+    (per-partition heap + k-row driver merge).  At 100 TB each executor
+    ships k rows, not its data."""
     import math
 
     (events,) = T(spark, sf_dir, "events")
@@ -1446,9 +1451,16 @@ def bottomk_quantile_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame
         F.md5(F.col("event_id").cast("string")).alias("h"),
     )
     row = F.struct("h", "event_id", "value")
-    # per-partition local bottom-k, then per-site merge: agg state <= k rows
+    # Bound the collect state FOR REAL (round-10 advice): a bare
+    # collect_list buffers every row of the (site, pid) group before the
+    # sort/slice runs, so the local phase's state would be O(partition
+    # rows).  The md5-uniform hash threshold pre-filter keeps ~8k rows per
+    # site (identical bottom-k result — the true bottom-k always survives,
+    # equality pytest-pinned), after which the two-phase array-slice
+    # aggregation state really is O(k)-ish at any corpus scale.
+    prefiltered = bottomk_hash_prefilter(base, "h", ["site"], _BK_K)
     local = (
-        base.withColumn("pid", F.spark_partition_id())
+        prefiltered.withColumn("pid", F.spark_partition_id())
         .groupBy("site", "pid")
         .agg(F.slice(F.array_sort(F.collect_list(row)), 1, _BK_K).alias("arr"))
     )

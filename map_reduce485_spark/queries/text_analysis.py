@@ -17,7 +17,12 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from map_reduce485_spark.queries import query
-from map_reduce485_spark.queries._util import T, cache_scoped, distributed_rank
+from map_reduce485_spark.queries._util import (
+    T,
+    bottomk_hash_prefilter,
+    cache_scoped,
+    distributed_rank,
+)
 
 _BPE_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
 
@@ -3351,18 +3356,29 @@ def stratified_bottomk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     smaller sample (any k' <= k) is a strict prefix — samples NEST, the
     property RNG-based sampling does not give.
 
-    Scale shape: per-stratum bottom-k runs as the two-phase array-slice
-    aggregation from `bottomk_quantile_sketch_merge` — per-partition
-    local bottom-k (agg state <= k per stratum regardless of partition
-    rows), then a per-stratum merge of <= #partitions k-arrays — NEVER a
-    window partitioned by a handful of languages, which would funnel
-    each stratum's full row set through one task (exactly the skew the
-    plan audit hunts).  posexplode of the merged k-array recovers the
-    rank without any ranking shuffle."""
+    Scale shape: per-stratum counts pick an md5-uniform hash THRESHOLD
+    that keeps ~8k rows per stratum before anything is collected
+    (:func:`bottomk_hash_prefilter` — the true bottom-k always survives,
+    result identical, equality pytest-pinned), then the two-phase
+    array-slice aggregation from `bottomk_quantile_sketch_merge` runs:
+    per-partition local bottom-k over the survivors, then a per-stratum
+    merge of <= #partitions k-arrays — genuinely O(k)-bounded agg state
+    (a bare collect_list would buffer the partition's whole stratum
+    before the slice — round-10 advice), and NEVER a window partitioned
+    by a handful of languages, which would funnel each stratum's full
+    row set through one task (exactly the skew the plan audit hunts).
+    posexplode of the merged k-array recovers the rank without any
+    ranking shuffle."""
     (docs,) = T(spark, sf_dir, "documents")
     base = docs.select(
         "lang", "doc_id", F.md5(F.col("doc_id").cast("string")).alias("h")
     )
+    # bound the collect state FOR REAL (round-10 advice): without the
+    # md5-threshold pre-filter the (lang, pid) collect_list buffers every
+    # row of the partition's stratum before the sort/slice — the filter
+    # keeps ~8k rows per stratum with an identical bottom-k result
+    # (equality pytest-pinned), so agg state is O(k)-ish at any scale
+    base = bottomk_hash_prefilter(base, "h", ["lang"], _STRAT_K)
     local = (
         base.withColumn("pid", F.spark_partition_id())
         .groupBy("lang", "pid")

@@ -1830,3 +1830,33 @@ def test_random_pairs_calibration_skips_shingleless_docs(spark, tmp_path):
     assert sorted((r.bin, r.n_pairs) for r in rows) == sorted(
         (r[0], r[1]) for r in ora
     )
+
+
+def test_bottomk_hash_prefilter_preserves_bottomk(spark):
+    """The md5-threshold pre-filter must (a) pass every true bottom-k row
+    per group — result-identical to the unfiltered collect — and (b) cut
+    the surviving row count to ~margin*k, which is what makes the
+    downstream collect_list state O(k) instead of O(partition rows)."""
+    import collections
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from map_reduce485_spark.queries._util import bottomk_hash_prefilter
+
+    n, k = 6000, 16
+    df = spark.range(n).select(
+        (F.col("id") % 3).alias("g"),
+        F.md5(F.col("id").cast("string")).alias("h"),
+        "id",
+    )
+    surv = collections.defaultdict(set)
+    for r in bottomk_hash_prefilter(df, "h", ["g"], k).collect():
+        surv[r.g].add((r.h, r.id))
+    true_bottom = collections.defaultdict(list)
+    for i in range(n):
+        true_bottom[i % 3].append((hashlib.md5(str(i).encode()).hexdigest(), i))
+    for g, rows in true_bottom.items():
+        assert set(sorted(rows)[:k]) <= surv[g]  # no true bottom-k row lost
+        # ~8k = 128 expected survivors of 2000 group rows; 8x slack
+        assert k <= len(surv[g]) <= 64 * k
