@@ -847,8 +847,19 @@ def link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier-scale frames, joined (not broadcast) so the plan survives
     dimension growth at 100 TB."""
     orders, lineitem = T(spark, sf_dir, "orders", "lineitem")
+    # distinct lineitem to (l_orderkey, l_suppkey) BEFORE the orders join
+    # (round-10 verdict item 2): the (c, s) distinct previously ran on the
+    # raw join OUTPUT (~600 M rows at the 100x smoke) — pre-distincting
+    # the fact side shrinks the join input by the per-order duplicate-
+    # supplier multiplicity and, more importantly, moves the first
+    # full-volume shuffle BEFORE the join instead of after it.  Semantics
+    # identical: distinct(c, s) over orders ⋈ distinct(orderkey, suppkey)
+    # equals distinct(c, s) over the raw join (oracle unchanged,
+    # hash-verified at sf0.01/sf0.1; 100x A/B in NOTES_r11.md).
+    ls = lineitem.select("l_orderkey", "l_suppkey").distinct()
     e0 = (
-        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        orders.select("o_orderkey", "o_custkey")
+        .join(ls, F.col("o_orderkey") == F.col("l_orderkey"))
         .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
         .distinct()
     )

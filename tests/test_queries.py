@@ -1860,3 +1860,27 @@ def test_bottomk_hash_prefilter_preserves_bottomk(spark):
         assert set(sorted(rows)[:k]) <= surv[g]  # no true bottom-k row lost
         # ~8k = 128 expected survivors of 2000 group rows; 8x slack
         assert k <= len(surv[g]) <= 64 * k
+
+
+def test_winnowing_capped_equals_exact_below_cap(spark):
+    """At SF_SMOKE every fingerprint's df is under the cap (measured max
+    9 < 16), so the df-capped scale twin must reproduce the exact
+    summary EXACTLY and report zero capped fingerprints — the
+    no-recall-loss-below-cap guarantee (the dedup_prefix_filter_join
+    equality template applied to the round-11 capped twin)."""
+    from map_reduce485_spark.queries.dedup import (
+        dedup_winnowing_summary,
+        dedup_winnowing_summary_capped,
+    )
+
+    exact = {
+        (r.n_shared, r.n_pairs, r.n_left_docs, r.n_right_docs)
+        for r in dedup_winnowing_summary(spark, SF_SMOKE).collect()
+    }
+    capped_rows = dedup_winnowing_summary_capped(spark, SF_SMOKE).collect()
+    capped = {
+        (r.n_shared, r.n_pairs, r.n_left_docs, r.n_right_docs)
+        for r in capped_rows
+    }
+    assert capped == exact and len(capped) > 0
+    assert all(r.n_capped_fps == 0 for r in capped_rows)

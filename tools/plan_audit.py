@@ -104,6 +104,11 @@ KNOWN_BNLJ: dict[str, int | None] = {
     "bottomk_quantile_sketch_merge": 8,
     # 1-row seed-count broadcast seeding the restart-mass frames
     "ppr_seed_expansion": 8,
+    # constant-size capped-pairs summary broadcast LEFT-joined onto the
+    # 1-row capstat so the drop accounting survives an all-capped corpus;
+    # build side is bounded by the distinct-n_shared domain (<= per-doc
+    # fingerprint count, ~50 at any corpus; 19 measured at sf0.01)
+    "dedup_winnowing_summary_capped": 256,
     # 1-row scored-doc-count broadcast onto the ranked frame
     "familiarity_tercile_split": 8,
     # 1-row global-moments broadcast onto the ~120-row cell table, then
