@@ -1884,3 +1884,37 @@ def test_winnowing_capped_equals_exact_below_cap(spark):
     }
     assert capped == exact and len(capped) > 0
     assert all(r.n_capped_fps == 0 for r in capped_rows)
+
+
+def test_truncation_pairs_cover_mid_deciles(spark):
+    """Each truncation fraction must score exactly the eligible-doc count
+    (docs with >= 12 words), exact Jaccard must grow with the prefix
+    fraction on average, and the three fractions together must cover
+    deciles the sibling calibrations cannot reach (bins strictly between
+    1 and 8 present)."""
+    from pyspark.sql import functions as F
+
+    from map_reduce485_spark.queries.dedup import (
+        minhash_calibration_truncation_pairs,
+    )
+
+    rows = minhash_calibration_truncation_pairs(spark, SF_CORRECT).collect()
+    assert rows
+    n_eligible = (
+        spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+        .filter(F.expr("size(filter(split(text, ' '), x -> x <> '')) >= 12"))
+        .count()
+    )
+    by_pct = {}
+    for r in rows:
+        assert r.pct in (25, 50, 75)
+        assert 0 <= r.bin <= 10
+        assert 0.0 <= r.mean_est <= 1.0 and 0.0 < r.mean_exact <= 1.0
+        by_pct.setdefault(r.pct, []).append(r)
+    for pct, rs in by_pct.items():
+        assert sum(r.n_pairs for r in rs) == n_eligible, pct
+    mean = lambda rs: sum(r.mean_exact * r.n_pairs for r in rs) / sum(
+        r.n_pairs for r in rs
+    )
+    assert mean(by_pct[25]) < mean(by_pct[50]) < mean(by_pct[75])
+    assert any(1 < r.bin < 8 for r in rows)

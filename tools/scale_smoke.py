@@ -255,6 +255,10 @@ def main() -> int:
         "kmeans_silhouette_eval",
         "familiarity_tercile_split",
         "stratified_bottomk_sample",
+        # round-11 rotation: the capped winnowing twin replaces the exact
+        # form above; the mid-decile calibration (one gram explode into one
+        # conditional aggregation — the single-pass shape must stay linear)
+        "minhash_calibration_truncation_pairs",
     ]
     # scan-parallelism proof on the multi-file layout
     n_parts = load_table(spark, sf_dir, "lineitem").rdd.getNumPartitions()
