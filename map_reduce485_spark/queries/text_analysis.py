@@ -3263,6 +3263,147 @@ def gopher_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Gopher/MassiveText word-level quality filters (the other half of Table A1)
+# ---------------------------------------------------------------------------
+
+# Rae et al. 2021 Table A1 word-level gates (the line-level gates have no
+# domain here — source texts carry no newlines, same note as the repetition
+# suite): word count in [50, 100k], mean word length in [3, 10], symbol-to-
+# word ratio <= 0.1 ('#' or '...'), words-with-an-alphabetic-character
+# fraction >= 0.80, and >= 2 distinct stop words present.
+_GQ_MIN_WORDS, _GQ_MAX_WORDS = 50, 100_000
+_GQ_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+_GQ_ORACLE = f"""
+WITH m AS (
+  SELECT doc_id,
+         CAST(len(w) AS BIGINT) AS n_words,
+         CAST(COALESCE(list_sum(list_transform(w, x -> length(x))), 0)
+              AS BIGINT) AS total_chars,
+         CAST(len(list_filter(w, x -> x LIKE '%#%' OR x LIKE '%...%'))
+              AS BIGINT) AS n_symbol,
+         CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]')))
+              AS BIGINT) AS n_alpha,
+         CAST({" + ".join(f"CAST(list_contains(w, '{s}') AS INT)" for s in _GQ_STOPWORDS)}
+              AS BIGINT) AS n_stopwords_present
+  FROM (SELECT doc_id,
+               list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+        FROM documents)
+)
+SELECT doc_id, n_words,
+       CASE WHEN n_words > 0
+            THEN CAST(total_chars AS DOUBLE) / n_words ELSE 0.0 END
+         AS mean_word_len,
+       CASE WHEN n_words > 0
+            THEN CAST(n_symbol AS DOUBLE) / n_words ELSE 0.0 END
+         AS symbol_word_ratio,
+       CASE WHEN n_words > 0
+            THEN CAST(n_alpha AS DOUBLE) / n_words ELSE 0.0 END
+         AS alpha_word_frac,
+       n_stopwords_present,
+       CAST(n_words BETWEEN {_GQ_MIN_WORDS} AND {_GQ_MAX_WORDS} AS INT)
+         AS pass_wordcount,
+       CAST(total_chars >= 3 * n_words AND total_chars <= 10 * n_words
+            AS INT) AS pass_meanlen,
+       CAST(10 * n_symbol <= n_words AS INT) AS pass_symbol,
+       CAST(5 * n_alpha >= 4 * n_words AS INT) AS pass_alpha,
+       CAST(n_stopwords_present >= 2 AS INT) AS pass_stopwords,
+       CAST(n_words BETWEEN {_GQ_MIN_WORDS} AND {_GQ_MAX_WORDS}
+            AND total_chars >= 3 * n_words AND total_chars <= 10 * n_words
+            AND 10 * n_symbol <= n_words
+            AND 5 * n_alpha >= 4 * n_words
+            AND n_stopwords_present >= 2 AS INT) AS gopher_quality_pass
+FROM m
+"""
+
+
+@query("gopher_quality_filters", _GQ_ORACLE, tags=("text", "quality"))
+def gopher_quality_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WORD-LEVEL half of the MassiveText/Gopher quality gate (Rae et
+    al. 2021 Table A1) — `gopher_repetition_filters` covers the n-gram
+    repetition half; together they are the full published pre-training
+    filter applicable to newline-free text (the line-level gates have no
+    domain here, same documented note): word count in [{minw}, {maxw}],
+    mean word length in [3, 10], symbol-to-word ratio <= 0.1 ('#' or
+    '...'), fraction of words containing an alphabetic character >= 0.80,
+    and at least 2 of the 8 canonical stop words present.
+
+    EVERY gate flag is an exact INTEGER comparison (mean length in [3,10]
+    ⟺ 3·n_words <= total_chars <= 10·n_words; ratio <= 0.1 ⟺
+    10·n_symbol <= n_words; fraction >= 0.8 ⟺ 5·n_alpha >= 4·n_words),
+    so pass/fail is engine-exact; the double-valued ratios in the output
+    are single bigint/bigint divisions (identical IEEE rounding), emitted
+    for reporting only.  Every doc emits a row (word-array metrics are
+    row-local; a 0-word doc fails the word-count gate with ratios 0.0).
+
+    Scale shape: the BEST possible plan — a pure row-local map over the
+    corpus scan (word-array expressions; no explode, no groupBy, no join,
+    ZERO exchanges), reading only (doc_id, text) after column pruning.
+    Unlike the repetition suite, no per-gram count forces a shuffle: all
+    five statistics are per-row array folds, so a 100 TB run is exactly
+    one scan-shaped stage.  The reference could express this as a
+    map-only job but would pay a text round-trip per executable call
+    (SURVEY.md S2.a op 3)."""
+    (docs,) = T(spark, sf_dir, "documents")
+    stop_hits = " + ".join(
+        f"CAST(array_contains(w, '{s}') AS INT)" for s in _GQ_STOPWORDS
+    )
+    m = docs.select(
+        "doc_id",
+        F.expr("filter(split(lower(text), ' '), x -> x <> '')").alias("w"),
+    ).select(
+        "doc_id",
+        F.size("w").cast("long").alias("n_words"),
+        F.expr("aggregate(w, 0L, (a, x) -> a + length(x))").alias(
+            "total_chars"
+        ),
+        F.expr(
+            "CAST(size(filter(w, x -> x LIKE '%#%' OR x LIKE '%...%'))"
+            " AS BIGINT)"
+        ).alias("n_symbol"),
+        F.expr(
+            "CAST(size(filter(w, x -> x rlike '[a-z]')) AS BIGINT)"
+        ).alias("n_alpha"),
+        F.expr(f"CAST({stop_hits} AS BIGINT)").alias("n_stopwords_present"),
+    )
+    nz = F.col("n_words") > 0
+    wc_ok = F.col("n_words").between(_GQ_MIN_WORDS, _GQ_MAX_WORDS)
+    ml_ok = (F.col("total_chars") >= 3 * F.col("n_words")) & (
+        F.col("total_chars") <= 10 * F.col("n_words")
+    )
+    sym_ok = 10 * F.col("n_symbol") <= F.col("n_words")
+    al_ok = 5 * F.col("n_alpha") >= 4 * F.col("n_words")
+    sw_ok = F.col("n_stopwords_present") >= 2
+    return m.select(
+        "doc_id",
+        "n_words",
+        F.when(nz, F.col("total_chars").cast("double") / F.col("n_words"))
+        .otherwise(F.lit(0.0))
+        .alias("mean_word_len"),
+        F.when(nz, F.col("n_symbol").cast("double") / F.col("n_words"))
+        .otherwise(F.lit(0.0))
+        .alias("symbol_word_ratio"),
+        F.when(nz, F.col("n_alpha").cast("double") / F.col("n_words"))
+        .otherwise(F.lit(0.0))
+        .alias("alpha_word_frac"),
+        "n_stopwords_present",
+        wc_ok.cast("int").alias("pass_wordcount"),
+        ml_ok.cast("int").alias("pass_meanlen"),
+        sym_ok.cast("int").alias("pass_symbol"),
+        al_ok.cast("int").alias("pass_alpha"),
+        sw_ok.cast("int").alias("pass_stopwords"),
+        (wc_ok & ml_ok & sym_ok & al_ok & sw_ok)
+        .cast("int")
+        .alias("gopher_quality_pass"),
+    )
+
+
+gopher_quality_filters.__doc__ = gopher_quality_filters.__doc__.replace(
+    "{minw}", str(_GQ_MIN_WORDS)
+).replace("{maxw}", str(_GQ_MAX_WORDS))
+
+
+# ---------------------------------------------------------------------------
 # familiarity terciles (CCNet-style head/middle/tail split)
 # ---------------------------------------------------------------------------
 

@@ -1918,3 +1918,35 @@ def test_truncation_pairs_cover_mid_deciles(spark):
     )
     assert mean(by_pct[25]) < mean(by_pct[50]) < mean(by_pct[75])
     assert any(1 < r.bin < 8 for r in rows)
+
+
+def test_gopher_quality_filters_recompute_python(spark):
+    """Recompute every word-level gate in pure Python for the smoke corpus
+    and compare flags + integer stats; every doc must emit a row."""
+    from map_reduce485_spark.queries.text_analysis import (
+        _GQ_MAX_WORDS,
+        _GQ_MIN_WORDS,
+        _GQ_STOPWORDS,
+        gopher_quality_filters,
+    )
+
+    rows = {r.doc_id: r for r in gopher_quality_filters(spark, SF_SMOKE).collect()}
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").collect()
+    assert set(rows) == {d.doc_id for d in docs}
+    for d in docs:
+        w = [x for x in d.text.lower().split(" ") if x]
+        r = rows[d.doc_id]
+        assert r.n_words == len(w)
+        total = sum(len(x) for x in w)
+        n_sym = sum(1 for x in w if "#" in x or "..." in x)
+        n_alpha = sum(1 for x in w if any("a" <= c <= "z" for c in x))
+        n_stop = sum(1 for s in _GQ_STOPWORDS if s in w)
+        assert r.n_stopwords_present == n_stop
+        want = int(
+            _GQ_MIN_WORDS <= len(w) <= _GQ_MAX_WORDS
+            and 3 * len(w) <= total <= 10 * len(w)
+            and 10 * n_sym <= len(w)
+            and 5 * n_alpha >= 4 * len(w)
+            and n_stop >= 2
+        )
+        assert r.gopher_quality_pass == want, d.doc_id

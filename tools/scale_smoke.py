@@ -257,8 +257,12 @@ def main() -> int:
         "stratified_bottomk_sample",
         # round-11 rotation: the capped winnowing twin replaces the exact
         # form above; the mid-decile calibration (one gram explode into one
-        # conditional aggregation — the single-pass shape must stay linear)
+        # conditional aggregation — the single-pass shape must stay linear);
+        # the word-level Gopher gate (ZERO-exchange row-local map — the
+        # per-doc filter pass a 100 TB pipeline runs on everything, and the
+        # plan that must never grow a shuffle)
         "minhash_calibration_truncation_pairs",
+        "gopher_quality_filters",
     ]
     # scan-parallelism proof on the multi-file layout
     n_parts = load_table(spark, sf_dir, "lineitem").rdd.getNumPartitions()
