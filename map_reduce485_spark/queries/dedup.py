@@ -3191,13 +3191,23 @@ def minhash_calibration_truncation_pairs(
             ).alias("shingle"),
         )
     )
+    # hash each (gram, permutation) ONCE as a projected column; the full
+    # and three prefix mins then aggregate the same 8 hash columns under
+    # different conditions (8 md5s per gram row instead of 32 — the
+    # conditional-min expressions do not get CSE'd inside the aggregate)
+    grams = grams.select(
+        "doc_id",
+        "n",
+        "i",
+        "shingle",
+        *[
+            F.md5(F.concat(F.col("shingle"), F.lit(f"#{j}"))).alias(f"h{j}")
+            for j in range(_N_PERM)
+        ],
+    )
     aggs = [F.count_distinct("shingle").alias("c_full")]
     for j in range(_N_PERM):
-        aggs.append(
-            F.min(F.md5(F.concat(F.col("shingle"), F.lit(f"#{j}")))).alias(
-                f"f{j}"
-            )
-        )
+        aggs.append(F.min(F.col(f"h{j}")).alias(f"f{j}"))
     for p, q in _TRUNC_PCTS:
         tag = f"{100 * p // q}"
         # exact integer prefix length: (n * p) div q matches the oracle's //
@@ -3207,12 +3217,7 @@ def minhash_calibration_truncation_pairs(
         )
         for j in range(_N_PERM):
             aggs.append(
-                F.min(
-                    F.when(
-                        cond,
-                        F.md5(F.concat(F.col("shingle"), F.lit(f"#{j}"))),
-                    )
-                ).alias(f"p{tag}_{j}")
+                F.min(F.when(cond, F.col(f"h{j}"))).alias(f"p{tag}_{j}")
             )
     sigs = grams.groupBy("doc_id").agg(*aggs)
     variant_structs = []
