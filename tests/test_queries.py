@@ -1950,3 +1950,36 @@ def test_gopher_quality_filters_recompute_python(spark):
             and n_stop >= 2
         )
         assert r.gopher_quality_pass == want, d.doc_id
+
+
+def test_winnowing_capped_sentinel_on_all_capped_corpus(spark, tmp_path):
+    """A corpus whose every dup family exceeds the df cap must emit the
+    single zero sentinel row carrying n_capped_fps (never an empty
+    frame) — on BOTH engines; and a family under the cap must still
+    produce real pair rows alongside correct accounting."""
+    import duckdb
+
+    from map_reduce485_spark.queries import REGISTRY, _load_all
+    from map_reduce485_spark.queries.dedup import _WINNOW_DF_CAP
+
+    _load_all()
+    spec = REGISTRY["dedup_winnowing_summary_capped"]
+    # one exact-duplicate family of cap+2 docs: every fingerprint's df
+    # exceeds the cap, so nothing survives the index filter
+    fam = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [(i + 1, fam, "en", "t", len(fam)) for i in range(_WINNOW_DF_CAP + 2)],
+    )
+    rows = spec.fn(spark, sf).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.n_shared, r.n_pairs, r.n_left_docs, r.n_right_docs) == (0, 0, 0, 0)
+    assert r.n_capped_fps > 0
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet/*.parquet'"
+    )
+    ora = con.execute(spec.oracle).fetchall()
+    assert len(ora) == 1 and list(ora[0]) == [0, 0, 0, 0, r.n_capped_fps]
