@@ -2126,6 +2126,12 @@ def dedup_winnowing_summary_capped(spark: SparkSession, sf_dir: str) -> DataFram
     (`dedup_keep_best_star`), not a pairwise index.  Per-fingerprint pair
     cost is then <= C({cap}, 2) — CONSTANT — so total pair volume is
     linear in the number of kept fingerprints at any corpus scale.
+    Honest trade: the exact form's detection guarantee ("any shared run
+    of >= w+2 words produces a shared fingerprint") survives the cap
+    ONLY for runs whose fingerprints stay under df <= {cap}; a run
+    whose every fingerprint is corpus-popular is invisible here — by
+    design, because such pairs are family members the star-contraction
+    pipeline already collapses.
 
     No silent cap: `n_capped_fps` (the number of dropped fingerprints) is
     part of every output row, hash-checked, and when the cap leaves NO
