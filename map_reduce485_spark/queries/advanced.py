@@ -3109,3 +3109,12 @@ def bh_fdr_correction(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rk",
         (F.col("rk") <= F.col("k")).cast("int").alias("rejected"),
     )
+
+
+# interpolate docstring constants (round-11 sweep)
+stratified_sample_exact.__doc__ = stratified_sample_exact.__doc__.replace(
+    "{_STRAT_K}", str(_STRAT_K)
+)
+approx_percentile_binned.__doc__ = approx_percentile_binned.__doc__.replace(
+    "{_PCTBIN_B}", str(_PCTBIN_B)
+)

@@ -3270,3 +3270,12 @@ minhash_calibration_truncation_pairs.__doc__ = (
     minhash_calibration_truncation_pairs.__doc__.replace("{n}", str(_N_PERM))
     .replace("{mw}", str(_TRUNC_MIN_WORDS))
 )
+
+
+# interpolate docstring constants (round-11 sweep)
+dedup_sorted_neighborhood.__doc__ = dedup_sorted_neighborhood.__doc__.replace(
+    "{_SNM_W}", str(_SNM_W)
+)
+dedup_containment_pairs.__doc__ = dedup_containment_pairs.__doc__.replace(
+    "{_CONTAIN_T}", str(_CONTAIN_T)
+)

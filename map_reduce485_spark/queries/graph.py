@@ -916,3 +916,12 @@ link_prediction_jaccard.__doc__ = (
     link_prediction_jaccard.__doc__.replace("{_LP_TOP}", str(_LP_TOP))
     .replace("{_LP_MAX_DEG}", str(_LP_MAX_DEG))
 )
+
+
+# interpolate docstring constants (round-11 sweep)
+bfs_hops_trade_graph.__doc__ = bfs_hops_trade_graph.__doc__.replace(
+    "{_BFS_LEVELS}", str(_BFS_LEVELS)
+)
+sssp_trade_graph.__doc__ = sssp_trade_graph.__doc__.replace(
+    "{rounds}", str(_SSSP_ROUNDS)
+)

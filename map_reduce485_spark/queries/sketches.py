@@ -1542,3 +1542,18 @@ def bottomk_quantile_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame
 bottomk_quantile_sketch_merge.__doc__ = bottomk_quantile_sketch_merge.__doc__.replace(
     "{_BK_K}", str(_BK_K)
 )
+
+
+# interpolate docstring constants (round-11 sweep: every {_CONST} in a
+# registered query's rendered help must resolve — the repo convention)
+bloom_filter_build.__doc__ = (
+    bloom_filter_build.__doc__.replace("{_M_BITS}", str(_M_BITS))
+    .replace("{_K}", str(_K))
+)
+bloom_filter_probe.__doc__ = bloom_filter_probe.__doc__.replace(
+    "{_PROBE_N}", str(_PROBE_N)
+)
+cms_build.__doc__ = (
+    cms_build.__doc__.replace("{_CMS_D}", str(_CMS_D))
+    .replace("{_CMS_W}", str(_CMS_W))
+)

@@ -438,7 +438,7 @@ def csv_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def versioned_snapshot_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot isolation / time travel on plain parquet: each commit
-    writes an immutable `v{N}` directory plus an atomically-renamed
+    writes an immutable `v<N>` directory plus an atomically-renamed
     `_latest` pointer — the minimal form of the version-manifest scheme
     Delta/Iceberg formalize.  Version 2 both UPDATES rows (doubles even
     keys' balances) and INSERTS the odd-key rows; version 1 stays

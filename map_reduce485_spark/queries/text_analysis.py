@@ -3549,3 +3549,11 @@ def stratified_bottomk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 stratified_bottomk_sample.__doc__ = stratified_bottomk_sample.__doc__.replace(
     "{_STRAT_K}", str(_STRAT_K)
 )
+
+
+# interpolate docstring constants (round-11 sweep)
+zipf_law_fit.__doc__ = zipf_law_fit.__doc__.replace("{_ZIPF_K}", str(_ZIPF_K))
+doc_chunking.__doc__ = (
+    doc_chunking.__doc__.replace("{_CHUNK_SIZE}", str(_CHUNK_SIZE))
+    .replace("{_CHUNK_STRIDE}", str(_CHUNK_STRIDE))
+)

@@ -1863,27 +1863,45 @@ def test_bottomk_hash_prefilter_preserves_bottomk(spark):
 
 
 def test_winnowing_capped_equals_exact_below_cap(spark):
-    """At SF_SMOKE every fingerprint's df is under the cap (measured max
-    9 < 16), so the df-capped scale twin must reproduce the exact
-    summary EXACTLY and report zero capped fingerprints — the
-    no-recall-loss-below-cap guarantee (the dedup_prefix_filter_join
-    equality template applied to the round-11 capped twin)."""
+    """Whenever every fingerprint's df is under the cap, the df-capped
+    scale twin must reproduce the exact summary EXACTLY and report zero
+    capped fingerprints — the no-recall-loss-below-cap guarantee (the
+    dedup_prefix_filter_join equality template applied to the round-11
+    capped twin).  The precondition is RECOMPUTED, not assumed (measured
+    max df 9 at today's sf0.001 — but the testdata generator may
+    change): if the corpus ever exceeds the cap, the test instead pins
+    the accounting invariant."""
+    from pyspark.sql import functions as F
+
     from map_reduce485_spark.queries.dedup import (
+        _WINNOW_DF_CAP,
+        _winnow_fp,
         dedup_winnowing_summary,
         dedup_winnowing_summary_capped,
     )
 
-    exact = {
-        (r.n_shared, r.n_pairs, r.n_left_docs, r.n_right_docs)
-        for r in dedup_winnowing_summary(spark, SF_SMOKE).collect()
-    }
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    max_df = (
+        _winnow_fp(docs)
+        .groupBy("h")
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
     capped_rows = dedup_winnowing_summary_capped(spark, SF_SMOKE).collect()
     capped = {
         (r.n_shared, r.n_pairs, r.n_left_docs, r.n_right_docs)
         for r in capped_rows
     }
-    assert capped == exact and len(capped) > 0
-    assert all(r.n_capped_fps == 0 for r in capped_rows)
+    if max_df <= _WINNOW_DF_CAP:
+        exact = {
+            (r.n_shared, r.n_pairs, r.n_left_docs, r.n_right_docs)
+            for r in dedup_winnowing_summary(spark, SF_SMOKE).collect()
+        }
+        assert capped == exact and len(capped) > 0
+        assert all(r.n_capped_fps == 0 for r in capped_rows)
+    else:  # generator changed: equality no longer applies, accounting must
+        assert all(r.n_capped_fps > 0 for r in capped_rows)
 
 
 def test_truncation_pairs_cover_mid_deciles(spark):
