@@ -3197,35 +3197,42 @@ def minhash_calibration_truncation_pairs(
             ).alias("shingle"),
         )
     )
-    # hash each (gram, permutation) ONCE as a projected column; the full
-    # and three prefix mins then aggregate the same 8 hash columns under
-    # different conditions (8 md5s per gram row instead of 32 — the
-    # conditional-min expressions do not get CSE'd inside the aggregate)
-    grams = grams.select(
+    # Dedupe to one row per (doc, shingle) FIRST, keeping the earliest
+    # position: a shingle is inside a prefix iff ANY of its occurrences
+    # is, i.e. iff its MIN position is — and the permutation hash is
+    # position-independent, so mins and counts over the deduped rows are
+    # EXACT.  This converts the four COUNT(DISTINCT ...) aggregates into
+    # plain counts, eliminating Spark's Expand operator (which replays
+    # every gram row once per distinct-aggregate = 5x the agg input) and
+    # hashes each (doc, shingle, permutation) once (8 md5s per DISTINCT
+    # shingle, not 32 per gram occurrence — conditional-min expressions
+    # are not CSE'd inside aggregates).  Measured: 12.0 s (naive) ->
+    # 8.6 s (hash-once) -> see NOTES_r11 for this form, 10x smoke.
+    first_pos = grams.groupBy("doc_id", "shingle").agg(
+        F.min("i").alias("i"), F.min("n").alias("n")
+    )
+    hashed = first_pos.select(
         "doc_id",
         "n",
         "i",
-        "shingle",
         *[
             F.md5(F.concat(F.col("shingle"), F.lit(f"#{j}"))).alias(f"h{j}")
             for j in range(_N_PERM)
         ],
     )
-    aggs = [F.count_distinct("shingle").alias("c_full")]
+    aggs = [F.count("*").alias("c_full")]
     for j in range(_N_PERM):
         aggs.append(F.min(F.col(f"h{j}")).alias(f"f{j}"))
     for p, q in _TRUNC_PCTS:
         tag = f"{100 * p // q}"
         # exact integer prefix length: (n * p) div q matches the oracle's //
         cond = F.col("i") <= F.expr(f"(n * {p}) div {q}") - 2
-        aggs.append(
-            F.count_distinct(F.when(cond, F.col("shingle"))).alias(f"c{tag}")
-        )
+        aggs.append(F.sum(cond.cast("long")).alias(f"c{tag}"))
         for j in range(_N_PERM):
             aggs.append(
                 F.min(F.when(cond, F.col(f"h{j}"))).alias(f"p{tag}_{j}")
             )
-    sigs = grams.groupBy("doc_id").agg(*aggs)
+    sigs = hashed.groupBy("doc_id").agg(*aggs)
     variant_structs = []
     for p, q in _TRUNC_PCTS:
         tag = f"{100 * p // q}"
