@@ -2145,10 +2145,13 @@ def dedup_winnowing_summary_capped(spark: SparkSession, sf_dir: str) -> DataFram
     sf0.1 it keeps 96% of pairs; the exact `dedup_winnowing_summary`
     stays as the oracle-locked baseline twin.
 
-    Plan shape: one extra groupBy(h) + broadcast-free equi-join on h (the
-    same key the self-join shuffles on, so the exchange is reused), then
-    the identical groupBy pair stream into the constant-size summary
-    sink.  The df filter is the ONLY new stage and it is corpus-linear."""
+    Plan shape: one extra groupBy(h) + equi-join on h — the SAME key the
+    self-join uses, so all three h-keyed stages shuffle on one aligned
+    partitioning (no cross-key re-exchange; at test SF, AQE broadcasts
+    the small df side outright — 3 BroadcastHashJoins, 0 sort-merge,
+    measured on the executed plan), then the identical groupBy pair
+    stream into the constant-size summary sink.  The df filter is the
+    ONLY new stage and it is corpus-linear."""
     (docs,) = T(spark, sf_dir, "documents")
     fp = cache_scoped(_winnow_fp(docs))
     fdf = fp.groupBy("h").agg(F.count("*").alias("df"))
