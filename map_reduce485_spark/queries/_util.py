@@ -271,6 +271,7 @@ def bottomk_hash_prefilter(
     group_cols: list[str],
     k: int,
     margin: int = 8,
+    keep_count: bool = False,
 ) -> DataFrame:
     """Pre-filter rows to ~``margin * k`` per group before a bottom-k-by-
     md5 collect, making the downstream aggregation state genuinely
@@ -291,9 +292,19 @@ def bottomk_hash_prefilter(
 
     Cost: one grouped COUNT on the group keys (map-side combinable; the
     group-count table is group-cardinality-sized, broadcast back), one
-    comparison per row.  Result is IDENTICAL to the unfiltered bottom-k —
-    the oracle does not change.  Groups with n <= margin*k pass through
+    comparison per row.  Groups with n <= margin*k pass through
     unfiltered (threshold = full hash space).
+
+    The "result identical" guarantee is PROBABILISTIC (the Chernoff bound
+    above), not unconditional — a pathological group where fewer than k
+    rows survive the threshold would silently return a wrong bottom-k
+    (round-11 advice).  Callers therefore ENFORCE it: pass
+    ``keep_count=True`` to retain the per-row group total ``_bk_n``,
+    thread a survivor count through the downstream two-phase agg, and
+    gate the merge phase on :func:`bottomk_guard` — >= least(k, n)
+    survivors is a sufficient certificate that the true bottom-k
+    survived (proof in the guard's docstring), so a deficient group
+    raises at runtime instead of producing a wrong answer.
     """
     max_prefix = 16**15  # 60-bit prefix of the 128-bit md5, fits a long
     cnt = df.groupBy(*group_cols).agg(F.count("*").alias("_bk_n"))
@@ -304,13 +315,38 @@ def bottomk_hash_prefilter(
             "long"
         )
     )
-    return (
-        df.join(F.broadcast(cnt), group_cols)
-        .filter(
-            F.conv(F.substring(F.col(h_col), 1, 15), 16, 10).cast("long")
-            <= thr
+    out = df.join(F.broadcast(cnt), group_cols).filter(
+        F.conv(F.substring(F.col(h_col), 1, 15), 16, 10).cast("long") <= thr
+    )
+    return out if keep_count else out.drop("_bk_n")
+
+
+def bottomk_guard(survivors: Column, n_group: Column, k: int) -> Column:
+    """Runtime invariant that closes :func:`bottomk_hash_prefilter`'s
+    probabilistic gap (round-11 advice): a boolean column for a
+    ``filter`` on the merge-phase aggregate — TRUE whenever the group
+    kept at least ``least(k, n_group)`` rows, ``raise_error`` otherwise,
+    so a deficient group fails LOUDLY instead of silently returning a
+    wrong bottom-k.
+
+    Why the survivor count is a SUFFICIENT certificate: the pre-filter
+    keeps exactly the rows whose 60-bit hash prefix is <= the threshold
+    — a downward-closed set in hash order (equal-length hex strings
+    compare lexicographically = numerically, and the bottom-k sort keys
+    lead with the full hash).  If a true bottom-k row r had been dropped,
+    every survivor's hash would be strictly below r's, so >= k survivors
+    would all outrank r — contradicting r being in the bottom-k.  Hence
+    survivors >= least(k, n_group) implies the true bottom-k survived
+    intact, turning the Chernoff ~e^-98 bound into an enforced invariant
+    at zero extra shuffles (both counts ride the aggs the query already
+    runs)."""
+    ok = survivors >= F.least(F.lit(k).cast("long"), n_group)
+    return F.when(ok, F.lit(True)).otherwise(
+        F.expr(
+            "raise_error('bottomk_hash_prefilter: a group kept fewer than"
+            " least(k, n) rows — the md5-threshold pre-filter dropped part"
+            " of the true bottom-k; increase margin')"
         )
-        .drop("_bk_n")
     )
 
 

@@ -27,7 +27,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from map_reduce485_spark.queries import query
-from map_reduce485_spark.queries._util import T, bottomk_hash_prefilter, cache_scoped, distributed_rank
+from map_reduce485_spark.queries._util import (
+    T,
+    bottomk_guard,
+    bottomk_hash_prefilter,
+    cache_scoped,
+    distributed_rank,
+)
 
 _M_BITS = 65536  # filter width (2^16 bits, 2048 64-bit... stored as 32-bit-used blocks)
 _K = 4  # hash functions
@@ -1431,8 +1437,11 @@ def bottomk_quantile_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame
 
     Scale shape: per-site counts pick an md5-uniform hash THRESHOLD that
     keeps ~8k rows per site before anything is collected
-    (:func:`bottomk_hash_prefilter` — the true bottom-k always survives,
-    so the result is identical and equality pytest-pinned), then the
+    (:func:`bottomk_hash_prefilter`; the true bottom-k survives with
+    Chernoff failure odds ~e^-98, equality pytest-pinned — and the merge
+    phase ENFORCES it via :func:`bottomk_guard`: a site whose survivor
+    count ever fell below least(k, n) would raise at runtime rather than
+    silently sketch wrong), then the
     two-phase array-slice aggregation runs: per-partition local bottom-k
     over the ~8k survivors, then a per-site merge of ≤ #partitions
     k-arrays — the literal mergeable-sketch execution with genuinely
@@ -1455,18 +1464,29 @@ def bottomk_quantile_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame
     # collect_list buffers every row of the (site, pid) group before the
     # sort/slice runs, so the local phase's state would be O(partition
     # rows).  The md5-uniform hash threshold pre-filter keeps ~8k rows per
-    # site (identical bottom-k result — the true bottom-k always survives,
-    # equality pytest-pinned), after which the two-phase array-slice
+    # site (identical bottom-k result with Chernoff ~e^-98 failure odds,
+    # equality pytest-pinned AND runtime-enforced: survivor/total counts
+    # ride the same two aggs so bottomk_guard certifies per site that the
+    # true bottom-k survived — a deficient site raises instead of
+    # silently sketching wrong), after which the two-phase array-slice
     # aggregation state really is O(k)-ish at any corpus scale.
-    prefiltered = bottomk_hash_prefilter(base, "h", ["site"], _BK_K)
+    prefiltered = bottomk_hash_prefilter(
+        base, "h", ["site"], _BK_K, keep_count=True
+    )
     local = (
         prefiltered.withColumn("pid", F.spark_partition_id())
         .groupBy("site", "pid")
-        .agg(F.slice(F.array_sort(F.collect_list(row)), 1, _BK_K).alias("arr"))
+        .agg(
+            F.slice(F.array_sort(F.collect_list(row)), 1, _BK_K).alias("arr"),
+            F.count("*").alias("_bk_m"),
+            F.min("_bk_n").alias("_bk_n"),
+        )
     )
     site_sk = local.groupBy("site").agg(
-        F.slice(F.array_sort(F.flatten(F.collect_list("arr"))), 1, _BK_K).alias("arr")
-    )
+        F.slice(F.array_sort(F.flatten(F.collect_list("arr"))), 1, _BK_K).alias("arr"),
+        F.sum("_bk_m").alias("_bk_m"),
+        F.min("_bk_n").alias("_bk_n"),
+    ).filter(bottomk_guard(F.col("_bk_m"), F.col("_bk_n"), _BK_K))
     merged = site_sk.agg(
         F.slice(F.array_sort(F.flatten(F.collect_list("arr"))), 1, _BK_K).alias("arr")
     )

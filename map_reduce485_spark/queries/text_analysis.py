@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from map_reduce485_spark.queries import query
 from map_reduce485_spark.queries._util import (
     T,
+    bottomk_guard,
     bottomk_hash_prefilter,
     cache_scoped,
     distributed_rank,
@@ -3269,8 +3270,10 @@ def gopher_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Rae et al. 2021 Table A1 word-level gates (the line-level gates have no
 # domain here — source texts carry no newlines, same note as the repetition
 # suite): word count in [50, 100k], mean word length in [3, 10], symbol-to-
-# word ratio <= 0.1 ('#' or '...'), words-with-an-alphabetic-character
-# fraction >= 0.80, and >= 2 distinct stop words present.
+# word ratio <= 0.1 counting symbol OCCURRENCES ('#' characters plus
+# non-overlapping '...' runs — Table A1's ratio is occurrences/words, not
+# symbol-containing words; round-11 advice), words-with-an-alphabetic-
+# character fraction >= 0.80, and >= 2 distinct stop words present.
 _GQ_MIN_WORDS, _GQ_MAX_WORDS = 50, 100_000
 _GQ_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
@@ -3280,13 +3283,14 @@ WITH m AS (
          CAST(len(w) AS BIGINT) AS n_words,
          CAST(COALESCE(list_sum(list_transform(w, x -> length(x))), 0)
               AS BIGINT) AS total_chars,
-         CAST(len(list_filter(w, x -> x LIKE '%#%' OR x LIKE '%...%'))
+         CAST(length(text) - length(replace(text, '#', ''))
+              + (length(text) - length(replace(text, '...', ''))) // 3
               AS BIGINT) AS n_symbol,
          CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]')))
               AS BIGINT) AS n_alpha,
          CAST({" + ".join(f"CAST(list_contains(w, '{s}') AS INT)" for s in _GQ_STOPWORDS)}
               AS BIGINT) AS n_stopwords_present
-  FROM (SELECT doc_id,
+  FROM (SELECT doc_id, text,
                list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
         FROM documents)
 )
@@ -3324,9 +3328,13 @@ def gopher_quality_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     repetition half; together they are the full published pre-training
     filter applicable to newline-free text (the line-level gates have no
     domain here, same documented note): word count in [{minw}, {maxw}],
-    mean word length in [3, 10], symbol-to-word ratio <= 0.1 ('#' or
-    '...'), fraction of words containing an alphabetic character >= 0.80,
-    and at least 2 of the 8 canonical stop words present.
+    mean word length in [3, 10], symbol-to-word ratio <= 0.1 — counting
+    symbol OCCURRENCES ('#' characters plus non-overlapping '...' runs),
+    which is Table A1's ratio; a word carrying several symbols counts
+    each of them (round-11 advice fixed the earlier word-granularity
+    approximation) — fraction of words containing an alphabetic
+    character >= 0.80, and at least 2 of the 8 canonical stop words
+    present.
 
     EVERY gate flag is an exact INTEGER comparison (mean length in [3,10]
     ⟺ 3·n_words <= total_chars <= 10·n_words; ratio <= 0.1 ⟺
@@ -3350,6 +3358,7 @@ def gopher_quality_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     m = docs.select(
         "doc_id",
+        "text",
         F.expr("filter(split(lower(text), ' '), x -> x <> '')").alias("w"),
     ).select(
         "doc_id",
@@ -3357,8 +3366,12 @@ def gopher_quality_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("aggregate(w, 0L, (a, x) -> a + length(x))").alias(
             "total_chars"
         ),
+        # occurrence counts via replace-diff: '#' chars one-for-one,
+        # '...' runs left-to-right non-overlapping (both engines'
+        # replace() semantics agree, and the diff is a multiple of 3)
         F.expr(
-            "CAST(size(filter(w, x -> x LIKE '%#%' OR x LIKE '%...%'))"
+            "CAST(length(text) - length(replace(text, '#', ''))"
+            " + (length(text) - length(replace(text, '...', ''))) div 3"
             " AS BIGINT)"
         ).alias("n_symbol"),
         F.expr(
@@ -3499,8 +3512,11 @@ def stratified_bottomk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: per-stratum counts pick an md5-uniform hash THRESHOLD
     that keeps ~8k rows per stratum before anything is collected
-    (:func:`bottomk_hash_prefilter` — the true bottom-k always survives,
-    result identical, equality pytest-pinned), then the two-phase
+    (:func:`bottomk_hash_prefilter`; the true bottom-k survives with
+    Chernoff failure odds ~e^-98, equality pytest-pinned — and the merge
+    phase ENFORCES it via :func:`bottomk_guard`: a stratum whose
+    survivor count ever fell below least(k, n) would raise at runtime
+    rather than silently mis-sample), then the two-phase
     array-slice aggregation from `bottomk_quantile_sketch_merge` runs:
     per-partition local bottom-k over the survivors, then a per-stratum
     merge of <= #partitions k-arrays — genuinely O(k)-bounded agg state
@@ -3518,8 +3534,13 @@ def stratified_bottomk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     # md5-threshold pre-filter the (lang, pid) collect_list buffers every
     # row of the partition's stratum before the sort/slice — the filter
     # keeps ~8k rows per stratum with an identical bottom-k result
-    # (equality pytest-pinned), so agg state is O(k)-ish at any scale
-    base = bottomk_hash_prefilter(base, "h", ["lang"], _STRAT_K)
+    # (equality pytest-pinned), so agg state is O(k)-ish at any scale;
+    # the survivor/total counts ride the same two aggs so bottomk_guard
+    # can certify per stratum that the true bottom-k survived (a
+    # deficient stratum raises instead of silently mis-sampling)
+    base = bottomk_hash_prefilter(
+        base, "h", ["lang"], _STRAT_K, keep_count=True
+    )
     local = (
         base.withColumn("pid", F.spark_partition_id())
         .groupBy("lang", "pid")
@@ -3528,14 +3549,18 @@ def stratified_bottomk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.array_sort(F.collect_list(F.struct("h", "doc_id"))),
                 1,
                 _STRAT_K,
-            ).alias("arr")
+            ).alias("arr"),
+            F.count("*").alias("_bk_m"),
+            F.min("_bk_n").alias("_bk_n"),
         )
     )
     strat = local.groupBy("lang").agg(
         F.slice(
             F.array_sort(F.flatten(F.collect_list("arr"))), 1, _STRAT_K
-        ).alias("arr")
-    )
+        ).alias("arr"),
+        F.sum("_bk_m").alias("_bk_m"),
+        F.min("_bk_n").alias("_bk_n"),
+    ).filter(bottomk_guard(F.col("_bk_m"), F.col("_bk_n"), _STRAT_K))
     return strat.select(
         "lang", F.posexplode("arr").alias("pos", "s")
     ).select(

@@ -1862,6 +1862,30 @@ def test_bottomk_hash_prefilter_preserves_bottomk(spark):
         assert k <= len(surv[g]) <= 64 * k
 
 
+def test_bottomk_guard_raises_on_deficient_group(spark):
+    """bottomk_guard turns the prefilter's Chernoff bound into an enforced
+    invariant (round-11 advice): a group whose survivor count fell below
+    least(k, n) must RAISE at runtime, never silently pass; groups at or
+    above the certificate (including small groups with n < k, where
+    least(k, n) = n) sail through."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from map_reduce485_spark.queries._util import bottomk_guard
+
+    k = 16
+    ok = spark.createDataFrame(
+        [("a", 16, 4000), ("b", 5, 5)], "g string, m long, n long"
+    )
+    assert ok.filter(bottomk_guard(F.col("m"), F.col("n"), k)).count() == 2
+    bad = spark.createDataFrame(
+        [("a", 16, 4000), ("c", 15, 4000)], "g string, m long, n long"
+    )
+    with pytest.raises(Exception) as ei:
+        bad.filter(bottomk_guard(F.col("m"), F.col("n"), k)).count()
+    assert "bottomk_hash_prefilter" in str(ei.value)
+
+
 def test_winnowing_capped_equals_exact_below_cap(spark):
     """Whenever every fingerprint's df is under the cap, the df-capped
     scale twin must reproduce the exact summary EXACTLY and report zero
@@ -1956,7 +1980,7 @@ def test_gopher_quality_filters_recompute_python(spark):
         r = rows[d.doc_id]
         assert r.n_words == len(w)
         total = sum(len(x) for x in w)
-        n_sym = sum(1 for x in w if "#" in x or "..." in x)
+        n_sym = d.text.count("#") + d.text.count("...")
         n_alpha = sum(1 for x in w if any("a" <= c <= "z" for c in x))
         n_stop = sum(1 for s in _GQ_STOPWORDS if s in w)
         assert r.n_stopwords_present == n_stop
@@ -2001,3 +2025,84 @@ def test_winnowing_capped_sentinel_on_all_capped_corpus(spark, tmp_path):
     )
     ora = con.execute(spec.oracle).fetchall()
     assert len(ora) == 1 and list(ora[0]) == [0, 0, 0, 0, r.n_capped_fps]
+
+
+def test_winnowing_capped_mid_cap_regime(spark, tmp_path):
+    """The PARTIAL-cap middle regime (round-11 verdict item 4): one dup
+    family over the df cap (its fingerprints dropped, counted in
+    n_capped_fps) alongside one family under it (its pairs must survive
+    intact).  The survivor summary AND the cap accounting must agree
+    cross-engine, with no zero sentinel row (real pairs exist)."""
+    import duckdb
+
+    from map_reduce485_spark.queries import REGISTRY, _load_all
+    from map_reduce485_spark.queries.dedup import (
+        _WINNOW_DF_CAP,
+        _WINNOW_MIN_SHARED,
+    )
+
+    _load_all()
+    spec = REGISTRY["dedup_winnowing_summary_capped"]
+    big = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    small = "one two three four five six seven eight nine ten eleven twelve"
+    rows = [
+        (i + 1, big, "en", "t", len(big)) for i in range(_WINNOW_DF_CAP + 2)
+    ] + [(100 + i, small, "en", "t", len(small)) for i in range(3)]
+    sf = _write_docs(spark, tmp_path, rows)
+    got = spec.fn(spark, sf).collect()
+    # real pair rows (the 3-doc family shares every fingerprint: C(3,2)
+    # pairs), never the zero sentinel, and the over-cap family's drop
+    # count rides every row
+    assert len(got) >= 1
+    assert all(r.n_shared >= _WINNOW_MIN_SHARED for r in got)
+    assert sum(r.n_pairs for r in got) == 3
+    assert all(r.n_capped_fps > 0 for r in got)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet/*.parquet'"
+    )
+    ora = con.execute(spec.oracle).fetchall()
+    assert sorted(tuple(r) for r in ora) == sorted(
+        (r.n_shared, r.n_pairs, r.n_left_docs, r.n_right_docs, r.n_capped_fps)
+        for r in got
+    )
+
+
+def test_exact_substring_spans_recompute_python(spark):
+    """Recompute the Lee-et-al removal spans in pure Python (literal
+    duplicated-L-gram seed cover, merged into maximal runs) for the smoke
+    corpus and require the exact span set — pinning the L-gram-cover ==
+    repeated-substring-cover equivalence the docstring proves."""
+    import collections
+
+    from map_reduce485_spark.queries.dedup import (
+        _SUBDUP_L,
+        dedup_exact_substring_spans,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").collect()
+    L = _SUBDUP_L
+    counts = collections.Counter()
+    doc_grams = {}
+    for d in docs:
+        w = [x for x in d.text.lower().split(" ") if x]
+        grams = [tuple(w[i : i + L]) for i in range(len(w) - L + 1)]
+        doc_grams[d.doc_id] = grams
+        counts.update(grams)
+    want = set()
+    for doc_id, grams in doc_grams.items():
+        seeds = [i + 1 for i, g in enumerate(grams) if counts[g] >= 2]
+        run_start = None
+        prev = None
+        for p in seeds + [None]:
+            if p is not None and prev is not None and p == prev + 1:
+                prev = p
+                continue
+            if run_start is not None:
+                want.add((doc_id, run_start, prev + L - 1, prev - run_start + L))
+            run_start, prev = p, p
+    got = {
+        (r.doc_id, r.span_start, r.span_end, r.span_tokens)
+        for r in dedup_exact_substring_spans(spark, SF_SMOKE).collect()
+    }
+    assert got == want and len(want) > 0

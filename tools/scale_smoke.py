@@ -19,6 +19,20 @@ Run:  python tools/scale_smoke.py [--mult 10] [--record SCALE_SMOKE.json]
 Output: one JSON line per query with rows + seconds, then a total; with
 --record, the whole run is also written to one JSON artifact so scaling
 regressions are visible round over round.
+
+Measurement protocol (round-11 verdict item 1 — cache-state control): the
+round-11 100x artifact mixed page-cache states across regens (first regen
+timed freshly-written, page-cached parquet; the re-record read cold disk
+after sink churn), putting 3-5x cold-read numbers on unchanged scan-bound
+code that the drift gate could not adjudicate.  Every run now (a) WARMS the
+page cache deterministically — every byte of every input file is read at
+the OS level before any query is timed, so build-vs-skip-build runs measure
+the same state — and (b) stamps the artifact `cache_state: "warmed"` plus a
+bench-style `calibration_sec`; the drift gate REFUSES per-query comparison
+against artifacts that predate the warmed protocol (no interpretation rule
+needed) and normalizes its 1.5x threshold by the calibration ratio so a
+slower box is divided out instead of read as regression (round-11 verdict
+item 3).
 """
 
 from __future__ import annotations
@@ -92,6 +106,48 @@ _SAMPLED_RECALL = "dedup_lsh_recall_eval_sampled"
 _PAGERANK_SHUFFLE = "pagerank_trade_graph_shuffle"
 
 
+def warm_page_cache(sf_dir: str) -> dict:
+    """Deterministic cache-state control (round-11 verdict item 1): read
+    every byte of every input file at the OS level so the timed queries
+    always measure page-cached scans, whether the dataset was just built
+    (already warm) or reused via --skip-build after sink churn evicted it
+    (the round-11 cold-disk trap).  OS-level reads, not Spark count() —
+    parquet counts are metadata-only and would not touch the data pages.
+    The dataset (~2 GB at 100x) is far under the box's RAM, so "warmed"
+    is a stable, reproducible state; the artifact stamps it so the drift
+    gate can refuse cross-state comparisons instead of needing an
+    interpretation rule."""
+    t0 = time.perf_counter()
+    n_bytes = 0
+    for p in sorted(Path(sf_dir).rglob("*")):
+        if not p.is_file():
+            continue
+        with open(p, "rb") as f:
+            while True:
+                chunk = f.read(8 << 20)
+                if not chunk:
+                    break
+                n_bytes += len(chunk)
+    return {"bytes": n_bytes, "sec": round(time.perf_counter() - t0, 2)}
+
+
+def calibrate(spark) -> float:
+    """bench.py's fixed CPU-bound calibration query (best-of-3, codegen
+    pre-warmed): stamps box speed into the artifact so the drift gate can
+    divide machine state out of cross-round ratios instead of flagging a
+    slower box as regression (round-11 verdict item 3)."""
+    def _once() -> float:
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            spark.range(50_000_000).selectExpr("sum(id % 1000003) as s").collect()
+            runs.append(time.perf_counter() - t0)
+        return round(min(runs), 3)
+
+    _once()  # warm codegen
+    return _once()
+
+
 def build_recall_sample(spark, sf_dir: str, mult: int) -> str:
     """Dup-FAMILY-preserving sampled documents slice for the LSH recall
     eval: the generator scales doc_id as base*mult + copy, so sampling on
@@ -131,6 +187,10 @@ def main() -> int:
         sf_dir = build(spark, args.mult)
         build_sec = round(time.perf_counter() - t0, 2)
     print(json.dumps({"step": "build", "mult": args.mult, "sec": build_sec}))
+    warm = warm_page_cache(sf_dir)
+    print(json.dumps({"step": "warm_page_cache", **warm}))
+    calibration_sec = calibrate(spark)
+    print(json.dumps({"step": "calibrate", "sec": calibration_sec}))
 
     from map_reduce485_spark.queries import REGISTRY, _load_all
 
@@ -263,6 +323,12 @@ def main() -> int:
         # plan that must never grow a shuffle)
         "minhash_calibration_truncation_pairs",
         "gopher_quality_filters",
+        # round-12 addition: exact substring-level dedup (Lee et al. 2022)
+        # — the L-gram seed-cover plan must stay corpus-linear (one gram
+        # exchange + same-key join-back + per-doc windows); the generator's
+        # per-copy text perturbation leaves long shared prefixes, so dup
+        # families produce real multi-seed spans at every mult
+        "dedup_exact_substring_spans",
     ]
     # scan-parallelism proof on the multi-file layout
     n_parts = load_table(spark, sf_dir, "lineitem").rdd.getNumPartitions()
@@ -379,25 +445,54 @@ def main() -> int:
     if args.record and Path(args.record).exists():
         try:
             prev = json.loads(Path(args.record).read_text())
-            prev_q = {
-                name: rec.get("sec")
-                for name, rec in prev.get("queries", {}).items()
-                if isinstance(rec, dict)
-            }
-            flagged = {
-                name: {
-                    "prev_sec": prev_q[name],
-                    "now_sec": rec["sec"],
-                    "ratio": round(rec["sec"] / prev_q[name], 3),
+            if prev.get("cache_state") != "warmed":
+                # round-11 verdict item 1: an artifact without a controlled
+                # cache state is not comparable per-query — refuse outright
+                # instead of shipping flags that need an interpretation rule
+                drift = {
+                    "vs_artifact": str(args.record),
+                    "prev_total": prev.get("value"),
+                    "incomparable": (
+                        "previous artifact predates the warmed-cache "
+                        "protocol (no cache_state stamp); per-query drift "
+                        "flags suppressed — this run establishes the first "
+                        "warmed baseline"
+                    ),
                 }
-                for name, rec in queries.items()
-                if prev_q.get(name) and rec["sec"] > 1.5 * prev_q[name]
-            }
-            drift = {
-                "vs_artifact": str(args.record),
-                "prev_total": prev.get("value"),
-                "flagged_over_1p5x": flagged,
-            }
+            else:
+                # normalize the threshold by box speed (round-11 verdict
+                # item 3): cal_ratio > 1 means this box runs slower per
+                # unit work than the baseline's, so raw ratios are scaled
+                # down by it before flagging
+                prev_cal = prev.get("calibration_sec")
+                cal_ratio = (
+                    round(calibration_sec / prev_cal, 3) if prev_cal else 1.0
+                )
+                prev_q = {
+                    name: rec.get("sec")
+                    for name, rec in prev.get("queries", {}).items()
+                    if isinstance(rec, dict)
+                }
+                flagged = {}
+                for name, rec in queries.items():
+                    if not prev_q.get(name):
+                        continue
+                    raw = rec["sec"] / prev_q[name]
+                    norm = raw / max(cal_ratio, 1e-9)
+                    if norm > 1.5:
+                        flagged[name] = {
+                            "prev_sec": prev_q[name],
+                            "now_sec": rec["sec"],
+                            "ratio": round(raw, 3),
+                            "cal_normalized_ratio": round(norm, 3),
+                        }
+                drift = {
+                    "vs_artifact": str(args.record),
+                    "prev_total": prev.get("value"),
+                    "prev_calibration_sec": prev_cal,
+                    "cal_ratio": cal_ratio,
+                    "flagged_over_1p5x_normalized": flagged,
+                }
         except Exception as exc:  # the gate must never fail the smoke itself
             drift = {"error": repr(exc)[:120]}
     summary = {
@@ -406,6 +501,9 @@ def main() -> int:
         "value": round(total, 2),
         "unit": "sec",
         "build_sec": build_sec,
+        "cache_state": "warmed",
+        "warm": warm,
+        "calibration_sec": calibration_sec,
         "lineitem_scan_partitions": n_parts,
         "drift": drift,
         "queries": queries,
