@@ -3299,8 +3299,15 @@ minhash_calibration_truncation_pairs.__doc__ = (
 # merging — a production run sets this one constant back to 50.
 _SUBDUP_L = 20
 
-_SUBDUP_ORACLE = f"""
-WITH words AS (
+# shared CTE chain for the substring-dedup family: seed detection through
+# maximal covered spans.  Seeds are merged into one span whenever the gap
+# between consecutive seed starts is <= L (not just 1): seed p covers
+# [p, p+L-1] and seed q = p+g covers [q, q+L-1], whose union is contiguous
+# exactly when g <= L — so gap-<=-L clusters are precisely the MAXIMAL
+# disjoint covered intervals, and span_tokens sum to the exact removal
+# count (a step-1 run grouping would emit overlapping spans whenever
+# 2 <= g <= L and double-count their tokens).
+_SUBDUP_CTES = f"""words AS (
   SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
   FROM documents
 ),
@@ -3312,16 +3319,29 @@ grams AS (
 ),
 dup AS (SELECT h FROM grams GROUP BY h HAVING COUNT(*) >= 2),
 seeds AS (SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (h)),
+clustered AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                   <= {_SUBDUP_L} THEN 0 ELSE 1 END AS new_run
+  FROM seeds
+),
 runs AS (
   SELECT doc_id, pos,
-         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
-  FROM seeds
-)
-SELECT doc_id,
-       CAST(MIN(pos) AS BIGINT) AS span_start,
-       CAST(MAX(pos) + {_SUBDUP_L} - 1 AS BIGINT) AS span_end,
-       CAST(MAX(pos) - MIN(pos) + {_SUBDUP_L} AS BIGINT) AS span_tokens
-FROM runs GROUP BY doc_id, grp
+         SUM(new_run) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) AS grp
+  FROM clustered
+),
+spans AS (
+  SELECT doc_id,
+         CAST(MIN(pos) AS BIGINT) AS span_start,
+         CAST(MAX(pos) + {_SUBDUP_L} - 1 AS BIGINT) AS span_end,
+         CAST(MAX(pos) - MIN(pos) + {_SUBDUP_L} AS BIGINT) AS span_tokens
+  FROM runs GROUP BY doc_id, grp
+)"""
+
+_SUBDUP_ORACLE = f"""
+WITH {_SUBDUP_CTES}
+SELECT doc_id, span_start, span_end, span_tokens FROM spans
 """
 
 
@@ -3347,17 +3367,23 @@ def dedup_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     containing p when m >= L), and every L-window inside a repeated
     substring is itself duplicated.  So the union of duplicated-L-gram
     positions equals the union of repeated->=L-substring positions, and
-    the maximal removal spans are the maximal runs of consecutive
-    duplicated seed starts: seeds s, s+1, ..., e cover tokens
-    [s, e + L - 1].  Runs are found with the classic pos - row_number()
-    grouping key per document.
+    the output is that union's MAXIMAL DISJOINT intervals: consecutive
+    seeds are merged whenever their start gap is <= L — seed p covers
+    [p, p+L-1] and seed q = p+g covers [q, q+L-1], whose union is
+    contiguous exactly when g <= L, so gap-<=-L clusters ARE the maximal
+    covered intervals (a step-1 run grouping would emit overlapping spans
+    whenever 2 <= g <= L); spans are disjoint by construction, so
+    span_tokens sum to the exact per-doc removal count the apply twin
+    relies on.  Clusters come from the standard lag-gap flag + running
+    sum per document.
 
     Scale shape, all corpus-linear: one gram explode (~n_tokens rows, the
     same volume every shingle query here ships) hashed to md5 BEFORE the
     exchange so 20-word strings never shuffle; the duplicate filter is a
     map-side-combinable count groupBy(h) joined back on the SAME key h
-    (one aligned exchange pair, no re-partition between them); the run
-    grouping is a per-DOCUMENT window (bounded by doc length — never a
+    (one aligned exchange pair, no re-partition between them); the cluster
+    grouping is a pair of per-DOCUMENT window functions (lag + running
+    sum) over ONE per-doc sort (bounded by doc length — never a
     single-partition window) and a per-doc groupBy.  Seed-side state is
     one (pos) long per duplicated gram; nothing is quadratic in dup
     family size because seeds join against the distinct gram set, not
@@ -3388,7 +3414,20 @@ def dedup_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     seeds = grams.join(dup, "h").select("doc_id", "pos")
     w_doc = Window.partitionBy("doc_id").orderBy("pos")
-    runs = seeds.withColumn("grp", F.col("pos") - F.row_number().over(w_doc))
+    # lag-gap flag + running sum = gap-<=-L clustering (maximal disjoint
+    # covered intervals; see docstring) — two window functions over the
+    # SAME per-doc sort, one Sort node in the plan
+    runs = seeds.withColumn(
+        "new_run",
+        F.when(
+            F.col("pos") - F.lag("pos").over(w_doc) <= _SUBDUP_L, F.lit(0)
+        ).otherwise(F.lit(1)),
+    ).withColumn(
+        "grp",
+        F.sum("new_run").over(
+            w_doc.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
     return runs.groupBy("doc_id", "grp").agg(
         F.min("pos").alias("span_start"),
         (F.max("pos") + L - 1).alias("span_end"),
@@ -3399,6 +3438,78 @@ def dedup_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 dedup_exact_substring_spans.__doc__ = dedup_exact_substring_spans.__doc__.replace(
     "{L}", str(_SUBDUP_L)
 )
+
+
+_SUBDUP_APPLY_ORACLE = f"""
+WITH {_SUBDUP_CTES},
+sarr AS (
+  SELECT doc_id,
+         list({{'s': span_start, 'e': span_end}} ORDER BY span_start) AS sp,
+         CAST(SUM(span_tokens) AS BIGINT) AS nrem
+  FROM spans GROUP BY doc_id
+)
+SELECT w.doc_id,
+       CAST(len(w.w) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(s.nrem, 0) AS BIGINT) AS n_removed,
+       CAST(len(w.w) - COALESCE(s.nrem, 0) AS BIGINT) AS n_kept,
+       COALESCE(array_to_string(
+         CASE WHEN s.sp IS NULL THEN w.w
+              ELSE list_filter(w.w, (x, i) ->
+                     len(list_filter(s.sp,
+                         p -> i BETWEEN p.s AND p.e)) = 0) END,
+         ' '), '') AS cleaned_text
+FROM words w LEFT JOIN sarr s USING (doc_id)
+"""
+
+
+@query("dedup_exact_substring_apply", _SUBDUP_APPLY_ORACLE, tags=("dedup",))
+def dedup_exact_substring_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY half of exact substring dedup (Lee et al. 2022): take
+    `dedup_exact_substring_spans`' removal list and emit the CLEANED
+    corpus — every document (spanless docs included), with its covered
+    tokens deleted, as (doc_id, n_tokens, n_removed, n_kept,
+    cleaned_text).  cleaned_text is the whitespace re-join of the
+    surviving lowercased tokens (the tokenization the whole text shelf
+    uses), '' when a doc was removed entirely; n_removed is the exact
+    covered-token count — the spans twin emits maximal DISJOINT
+    intervals, so their span_tokens sum without double-counting and
+    n_kept = n_tokens - n_removed needs no second pass over positions.
+
+    Plan shape, the part worth copying at 100 TB: NO positional explode
+    and NO range join — per-doc spans are collected into one small array
+    (<= n_tokens/L entries per doc, disjoint intervals each >= L long),
+    LEFT-joined back on doc_id alone (one aligned exchange; spanless docs
+    pass through with the full text), and the deletion itself is a
+    ROW-LOCAL indexed-lambda array filter: token i survives iff no span
+    contains it, evaluated inside the row against the tiny span array.
+    Both engines run the same indexed lambda (Spark filter's i is
+    0-based, DuckDB list_filter's is 1-based — offset in the Spark
+    expression), so cleaned_text hash-checks verbatim.  The reference
+    has no dedup surface at all (SURVEY.md S2.b)."""
+    (docs,) = T(spark, sf_dir, "documents")
+    spans = dedup_exact_substring_spans(spark, sf_dir)
+    sarr = spans.groupBy("doc_id").agg(
+        F.expr(
+            "array_sort(collect_list(struct(span_start AS s, span_end AS e)))"
+        ).alias("sp"),
+        F.sum("span_tokens").alias("nrem"),
+    )
+    words = docs.select(
+        "doc_id",
+        F.expr("filter(split(lower(text), ' '), x -> x <> '')").alias("w"),
+    )
+    nrem = F.coalesce(F.col("nrem"), F.lit(0).cast("long"))
+    return words.join(sarr, "doc_id", "left").select(
+        "doc_id",
+        F.size("w").cast("long").alias("n_tokens"),
+        nrem.alias("n_removed"),
+        (F.size("w").cast("long") - nrem).alias("n_kept"),
+        F.expr(
+            "concat_ws(' ', CASE WHEN sp IS NULL THEN w ELSE"
+            " filter(w, (x, i) -> NOT exists(sp,"
+            " p -> i + 1 >= p.s AND i + 1 <= p.e)) END)"
+        ).alias("cleaned_text"),
+    )
 
 
 # interpolate docstring constants (round-11 sweep)

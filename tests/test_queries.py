@@ -2069,10 +2069,13 @@ def test_winnowing_capped_mid_cap_regime(spark, tmp_path):
 
 
 def test_exact_substring_spans_recompute_python(spark):
-    """Recompute the Lee-et-al removal spans in pure Python (literal
-    duplicated-L-gram seed cover, merged into maximal runs) for the smoke
-    corpus and require the exact span set — pinning the L-gram-cover ==
-    repeated-substring-cover equivalence the docstring proves."""
+    """Recompute the Lee-et-al removal spans in pure Python — but via the
+    POSITION-COVER definition, not the query's clustering: mark every
+    token position covered by some duplicated L-gram, then read off the
+    maximal runs of covered positions.  Matching the query's output
+    end-to-end pins BOTH docstring claims at once: the L-gram-cover ==
+    repeated-substring-cover equivalence AND that gap-<=-L seed
+    clustering yields exactly the maximal disjoint covered intervals."""
     import collections
 
     from map_reduce485_spark.queries.dedup import (
@@ -2091,18 +2094,76 @@ def test_exact_substring_spans_recompute_python(spark):
         counts.update(grams)
     want = set()
     for doc_id, grams in doc_grams.items():
-        seeds = [i + 1 for i, g in enumerate(grams) if counts[g] >= 2]
-        run_start = None
-        prev = None
-        for p in seeds + [None]:
-            if p is not None and prev is not None and p == prev + 1:
-                prev = p
-                continue
-            if run_start is not None:
-                want.add((doc_id, run_start, prev + L - 1, prev - run_start + L))
-            run_start, prev = p, p
+        covered = set()
+        for i, g in enumerate(grams):
+            if counts[g] >= 2:
+                covered.update(range(i + 1, i + L + 1))  # 1-based tokens
+        for p in sorted(covered):
+            if p - 1 not in covered:  # interval start
+                e = p
+                while e + 1 in covered:
+                    e += 1
+                want.add((doc_id, p, e, e - p + 1))
     got = {
         (r.doc_id, r.span_start, r.span_end, r.span_tokens)
         for r in dedup_exact_substring_spans(spark, SF_SMOKE).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_exact_substring_gap_merge_and_apply(spark, tmp_path):
+    """The overlap case the natural corpus never exercises: seeds with a
+    start gap of 2 (duplicated L-grams at pos 1 and 3, pos 2 unique) must
+    merge into ONE maximal span — a step-1 run grouping would emit two
+    overlapping spans and double-count 40 tokens for a 22-token cover.
+    The apply twin must delete exactly the merged cover, keep the tail,
+    and empty out fully-covered docs; both queries checked cross-engine."""
+    import duckdb
+
+    from map_reduce485_spark.queries import REGISTRY, _load_all
+    from map_reduce485_spark.queries.dedup import _SUBDUP_L
+
+    _load_all()
+    L = _SUBDUP_L
+    assert L == 20  # token layout below is built for this geometry
+    toks = [f"t{i:03d}" for i in range(1, 42)]
+    mk = lambda ts: " ".join(ts)
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (1, mk(toks), "en", "t", len(mk(toks))),  # 41 tokens
+            (2, mk(toks[0:20]), "en", "t", 1),  # = doc1's gram at pos 1
+            (3, mk(toks[2:22]), "en", "t", 1),  # = doc1's gram at pos 3
+        ],
+    )
+    spec = REGISTRY["dedup_exact_substring_spans"]
+    got = {
+        (r.doc_id, r.span_start, r.span_end, r.span_tokens)
+        for r in spec.fn(spark, sf).collect()
+    }
+    want = {(1, 1, 22, 22), (2, 1, 20, 20), (3, 1, 20, 20)}
+    assert got == want
+    aspec = REGISTRY["dedup_exact_substring_apply"]
+    arows = {r.doc_id: r for r in aspec.fn(spark, sf).collect()}
+    assert (arows[1].n_tokens, arows[1].n_removed, arows[1].n_kept) == (41, 22, 19)
+    assert arows[1].cleaned_text == mk(toks[22:])
+    for d in (2, 3):
+        assert (arows[d].n_removed, arows[d].n_kept) == (20, 0)
+        assert arows[d].cleaned_text == ""
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet/*.parquet'"
+    )
+    assert {tuple(r) for r in con.execute(spec.oracle).fetchall()} == want
+    ora = {r[0]: r for r in con.execute(aspec.oracle).fetchall()}
+    assert all(
+        tuple(ora[d]) == (
+            d,
+            arows[d].n_tokens,
+            arows[d].n_removed,
+            arows[d].n_kept,
+            arows[d].cleaned_text,
+        )
+        for d in (1, 2, 3)
+    )

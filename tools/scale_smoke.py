@@ -329,6 +329,10 @@ def main() -> int:
         # per-copy text perturbation leaves long shared prefixes, so dup
         # families produce real multi-seed spans at every mult
         "dedup_exact_substring_spans",
+        # ...and its apply half: the cleaned-corpus emitter must stay a
+        # doc_id-aligned join + row-local indexed-lambda filter (no
+        # positional explode, no range join) at every mult
+        "dedup_exact_substring_apply",
     ]
     # scan-parallelism proof on the multi-file layout
     n_parts = load_table(spark, sf_dir, "lineitem").rdd.getNumPartitions()
