@@ -329,3 +329,113 @@ def test_cdc_chunks_realign_after_insertion(doc, insertion):
         tail = orig[1:]
         shifted_set = set(shifted)
         assert all(c in shifted_set for c in tail)
+
+
+# ---------------------------------------------------------------------------
+# exact substring dedup (round 12): position-cover semantics under fuzz
+# ---------------------------------------------------------------------------
+
+
+@st.composite
+def _subdup_corpus(draw):
+    """Corpora built from shared MOTIFS (>= L words, tiny alphabet) spliced
+    with filler runs: motifs reused across/within docs create duplicated
+    L-grams at arbitrary offsets, so seed runs land with every gap size —
+    exactly the span-merge geometry the deterministic tests can only pin
+    pointwise (gap 1 via families, gap 2 via the hand-built corpus)."""
+    motifs = draw(
+        st.lists(
+            st.lists(st.sampled_from("abc"), min_size=20, max_size=26),
+            min_size=1,
+            max_size=3,
+        )
+    )
+    docs = []
+    for _ in range(draw(st.integers(min_value=2, max_value=5))):
+        words: list[str] = []
+        for _ in range(draw(st.integers(min_value=0, max_value=3))):
+            if draw(st.booleans()):
+                words.extend(draw(st.sampled_from(motifs)))
+            else:
+                words.extend(
+                    draw(
+                        st.lists(
+                            st.sampled_from("xyzw"), min_size=0, max_size=12
+                        )
+                    )
+                )
+        docs.append(" ".join(words))
+    return docs
+
+
+def _cover_spans(texts: dict[int, str], L: int):
+    """Position-cover reference: covered = union of duplicated-L-gram
+    extents; spans = maximal runs of covered 1-based token positions."""
+    from collections import Counter
+
+    counts: Counter = Counter()
+    grams = {}
+    for doc_id, text in texts.items():
+        w = [x for x in text.lower().split(" ") if x]
+        grams[doc_id] = [tuple(w[i : i + L]) for i in range(len(w) - L + 1)]
+        counts.update(grams[doc_id])
+    spans, covered_by_doc = set(), {}
+    for doc_id, gs in grams.items():
+        covered: set[int] = set()
+        for i, g in enumerate(gs):
+            if counts[g] >= 2:
+                covered.update(range(i + 1, i + L + 1))
+        covered_by_doc[doc_id] = covered
+        for p in sorted(covered):
+            if p - 1 not in covered:
+                e = p
+                while e + 1 in covered:
+                    e += 1
+                spans.add((doc_id, p, e, e - p + 1))
+    return spans, covered_by_doc
+
+
+@given(docs=_subdup_corpus())
+@_SETTINGS
+def test_exact_substring_spans_and_apply_position_cover(
+    spark, tmp_path_factory, docs
+):
+    """For ANY corpus, `dedup_exact_substring_spans` must equal the
+    position-cover reference (maximal disjoint intervals of positions
+    covered by a duplicated L-gram), and the apply twin must delete
+    exactly the covered tokens of every doc — fuzzing the gap-<=-L seed
+    merge and the row-local deletion lambda across arbitrary seed
+    layouts."""
+    from map_reduce485_spark.queries import REGISTRY, _load_all
+    from map_reduce485_spark.queries.dedup import _SUBDUP_L
+
+    _load_all()
+    tmp = tmp_path_factory.mktemp("prop_subdup")
+    rows = [
+        (i + 1, t, "en", "t", len(t)) for i, t in enumerate(docs)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(str(tmp / "documents.parquet"))
+    texts = {i + 1: t for i, t in enumerate(docs)}
+    want_spans, covered = _cover_spans(texts, _SUBDUP_L)
+    got_spans = {
+        (r.doc_id, r.span_start, r.span_end, r.span_tokens)
+        for r in REGISTRY["dedup_exact_substring_spans"].fn(spark, str(tmp)).collect()
+    }
+    assert got_spans == want_spans
+    arows = {
+        r.doc_id: r
+        for r in REGISTRY["dedup_exact_substring_apply"].fn(spark, str(tmp)).collect()
+    }
+    assert set(arows) == set(texts)  # every doc emits a row
+    for doc_id, text in texts.items():
+        w = [x for x in text.lower().split(" ") if x]
+        keep = [x for i, x in enumerate(w) if i + 1 not in covered[doc_id]]
+        r = arows[doc_id]
+        assert (r.n_tokens, r.n_removed, r.n_kept) == (
+            len(w),
+            len(covered[doc_id]),
+            len(w) - len(covered[doc_id]),
+        )
+        assert r.cleaned_text == " ".join(keep)
