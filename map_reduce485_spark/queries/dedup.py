@@ -3440,6 +3440,94 @@ dedup_exact_substring_spans.__doc__ = dedup_exact_substring_spans.__doc__.replac
 )
 
 
+_SUBDUP_INCR_ORACLE = f"""
+WITH {_SUBDUP_CTES}
+SELECT doc_id, span_start, span_end, span_tokens
+FROM spans
+WHERE doc_id IN (SELECT doc_id FROM documents
+                 WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = 'f')
+"""
+
+
+@query(
+    "dedup_exact_substring_incremental",
+    _SUBDUP_INCR_ORACLE,
+    tags=("dedup", "etl"),
+)
+def dedup_exact_substring_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL ingest twin of `dedup_exact_substring_spans` — the
+    shape a production pipeline actually runs per batch (the
+    `dedup_incremental_arrivals` move applied to the substring class):
+    arrivals (docs whose md5(doc_id) starts with 'f', the repo's standing
+    ~1/16 "today's crawl" split) get removal spans for every position
+    covered by an L-gram duplicated ANYWHERE — in the standing corpus, in
+    another arrival, or repeated within the doc — which is exactly the
+    full query's output restricted to arrival docs (the oracle states it
+    that way, so the equivalence is hash-checked, not claimed).
+
+    The plan is what makes it incremental: ONLY arrival docs are
+    shingled into positional grams; the base corpus contributes one
+    gram->count INDEX (groupBy h — the table a production system
+    maintains as standing state and only the in-query build pays for
+    here, the same amortization story as `dedup_incremental_arrivals`'
+    band index and `streaming_ann_index_gate`'s embedding index), and an
+    arrival gram is a seed iff c_arrivals(g) + c_base(g) >= 2 — one
+    LEFT join of the arrival-cardinality gram set against the index on
+    the SAME key h it was grouped on.  Per-batch cost therefore scales
+    with the ARRIVALS (explode + index probe), never with
+    corpus x corpus; the seed->span clustering is the parent query's
+    per-doc lag+running-sum merge over arrival docs only."""
+    (docs,) = T(spark, sf_dir, "documents")
+    L = _SUBDUP_L
+    flagged = docs.select(
+        "doc_id",
+        (F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) == "f").alias(
+            "is_new"
+        ),
+        F.expr("filter(split(lower(text), ' '), x -> x <> '')").alias("w"),
+    ).filter(F.size("w") >= L)
+
+    def grams(df: DataFrame) -> DataFrame:
+        return df.select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(1, size(w) - {L} + 1),"
+                    f" i -> md5(concat_ws(' ', slice(w, i, {L}))))"
+                )
+            ).alias("p0", "h"),
+        ).select("doc_id", (F.col("p0") + 1).cast("long").alias("pos"), "h")
+
+    arr_grams = cache_scoped(grams(flagged.filter(F.col("is_new"))))
+    base_index = grams(flagged.filter(~F.col("is_new"))).groupBy("h").agg(
+        F.count("*").alias("c_base")
+    )
+    arr_df = arr_grams.groupBy("h").agg(F.count("*").alias("c_arr"))
+    dup = (
+        arr_df.join(base_index, "h", "left")
+        .filter(
+            F.col("c_arr") + F.coalesce(F.col("c_base"), F.lit(0)) >= 2
+        )
+        .select("h")
+    )
+    seeds = arr_grams.join(dup, "h").select("doc_id", "pos")
+    w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    runs = seeds.withColumn(
+        "new_run",
+        F.when(
+            F.col("pos") - F.lag("pos").over(w_doc) <= L, F.lit(0)
+        ).otherwise(F.lit(1)),
+    ).withColumn(
+        "grp",
+        F.sum("new_run").over(w_doc.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return runs.groupBy("doc_id", "grp").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + L - 1).alias("span_end"),
+        (F.max("pos") - F.min("pos") + L).alias("span_tokens"),
+    ).select("doc_id", "span_start", "span_end", "span_tokens")
+
+
 _SUBDUP_APPLY_ORACLE = f"""
 WITH {_SUBDUP_CTES},
 sarr AS (

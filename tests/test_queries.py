@@ -2111,6 +2111,31 @@ def test_exact_substring_spans_recompute_python(spark):
     assert got == want and len(want) > 0
 
 
+def test_exact_substring_incremental_equals_full_restricted(spark):
+    """The incremental ingest twin must equal the FULL span query
+    restricted to arrival docs (md5-prefix-'f' split) — pinning on the
+    Spark side the equivalence the oracle states via the filtered CTE:
+    c_arrivals(g) + c_base(g) is exactly the full-corpus df, so the
+    arrival-gram index probe finds exactly the full query's seeds."""
+    from map_reduce485_spark.queries.dedup import (
+        dedup_exact_substring_incremental,
+        dedup_exact_substring_spans,
+    )
+
+    got = {
+        tuple(r)
+        for r in dedup_exact_substring_incremental(spark, SF_SMOKE).collect()
+    }
+    import hashlib
+
+    full = {
+        tuple(r)
+        for r in dedup_exact_substring_spans(spark, SF_SMOKE).collect()
+        if hashlib.md5(str(r.doc_id).encode()).hexdigest().startswith("f")
+    }
+    assert got == full and len(got) > 0
+
+
 def test_exact_substring_gap_merge_and_apply(spark, tmp_path):
     """The overlap case the natural corpus never exercises: seeds with a
     start gap of 2 (duplicated L-grams at pos 1 and 3, pos 2 unique) must

@@ -333,6 +333,10 @@ def main() -> int:
         # doc_id-aligned join + row-local indexed-lambda filter (no
         # positional explode, no range join) at every mult
         "dedup_exact_substring_apply",
+        # ...and the incremental ingest twin: per-batch cost must scale
+        # with the ~1/16 arrivals (explode + index probe), never
+        # corpus x corpus
+        "dedup_exact_substring_incremental",
     ]
     # scan-parallelism proof on the multi-file layout
     n_parts = load_table(spark, sf_dir, "lineitem").rdd.getNumPartitions()
