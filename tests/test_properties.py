@@ -439,3 +439,34 @@ def test_exact_substring_spans_and_apply_position_cover(
             len(w) - len(covered[doc_id]),
         )
         assert r.cleaned_text == " ".join(keep)
+
+
+@given(
+    vals=st.lists(
+        st.integers(min_value=-5, max_value=5), min_size=1, max_size=300
+    )
+)
+@_SETTINGS
+def test_distributed_rank_matches_sorted_enumerate(spark, vals):
+    """distributed_rank must be bit-identical to a sequential sorted
+    enumerate for ANY value multiset — the tiny value domain forces heavy
+    ties straddling range-partition boundaries, exactly the case the
+    mandatory unique tiebreaker exists for (a boundary-dependent rank
+    would corrupt every distributed_rank consumer: terciles, sweeps,
+    KS/MWU, quantile exacts)."""
+    from pyspark.sql import functions as F
+
+    from map_reduce485_spark.queries._util import distributed_rank
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "id long, v long"
+    ).repartition(7)
+    got = {
+        r.id: r.rk
+        for r in distributed_rank(df, [F.col("v"), F.col("id")]).collect()
+    }
+    want = {
+        i: rk + 1
+        for rk, (v, i) in enumerate(sorted((v, i) for i, v in enumerate(vals)))
+    }
+    assert got == want
