@@ -3528,6 +3528,89 @@ def dedup_exact_substring_incremental(spark: SparkSession, sf_dir: str) -> DataF
     ).select("doc_id", "span_start", "span_end", "span_tokens")
 
 
+_SUBDUP_RATE_ORACLE = f"""
+WITH {_SUBDUP_CTES},
+per_doc AS (
+  SELECT doc_id, CAST(SUM(span_tokens) AS BIGINT) AS nrem
+  FROM spans GROUP BY doc_id
+),
+tok AS (
+  SELECT doc_id, source,
+         CAST(len(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+              AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT t.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(t.n_tokens) AS BIGINT) AS n_tokens,
+       CAST(SUM(COALESCE(p.nrem, 0)) AS BIGINT) AS n_removed,
+       CAST(SUM(CASE WHEN COALESCE(p.nrem, 0) > 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_docs_affected,
+       CASE WHEN SUM(t.n_tokens) > 0
+            THEN CAST(SUM(COALESCE(p.nrem, 0)) AS DOUBLE)
+                 / CAST(SUM(t.n_tokens) AS DOUBLE)
+            ELSE 0.0 END AS removal_rate
+FROM tok t LEFT JOIN per_doc p USING (doc_id)
+GROUP BY t.source
+"""
+
+
+@query("dedup_substring_rate_by_source", _SUBDUP_RATE_ORACLE, tags=("dedup", "agg"))
+def dedup_substring_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DECISION-shaped rollup of exact substring dedup (the
+    `dedup_simhash_summary` move applied to the substring class): per
+    source — docs, tokens, tokens covered by duplicated >= L-token
+    substrings, docs affected, and the removal rate.  This is the report
+    a data lead reads before a crawl-source keep/drop call (which feed is
+    shipping boilerplate?), and the number Lee et al. 2022 report per
+    corpus (fraction of tokens removed).
+
+    Scale shape: the spans pipeline (corpus-linear, see
+    `dedup_exact_substring_spans`), a per-doc span-token sum (doc-bounded
+    groups), ONE doc_id-aligned left join against the per-doc token
+    counts (spanless docs contribute zero), then a groupBy on the
+    SOURCE-domain key — map-side combinable, constant-size output at any
+    corpus scale.  n_removed sums exactly because spans are
+    disjoint-maximal; the rate is one double division of exact bigints
+    (identical IEEE rounding both engines)."""
+    (docs,) = T(spark, sf_dir, "documents")
+    spans = dedup_exact_substring_spans(spark, sf_dir)
+    per_doc = spans.groupBy("doc_id").agg(
+        F.sum("span_tokens").alias("nrem")
+    )
+    tok = docs.select(
+        "doc_id",
+        "source",
+        F.expr(
+            "CAST(size(filter(split(lower(text), ' '), x -> x <> ''))"
+            " AS BIGINT)"
+        ).alias("n_tokens"),
+    )
+    nrem = F.coalesce(F.col("nrem"), F.lit(0).cast("long"))
+    joined = tok.join(per_doc, "doc_id", "left").select(
+        "source", "n_tokens", nrem.alias("nrem")
+    )
+    return joined.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.sum("nrem").alias("n_removed"),
+        F.sum((F.col("nrem") > 0).cast("long")).alias("n_docs_affected"),
+    ).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "n_removed",
+        "n_docs_affected",
+        F.when(
+            F.col("n_tokens") > 0,
+            F.col("n_removed").cast("double")
+            / F.col("n_tokens").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("removal_rate"),
+    )
+
+
 _SUBDUP_APPLY_ORACLE = f"""
 WITH {_SUBDUP_CTES},
 sarr AS (
