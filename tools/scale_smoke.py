@@ -481,13 +481,20 @@ def main() -> int:
                     for name, rec in prev.get("queries", {}).items()
                     if isinstance(rec, dict)
                 }
+                # flag only when BOTH the raw ratio and the box-speed-
+                # normalized ratio exceed 1.5x: normalization must only
+                # FORGIVE a slower box (cal_ratio > 1), never amplify
+                # flags when the calibration happens to read fast — a
+                # first regen with cal_ratio 0.708 turned 24 raw
+                # 1.1-1.4x readings into >1.5x "normalized" flags, the
+                # exact false-flag class the gate exists to kill
                 flagged = {}
                 for name, rec in queries.items():
                     if not prev_q.get(name):
                         continue
                     raw = rec["sec"] / prev_q[name]
                     norm = raw / max(cal_ratio, 1e-9)
-                    if norm > 1.5:
+                    if min(raw, norm) > 1.5:
                         flagged[name] = {
                             "prev_sec": prev_q[name],
                             "now_sec": rec["sec"],
