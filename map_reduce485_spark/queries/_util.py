@@ -272,6 +272,7 @@ def bottomk_hash_prefilter(
     k: int,
     margin: int = 8,
     keep_count: bool = False,
+    with_group_counts: bool = False,
 ) -> DataFrame:
     """Pre-filter rows to ~``margin * k`` per group before a bottom-k-by-
     md5 collect, making the downstream aggregation state genuinely
@@ -305,6 +306,21 @@ def bottomk_hash_prefilter(
     survivors is a sufficient certificate that the true bottom-k
     survived (proof in the guard's docstring), so a deficient group
     raises at runtime instead of producing a wrong answer.
+
+    The survivor-count gate alone cannot see a group whose survivor
+    count is ZERO: such a group contributes no rows to the merge
+    aggregate, so it would vanish from the output instead of raising
+    (round-12 advice).  Pass ``with_group_counts=True`` to also get the
+    group-count table ``(group_cols..., _bk_n)`` back as a second
+    return value; callers LEFT-join it against the merge-phase output
+    (counts on the left — it holds every group that had input rows),
+    coalesce the survivor count to 0 for absent groups, and apply
+    :func:`bottomk_guard` to the joined frame, which makes the
+    enforcement genuinely unconditional: 0 >= least(k, n >= 1) is
+    false, so an all-dropped group raises like any other deficient
+    group.  The table is group-cardinality-sized (same frame the
+    threshold join broadcasts), so the extra join is a broadcast
+    against an already-tiny merge output.
     """
     max_prefix = 16**15  # 60-bit prefix of the 128-bit md5, fits a long
     cnt = df.groupBy(*group_cols).agg(F.count("*").alias("_bk_n"))
@@ -318,7 +334,10 @@ def bottomk_hash_prefilter(
     out = df.join(F.broadcast(cnt), group_cols).filter(
         F.conv(F.substring(F.col(h_col), 1, 15), 16, 10).cast("long") <= thr
     )
-    return out if keep_count else out.drop("_bk_n")
+    out = out if keep_count else out.drop("_bk_n")
+    if with_group_counts:
+        return out, cnt
+    return out
 
 
 def bottomk_guard(survivors: Column, n_group: Column, k: int) -> Column:
@@ -339,7 +358,16 @@ def bottomk_guard(survivors: Column, n_group: Column, k: int) -> Column:
     survivors >= least(k, n_group) implies the true bottom-k survived
     intact, turning the Chernoff ~e^-98 bound into an enforced invariant
     at zero extra shuffles (both counts ride the aggs the query already
-    runs)."""
+    runs).
+
+    Completeness (round-12 advice): the guard can only inspect groups
+    that REACH the merge aggregate — a group with zero survivors has no
+    rows there.  Callers close that edge by requesting the group-count
+    table from ``bottomk_hash_prefilter(with_group_counts=True)`` and
+    LEFT-joining it over the merge output with the survivor count
+    coalesced to 0, so all-dropped groups hit the guard too (both wired
+    call sites do this; pinned by
+    ``test_bottomk_guard_raises_on_zero_survivor_group``)."""
     ok = survivors >= F.least(F.lit(k).cast("long"), n_group)
     return F.when(ok, F.lit(True)).otherwise(
         F.expr(

@@ -1470,8 +1470,8 @@ def bottomk_quantile_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame
     # true bottom-k survived — a deficient site raises instead of
     # silently sketching wrong), after which the two-phase array-slice
     # aggregation state really is O(k)-ish at any corpus scale.
-    prefiltered = bottomk_hash_prefilter(
-        base, "h", ["site"], _BK_K, keep_count=True
+    prefiltered, site_counts = bottomk_hash_prefilter(
+        base, "h", ["site"], _BK_K, keep_count=True, with_group_counts=True
     )
     local = (
         prefiltered.withColumn("pid", F.spark_partition_id())
@@ -1482,11 +1482,19 @@ def bottomk_quantile_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame
             F.min("_bk_n").alias("_bk_n"),
         )
     )
-    site_sk = local.groupBy("site").agg(
+    merged_sites = local.groupBy("site").agg(
         F.slice(F.array_sort(F.flatten(F.collect_list("arr"))), 1, _BK_K).alias("arr"),
         F.sum("_bk_m").alias("_bk_m"),
-        F.min("_bk_n").alias("_bk_n"),
-    ).filter(bottomk_guard(F.col("_bk_m"), F.col("_bk_n"), _BK_K))
+    )
+    # LEFT-join from the group-count table so a site whose survivor count
+    # is ZERO cannot vanish before the guard sees it (round-12 advice):
+    # an absent site coalesces to 0 survivors and raises like any other
+    # deficient site, making the enforcement unconditional.
+    site_sk = (
+        site_counts.join(merged_sites, "site", "left")
+        .withColumn("_bk_m", F.coalesce(F.col("_bk_m"), F.lit(0).cast("long")))
+        .filter(bottomk_guard(F.col("_bk_m"), F.col("_bk_n"), _BK_K))
+    )
     merged = site_sk.agg(
         F.slice(F.array_sort(F.flatten(F.collect_list("arr"))), 1, _BK_K).alias("arr")
     )

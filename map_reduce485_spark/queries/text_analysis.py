@@ -3538,8 +3538,8 @@ def stratified_bottomk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the survivor/total counts ride the same two aggs so bottomk_guard
     # can certify per stratum that the true bottom-k survived (a
     # deficient stratum raises instead of silently mis-sampling)
-    base = bottomk_hash_prefilter(
-        base, "h", ["lang"], _STRAT_K, keep_count=True
+    base, lang_counts = bottomk_hash_prefilter(
+        base, "h", ["lang"], _STRAT_K, keep_count=True, with_group_counts=True
     )
     local = (
         base.withColumn("pid", F.spark_partition_id())
@@ -3554,13 +3554,21 @@ def stratified_bottomk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("_bk_n").alias("_bk_n"),
         )
     )
-    strat = local.groupBy("lang").agg(
+    merged_langs = local.groupBy("lang").agg(
         F.slice(
             F.array_sort(F.flatten(F.collect_list("arr"))), 1, _STRAT_K
         ).alias("arr"),
         F.sum("_bk_m").alias("_bk_m"),
-        F.min("_bk_n").alias("_bk_n"),
-    ).filter(bottomk_guard(F.col("_bk_m"), F.col("_bk_n"), _STRAT_K))
+    )
+    # LEFT-join from the group-count table so a stratum whose survivor
+    # count is ZERO cannot vanish before the guard sees it (round-12
+    # advice): an absent stratum coalesces to 0 survivors and raises like
+    # any other deficient stratum, making the enforcement unconditional.
+    strat = (
+        lang_counts.join(merged_langs, "lang", "left")
+        .withColumn("_bk_m", F.coalesce(F.col("_bk_m"), F.lit(0).cast("long")))
+        .filter(bottomk_guard(F.col("_bk_m"), F.col("_bk_n"), _STRAT_K))
+    )
     return strat.select(
         "lang", F.posexplode("arr").alias("pos", "s")
     ).select(

@@ -1886,6 +1886,117 @@ def test_bottomk_guard_raises_on_deficient_group(spark):
     assert "bottomk_hash_prefilter" in str(ei.value)
 
 
+def test_bottomk_guard_raises_on_zero_survivor_group(spark):
+    """The survivor-count gate alone cannot see a group whose survivor
+    count is ZERO — it has no rows in the merge aggregate and would
+    silently vanish (round-12 advice).  The call sites close the edge by
+    LEFT-joining the group-count table over the merge output with the
+    survivor count coalesced to 0; this test replays that exact shape
+    with one group's survivors forcibly removed (simulating the
+    Chernoff-pathological all-dropped case, which real md5 data cannot
+    produce on demand) and asserts the guard RAISES instead of emitting
+    a frame with the group missing."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from map_reduce485_spark.queries._util import (
+        bottomk_guard,
+        bottomk_hash_prefilter,
+    )
+
+    k = 8
+    df = spark.range(600).select(
+        (F.col("id") % 3).alias("g"),
+        F.md5(F.col("id").cast("string")).alias("h"),
+        "id",
+    )
+    filtered, counts = bottomk_hash_prefilter(
+        df, "h", ["g"], k, keep_count=True, with_group_counts=True
+    )
+    assert set(counts.columns) == {"g", "_bk_n"} and counts.count() == 3
+
+    def merge(pref):
+        local = pref.groupBy("g").agg(F.count("*").alias("_bk_m"))
+        return (
+            counts.join(local, "g", "left")
+            .withColumn(
+                "_bk_m", F.coalesce(F.col("_bk_m"), F.lit(0).cast("long"))
+            )
+            .filter(bottomk_guard(F.col("_bk_m"), F.col("_bk_n"), k))
+        )
+
+    # healthy path: every group present, guard passes, nothing dropped
+    assert merge(filtered).count() == 3
+    # pathological path: group 1 loses ALL survivors -> without the
+    # counts join it would vanish; with it, the guard must raise
+    with pytest.raises(Exception) as ei:
+        merge(filtered.filter(F.col("g") != 1)).count()
+    assert "bottomk_hash_prefilter" in str(ei.value)
+
+
+def test_exact_substring_l50_subset_of_l20(spark, tmp_path):
+    """Geometry monotonicity (round-12 verdict item 4): every position
+    covered at the paper's production constant L=50 is covered at the
+    L=20 gate constant — a repeated >=50-token substring is a fortiori a
+    repeated >=20-token substring, so the position covers NEST.  Built on
+    a synthetic corpus where both geometries fire: a 60-token motif
+    repeated across two docs (spans at both L) plus a 25-token motif
+    repeated across two other docs (spans at L=20 only).  Also pins the
+    l50 summary query's counts against the same spans, and its
+    sentinel shape (exactly one row even when empty) on a no-dup corpus."""
+    from map_reduce485_spark.queries import REGISTRY, _load_all
+    from map_reduce485_spark.queries.dedup import _substring_spans
+
+    _load_all()
+    motif60 = [f"m{i:03d}" for i in range(60)]
+    motif25 = [f"p{i:03d}" for i in range(25)]
+    filler = lambda tag, n: [f"{tag}{i:03d}" for i in range(n)]
+    mk = lambda ts: " ".join(ts)
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (1, mk(motif60 + filler("a", 30)), "en", "t", 1),
+            (2, mk(filler("b", 10) + motif60), "en", "t", 1),
+            (3, mk(motif25 + filler("c", 40)), "en", "t", 1),
+            (4, mk(filler("d", 15) + motif25), "en", "t", 1),
+        ],
+    )
+
+    def cover(L):
+        out = set()
+        for r in _substring_spans(spark, sf, L).collect():
+            out |= {(r.doc_id, p) for p in range(r.span_start, r.span_end + 1)}
+        return out
+
+    c20, c50 = cover(20), cover(50)
+    assert c50 and c50 < c20  # strict: the 25-token motif is L=20-only
+    want50 = {(1, p) for p in range(1, 61)} | {(2, p) for p in range(11, 71)}
+    assert c50 == want50
+    assert {(3, p) for p in range(1, 26)} <= c20
+
+    row = REGISTRY["dedup_exact_substring_spans_l50"].fn(spark, sf).collect()
+    assert len(row) == 1
+    assert (row[0].n_spans, row[0].n_docs_affected, row[0].tokens_covered) == (
+        2,
+        2,
+        120,
+    )
+    # sentinel shape on a span-free corpus: one all-zero row, never empty
+    sf2 = _write_docs(
+        spark,
+        tmp_path / "nodup",
+        [(1, mk(filler("x", 55)), "en", "t", 1), (2, mk(filler("y", 55)), "en", "t", 1)],
+    )
+    row2 = REGISTRY["dedup_exact_substring_spans_l50"].fn(spark, sf2).collect()
+    assert len(row2) == 1
+    assert (row2[0].n_spans, row2[0].n_docs_affected, row2[0].tokens_covered) == (
+        0,
+        0,
+        0,
+    )
+
+
 def test_winnowing_capped_equals_exact_below_cap(spark):
     """Whenever every fingerprint's df is under the cap, the df-capped
     scale twin must reproduce the exact summary EXACTLY and report zero

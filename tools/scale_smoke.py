@@ -337,6 +337,12 @@ def main() -> int:
         # with the ~1/16 arrivals (explode + index probe), never
         # corpus x corpus
         "dedup_exact_substring_incremental",
+        # round-13 addition (round-12 verdict item 4): the paper's L=50
+        # production constant over the same pipeline — gram volume is
+        # ~n_tokens regardless of L, so this measures the production
+        # geometry at the production shape even where the span set is
+        # small/empty (the summary row keeps it sentinel-shaped)
+        "dedup_exact_substring_spans_l50",
     ]
     # scan-parallelism proof on the multi-file layout
     n_parts = load_table(spark, sf_dir, "lineitem").rdd.getNumPartitions()
@@ -354,6 +360,30 @@ def main() -> int:
     def run_once(fn) -> int:
         fn(spark, sf_dir).write.mode("overwrite").parquet(str(sink))
         return spark.read.parquet(str(sink)).count()
+
+    def reset_state() -> None:
+        """Per-entry state reset (round-12 verdict item 2): the r12 100x
+        regen pair flagged 8 queries >1.5x BOTH WAYS on untouched code
+        with a flat total — intra-suite cross-query state, not
+        regressions (confirmed by standalone re-measures: all 8 inside
+        their warm bands).  In a 73-entry serialized session the warmed
+        input pages are progressively EVICTED by shuffle spill + sink
+        churn (tens of GB per heavy query), so a query's scan state
+        depended on how much churn its predecessors produced — i.e. on
+        suite ORDER, which is exactly what mixed-direction ±30 s swings
+        on unchanged code look like.  Before every entry: drop cached
+        relations, nudge the ContextCleaner (shuffle files free when
+        their RDDs are GC'd), and re-read every input byte so each query
+        times the SAME warmed state the protocol promises regardless of
+        its position in the suite (~1 s per entry at 100x, untimed).
+        The measured state is unchanged — still 'warmed' — so artifacts
+        stay drift-comparable with the round-12 baselines."""
+        spark.catalog.clearCache()
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
+        warm_page_cache(sf_dir)
 
     if args.names:
         # validate up front: an unknown name is an error, a known-but-not-
@@ -378,6 +408,7 @@ def main() -> int:
     queries: dict[str, dict] = {}
     total = 0.0
     for name in names:
+        reset_state()
         if name == _SAMPLED_RECALL:
             t0 = time.perf_counter()
             samp_dir = build_recall_sample(spark, sf_dir, args.mult)
@@ -517,6 +548,7 @@ def main() -> int:
         "unit": "sec",
         "build_sec": build_sec,
         "cache_state": "warmed",
+        "per_query_rewarm": True,
         "warm": warm,
         "calibration_sec": calibration_sec,
         "lineitem_scan_partitions": n_parts,
