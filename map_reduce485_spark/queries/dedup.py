@@ -1600,6 +1600,46 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SNM_W = 8  # neighborhood width: pairs within w-1 rank positions are compared
 
+
+def _snm_candidates(docs: DataFrame) -> DataFrame:
+    """Sorted-neighborhood candidate pairs (a_id < b_id), shared by the
+    Jaccard-verified `dedup_sorted_neighborhood` and the edit-distance-
+    verified `dedup_editdist_verify`: distributed rank over the blocking
+    key, rank-div-w double bucketing (each record lands in its own and
+    the previous bucket, so every pair within w-1 positions shares one),
+    equi-join + distance trim — hash join, never a band BNLJ, and the
+    sort pass runs on every executor (`distributed_rank`), not one
+    global-window partition."""
+    from map_reduce485_spark.queries._util import distributed_rank
+
+    ranked = distributed_rank(
+        docs.select("doc_id", F.substring("text", 1, 24).alias("bk")),
+        ["bk", "doc_id"],
+        alias="rk",
+    ).select("doc_id", "rk")
+    tagged = ranked.select(
+        "doc_id",
+        "rk",
+        F.explode(
+            F.array(F.expr(f"rk div {_SNM_W}"), F.expr(f"rk div {_SNM_W} - 1"))
+        ).alias("bucket"),
+    )
+    a = tagged.alias("a")
+    b = tagged.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("b.rk") - F.col("a.rk")).between(1, _SNM_W - 1),
+        )
+        .select(
+            F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("a_id"),
+            F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("b_id"),
+        )
+        .distinct()
+    )
+
+
 _SNM_ORACLE = f"""
 WITH {_ORACLE_SHINGLES},
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
@@ -1658,34 +1698,7 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead of the single partition a plain global window would use.
     Bit-identical ranks (total order via doc_id), unchanged output."""
     (docs,) = T(spark, sf_dir, "documents")
-    from map_reduce485_spark.queries._util import distributed_rank
-
-    ranked = distributed_rank(
-        docs.select("doc_id", F.substring("text", 1, 24).alias("bk")),
-        ["bk", "doc_id"],
-        alias="rk",
-    ).select("doc_id", "rk")
-    tagged = ranked.select(
-        "doc_id",
-        "rk",
-        F.explode(
-            F.array(F.expr(f"rk div {_SNM_W}"), F.expr(f"rk div {_SNM_W} - 1"))
-        ).alias("bucket"),
-    )
-    a = tagged.alias("a")
-    b = tagged.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("b.rk") - F.col("a.rk")).between(1, _SNM_W - 1),
-        )
-        .select(
-            F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("a_id"),
-            F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("b_id"),
-        )
-        .distinct()
-    )
+    cand = _snm_candidates(docs)
     sh = cache_scoped(_spark_shingles(docs))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     x = sh.alias("x")
@@ -1715,6 +1728,100 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("jaccard") >= _NGRAM_THRESHOLD)
     )
+
+
+_EDIT_PREFIX = 256  # chars compared; caps the O(len^2) DP per pair
+_EDIT_SIM_NUM = 5  # keep iff EDIT_SIM_NUM * dist <= max_len, i.e. sim >= 0.8
+
+_EDITDIST_ORACLE = f"""
+WITH keyed AS (SELECT doc_id, substr(text, 1, 24) AS bk FROM documents),
+ranked AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bk, doc_id) AS rk FROM keyed
+),
+cand AS (
+  SELECT DISTINCT LEAST(a.doc_id, b.doc_id) AS a_id,
+                  GREATEST(a.doc_id, b.doc_id) AS b_id
+  FROM ranked a JOIN ranked b ON b.rk - a.rk BETWEEN 1 AND {_SNM_W - 1}
+),
+t AS (SELECT doc_id, substr(text, 1, {_EDIT_PREFIX}) AS p FROM documents),
+scored AS (
+  SELECT c.a_id, c.b_id,
+         CAST(levenshtein(ta.p, tb.p) AS BIGINT) AS edit_distance,
+         CAST(GREATEST(len(ta.p), len(tb.p)) AS BIGINT) AS max_len
+  FROM cand c
+  JOIN t ta ON ta.doc_id = c.a_id
+  JOIN t tb ON tb.doc_id = c.b_id
+)
+SELECT a_id, b_id, edit_distance, max_len,
+       1.0e0 - CAST(edit_distance AS DOUBLE) / max_len AS edit_sim
+FROM scored
+WHERE {_EDIT_SIM_NUM} * edit_distance <= max_len
+"""
+
+
+@query("dedup_editdist_verify", _EDITDIST_ORACLE, tags=("dedup",))
+def dedup_editdist_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EDIT-DISTANCE near-dup verification — the character-edit space the
+    dedup shelf did not cover (set/Jaccard, MinHash/SimHash sketches,
+    winnowing fingerprints, embeddings, and exact-substring spans all
+    judge different similarity geometries; record-linkage pipelines
+    verify with Levenshtein because it catches single-character noise —
+    OCR errors, typos, mojibake — that token-level Jaccard rounds away).
+    Sorted-neighborhood candidates (`_snm_candidates`, the identical
+    blocking stage `dedup_sorted_neighborhood` uses, so the two verify
+    strategies are directly comparable pair-for-pair) are scored with
+    exact Levenshtein over the first {_EDIT_PREFIX} chars and kept when
+    sim = 1 - dist/max_len >= 0.8, gated as the exact integer comparison
+    {_EDIT_SIM_NUM}*dist <= max_len (hash-parity rule: no double
+    threshold compares); edit_sim is one IEEE division, identical on
+    both engines.
+
+    Scale shape: candidate volume is LINEAR (w-1 pairs per record by
+    construction — the SNM property), each pair costs one bounded
+    O({_EDIT_PREFIX}^2) DP evaluated JVM-side (`F.levenshtein`, inside
+    codegen — no Python), and the text probe is two doc_id-aligned hash
+    joins shipping one {_EDIT_PREFIX}-char prefix per side.  The prefix
+    cap is the documented trade: production record linkage compares
+    normalized key fields, not whole documents — full-text exactness at
+    scale is the substring family's job."""
+    (docs,) = T(spark, sf_dir, "documents")
+    cand = _snm_candidates(docs)
+    t = docs.select(
+        "doc_id", F.substring("text", 1, _EDIT_PREFIX).alias("p")
+    )
+    ta = t.alias("ta")
+    tb = t.alias("tb")
+    scored = (
+        cand.join(ta, F.col("ta.doc_id") == F.col("a_id"))
+        .join(tb, F.col("tb.doc_id") == F.col("b_id"))
+        .select(
+            "a_id",
+            "b_id",
+            F.levenshtein(F.col("ta.p"), F.col("tb.p"))
+            .cast("long")
+            .alias("edit_distance"),
+            F.greatest(F.length("ta.p"), F.length("tb.p"))
+            .cast("long")
+            .alias("max_len"),
+        )
+    )
+    return scored.filter(
+        F.lit(_EDIT_SIM_NUM) * F.col("edit_distance") <= F.col("max_len")
+    ).select(
+        "a_id",
+        "b_id",
+        "edit_distance",
+        "max_len",
+        (
+            F.lit(1.0) - F.col("edit_distance").cast("double") / F.col("max_len")
+        ).alias("edit_sim"),
+    )
+
+
+dedup_editdist_verify.__doc__ = (
+    dedup_editdist_verify.__doc__.replace("{_EDIT_PREFIX}", str(_EDIT_PREFIX))
+    .replace("{_EDIT_SIM_NUM}", str(_EDIT_SIM_NUM))
+)
 
 
 _CHUNK_DEDUP_ORACLE = """
@@ -3352,6 +3459,30 @@ SELECT doc_id, span_start, span_end, span_tokens FROM spans
 """
 
 
+def _gap_merge_spans(seeds: DataFrame, L: int) -> DataFrame:
+    """Seed starts (doc_id, pos) -> maximal disjoint covered spans: the
+    gap-<=-L lag flag + running sum per document (two window functions
+    over ONE per-doc sort; see `dedup_exact_substring_spans` for the
+    maximality proof).  Shared by the corpus-dup spans family and the
+    eval-set span decontamination — identical clustering, different seed
+    predicate."""
+    w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    runs = seeds.withColumn(
+        "new_run",
+        F.when(
+            F.col("pos") - F.lag("pos").over(w_doc) <= L, F.lit(0)
+        ).otherwise(F.lit(1)),
+    ).withColumn(
+        "grp",
+        F.sum("new_run").over(w_doc.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return runs.groupBy("doc_id", "grp").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + L - 1).alias("span_end"),
+        (F.max("pos") - F.min("pos") + L).alias("span_tokens"),
+    ).select("doc_id", "span_start", "span_end", "span_tokens")
+
+
 def _substring_spans(spark: SparkSession, sf_dir: str, L: int) -> DataFrame:
     """The L-gram seed-cover spans pipeline at threshold ``L`` (plan and
     exactness argument in `dedup_exact_substring_spans`'s docstring —
@@ -3380,26 +3511,7 @@ def _substring_spans(spark: SparkSession, sf_dir: str, L: int) -> DataFrame:
         .select("h")
     )
     seeds = grams.join(dup, "h").select("doc_id", "pos")
-    w_doc = Window.partitionBy("doc_id").orderBy("pos")
-    # lag-gap flag + running sum = gap-<=-L clustering (maximal disjoint
-    # covered intervals; see docstring) — two window functions over the
-    # SAME per-doc sort, one Sort node in the plan
-    runs = seeds.withColumn(
-        "new_run",
-        F.when(
-            F.col("pos") - F.lag("pos").over(w_doc) <= L, F.lit(0)
-        ).otherwise(F.lit(1)),
-    ).withColumn(
-        "grp",
-        F.sum("new_run").over(
-            w_doc.rowsBetween(Window.unboundedPreceding, 0)
-        ),
-    )
-    return runs.groupBy("doc_id", "grp").agg(
-        F.min("pos").alias("span_start"),
-        (F.max("pos") + L - 1).alias("span_end"),
-        (F.max("pos") - F.min("pos") + L).alias("span_tokens"),
-    ).select("doc_id", "span_start", "span_end", "span_tokens")
+    return _gap_merge_spans(seeds, L)
 
 
 @query("dedup_exact_substring_spans", _SUBDUP_ORACLE, tags=("dedup",))
@@ -3579,21 +3691,7 @@ def dedup_exact_substring_incremental(spark: SparkSession, sf_dir: str) -> DataF
         .select("h")
     )
     seeds = arr_grams.join(dup, "h").select("doc_id", "pos")
-    w_doc = Window.partitionBy("doc_id").orderBy("pos")
-    runs = seeds.withColumn(
-        "new_run",
-        F.when(
-            F.col("pos") - F.lag("pos").over(w_doc) <= L, F.lit(0)
-        ).otherwise(F.lit(1)),
-    ).withColumn(
-        "grp",
-        F.sum("new_run").over(w_doc.rowsBetween(Window.unboundedPreceding, 0)),
-    )
-    return runs.groupBy("doc_id", "grp").agg(
-        F.min("pos").alias("span_start"),
-        (F.max("pos") + L - 1).alias("span_end"),
-        (F.max("pos") - F.min("pos") + L).alias("span_tokens"),
-    ).select("doc_id", "span_start", "span_end", "span_tokens")
+    return _gap_merge_spans(seeds, L)
 
 
 _SUBDUP_RATE_ORACLE = f"""
@@ -3726,7 +3824,16 @@ def dedup_exact_substring_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     expression), so cleaned_text hash-checks verbatim.  The reference
     has no dedup surface at all (SURVEY.md S2.b)."""
     (docs,) = T(spark, sf_dir, "documents")
-    spans = dedup_exact_substring_spans(spark, sf_dir)
+    return _apply_spans(docs, dedup_exact_substring_spans(spark, sf_dir))
+
+
+def _apply_spans(docs: DataFrame, spans: DataFrame) -> DataFrame:
+    """Delete the covered tokens of ``spans`` from every document (plan
+    in `dedup_exact_substring_apply`'s docstring): per-doc span-array
+    collect (<= n_tokens/L disjoint entries), doc_id-aligned LEFT join,
+    row-local indexed-lambda filter.  Shared by the corpus-dup apply and
+    the decontamination apply — identical deletion, different span
+    source."""
     sarr = spans.groupBy("doc_id").agg(
         F.expr(
             "array_sort(collect_list(struct(span_start AS s, span_end AS e)))"
@@ -3749,6 +3856,362 @@ def dedup_exact_substring_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             " p -> i + 1 >= p.s AND i + 1 <= p.e)) END)"
         ).alias("cleaned_text"),
     )
+
+
+# eval split predicate — the SAME deterministic ~1/20 slice
+# decontaminate_eval_overlap uses (text_analysis._DECON_EVAL; duplicated
+# rather than imported to keep the modules acyclic — pinned equal by
+# test_decon_eval_split_predicates_agree)
+_DECON_SUB_EVAL = "substr(md5(CAST(doc_id AS STRING)), 1, 2) <= '0c'"
+
+_DECON_SUB_CTES = f"""tok AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS w,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= '0c' AS is_eval
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, is_eval, CAST(i AS BIGINT) AS pos,
+         md5(array_to_string(w[i:i+{_SUBDUP_L}-1], ' ')) AS h
+  FROM (SELECT doc_id, w, is_eval,
+               UNNEST(generate_series(1, len(w) - {_SUBDUP_L} + 1)) AS i
+        FROM tok WHERE len(w) >= {_SUBDUP_L})
+),
+eval_h AS (SELECT DISTINCT h FROM grams WHERE is_eval),
+seeds AS (SELECT g.doc_id, g.pos
+          FROM grams g JOIN eval_h USING (h) WHERE NOT g.is_eval),
+clustered AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                   <= {_SUBDUP_L} THEN 0 ELSE 1 END AS new_run
+  FROM seeds
+),
+runs AS (
+  SELECT doc_id, pos,
+         SUM(new_run) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) AS grp
+  FROM clustered
+),
+spans AS (
+  SELECT doc_id,
+         CAST(MIN(pos) AS BIGINT) AS span_start,
+         CAST(MAX(pos) + {_SUBDUP_L} - 1 AS BIGINT) AS span_end,
+         CAST(MAX(pos) - MIN(pos) + {_SUBDUP_L} AS BIGINT) AS span_tokens
+  FROM runs GROUP BY doc_id, grp
+)"""
+
+_DECON_SUB_ORACLE = f"""
+WITH {_DECON_SUB_CTES}
+SELECT doc_id, span_start, span_end, span_tokens FROM spans
+"""
+
+
+@query(
+    "decontaminate_substring_spans",
+    _DECON_SUB_ORACLE,
+    tags=("dedup", "text", "etl"),
+)
+def decontaminate_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPAN-LEVEL benchmark decontamination — the substring-dedup
+    machinery (Lee et al. 2022) pointed at the eval set instead of the
+    corpus: for every TRAINING document, the maximal token intervals
+    covered by a verbatim >= L-token substring that also occurs in an
+    EVAL document (the same deterministic md5(doc_id)-prefix eval slice
+    `decontaminate_eval_overlap` screens against).  Where the 8-gram
+    overlap query FLAGS contaminated docs for wholesale removal, this
+    emits the surgical removal list — delete just the leaked passage,
+    keep the doc — the remediation Lee et al. apply to benchmark leaks.
+    Output rows are (doc_id, span_start, span_end, span_tokens) over
+    training docs only, directly consumable by the
+    `dedup_exact_substring_apply` deletion shape.
+
+    Plan, and why it is LIGHTER than the corpus-dup spans query: the
+    seed predicate needs no corpus-wide gram-count shuffle at all — the
+    eval side is a benchmark corpus (megabytes at any training scale),
+    so its distinct gram-hash set BROADCASTS, and training grams become
+    seeds via a map-side broadcast-hash join (md5 computed BEFORE the
+    probe; 20-word strings never leave the row).  The only exchange the
+    training side pays is the per-doc window sort of the surviving seeds
+    (contamination-bounded, tiny), then the shared gap-<=-L merge
+    (`_gap_merge_spans` — identical clustering and maximality proof as
+    `dedup_exact_substring_spans`, including its md5-collision caveat).
+    Corpus-linear in the training side with ZERO training-side
+    wide-shuffle: the 100 TB decontamination pass at the cost of a scan."""
+    (docs,) = T(spark, sf_dir, "documents")
+    L = _SUBDUP_L
+    tok = docs.select(
+        "doc_id",
+        F.expr("filter(split(lower(text), ' '), x -> x <> '')").alias("w"),
+        F.expr(_DECON_SUB_EVAL).alias("is_eval"),
+    ).filter(F.size("w") >= L)
+    grams = tok.select(
+        "doc_id",
+        "is_eval",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, size(w) - {L} + 1),"
+                f" i -> md5(concat_ws(' ', slice(w, i, {L}))))"
+            )
+        ).alias("p0", "h"),
+    ).select("doc_id", "is_eval", (F.col("p0") + 1).cast("long").alias("pos"), "h")
+    # eval gram-hash set: benchmark-sized, broadcast — the training side
+    # is filtered map-side and never shuffles whole (same rationale as
+    # decontaminate_eval_overlap's broadcast; no pre-distinct on the
+    # training side either, the broadcast filter runs first)
+    eval_h = grams.filter("is_eval").select("h").distinct()
+    seeds = (
+        grams.filter(~F.col("is_eval"))
+        .join(F.broadcast(eval_h), "h")
+        .select("doc_id", "pos")
+    )
+    return _gap_merge_spans(seeds, L)
+
+
+_DECON_APPLY_ORACLE = f"""
+WITH {_DECON_SUB_CTES},
+sarr AS (
+  SELECT doc_id,
+         list({{'s': span_start, 'e': span_end}} ORDER BY span_start) AS sp,
+         CAST(SUM(span_tokens) AS BIGINT) AS nrem
+  FROM spans GROUP BY doc_id
+),
+train AS (SELECT doc_id, w FROM tok WHERE NOT is_eval)
+SELECT t.doc_id,
+       CAST(len(t.w) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(s.nrem, 0) AS BIGINT) AS n_removed,
+       CAST(len(t.w) - COALESCE(s.nrem, 0) AS BIGINT) AS n_kept,
+       COALESCE(array_to_string(
+         CASE WHEN s.sp IS NULL THEN t.w
+              ELSE list_filter(t.w, (x, i) ->
+                     len(list_filter(s.sp,
+                         p -> i BETWEEN p.s AND p.e)) = 0) END,
+         ' '), '') AS cleaned_text
+FROM train t LEFT JOIN sarr s USING (doc_id)
+"""
+
+
+_LEAK_REPORT_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS w,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= '0c' AS is_eval
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, is_eval, md5(array_to_string(w[i:i+{_SUBDUP_L}-1], ' ')) AS h
+  FROM (SELECT doc_id, w, is_eval,
+               UNNEST(generate_series(1, len(w) - {_SUBDUP_L} + 1)) AS i
+        FROM tok WHERE len(w) >= {_SUBDUP_L})
+),
+eg AS (SELECT DISTINCT doc_id, h FROM grams WHERE is_eval),
+hits AS (
+  SELECT DISTINCT g.h, g.doc_id AS train_doc
+  FROM grams g JOIN (SELECT DISTINCT h FROM eg) e USING (h)
+  WHERE NOT g.is_eval
+),
+per_doc AS (
+  SELECT e.doc_id,
+         CAST(COUNT(DISTINCT CASE WHEN t.train_doc IS NOT NULL THEN e.h END)
+              AS BIGINT) AS n_leaked_grams,
+         CAST(COUNT(DISTINCT t.train_doc) AS BIGINT) AS n_training_docs
+  FROM eg e LEFT JOIN hits t USING (h)
+  GROUP BY e.doc_id
+),
+sizes AS (SELECT doc_id, CAST(COUNT(DISTINCT h) AS BIGINT) AS n_grams FROM eg GROUP BY doc_id)
+SELECT s.doc_id, s.n_grams, p.n_leaked_grams, p.n_training_docs
+FROM sizes s JOIN per_doc p USING (doc_id)
+WHERE p.n_leaked_grams > 0
+"""
+
+
+@query(
+    "decontaminate_leak_report",
+    _LEAK_REPORT_ORACLE,
+    tags=("dedup", "text", "etl"),
+)
+def decontaminate_leak_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BENCHMARK-OWNER view of span-level decontamination — the
+    reverse rollup of `decontaminate_substring_spans`: for every LEAKED
+    eval document, its distinct-L-gram count, how many of those grams
+    occur verbatim in the training corpus, and how many distinct
+    training documents carry them.  This is the report an eval maintainer
+    publishes (GPT-3 appendix C / PaLM contamination tables: per-benchmark
+    "% examples leaked, n overlapping documents"), and the number that
+    decides whether a benchmark score survives the leak or the benchmark
+    needs a clean split.
+
+    Plan: the eval side is benchmark-sized, so its distinct (doc, gram)
+    set and gram-hash set both BROADCAST; training grams probe the hash
+    set MAP-SIDE (md5 pre-probe, same as the spans twin) and only the
+    contamination-bounded hit set (distinct (gram, train_doc)) reaches an
+    aggregation — keyed by gram hash, then joined back to the broadcast
+    eval grams and rolled up per eval doc.  The training corpus is
+    scanned once and never wide-shuffled; every aggregation state is
+    bounded by eval size x contamination, not corpus size."""
+    (docs,) = T(spark, sf_dir, "documents")
+    L = _SUBDUP_L
+    tok = docs.select(
+        "doc_id",
+        F.expr("filter(split(lower(text), ' '), x -> x <> '')").alias("w"),
+        F.expr(_DECON_SUB_EVAL).alias("is_eval"),
+    ).filter(F.size("w") >= L)
+    grams = tok.select(
+        "doc_id",
+        "is_eval",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(w) - {L} + 1),"
+                f" i -> md5(concat_ws(' ', slice(w, i, {L}))))"
+            )
+        ).alias("h"),
+    )
+    eg = grams.filter("is_eval").select("doc_id", "h").distinct()
+    eval_h = eg.select("h").distinct()
+    hits = (
+        grams.filter(~F.col("is_eval"))
+        .join(F.broadcast(eval_h), "h")
+        .select("h", F.col("doc_id").alias("train_doc"))
+        .distinct()
+    )
+    per_doc = (
+        eg.join(hits, "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count_distinct(
+                F.when(F.col("train_doc").isNotNull(), F.col("h"))
+            ).alias("n_leaked_grams"),
+            F.count_distinct("train_doc").alias("n_training_docs"),
+        )
+    )
+    sizes = eg.groupBy("doc_id").agg(F.count_distinct("h").alias("n_grams"))
+    return (
+        sizes.join(per_doc, "doc_id")
+        .filter(F.col("n_leaked_grams") > 0)
+        .select("doc_id", "n_grams", "n_leaked_grams", "n_training_docs")
+    )
+
+
+@query(
+    "decontaminate_substring_apply",
+    _DECON_APPLY_ORACLE,
+    tags=("dedup", "text", "etl"),
+)
+def decontaminate_substring_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY half of span-level decontamination: emit the CLEANED
+    TRAINING corpus — every training document (eval docs are not part of
+    the output; they are the benchmark being protected), with the leaked
+    >= L-token passages from `decontaminate_substring_spans` deleted —
+    (doc_id, n_tokens, n_removed, n_kept, cleaned_text).  The surgical
+    remediation Lee et al. 2022 apply to benchmark leaks: keep the doc,
+    excise the passage — versus `decontaminate_eval_overlap`'s
+    flag-for-wholesale-removal rule.
+
+    Plan: the decontamination spans pipeline (broadcast eval-gram probe,
+    zero training-side wide shuffle) feeding the SAME row-local deletion
+    as `dedup_exact_substring_apply` (`_apply_spans`: per-doc span-array
+    collect, one doc_id-aligned left join, indexed-lambda array filter —
+    no positional explode, no range join).  Both engines run the
+    identical lambda (0- vs 1-based index offset handled), so
+    cleaned_text hash-checks verbatim; spanless and sub-L docs pass
+    through whole, fully-leaked docs emit '' with n_kept 0."""
+    (docs,) = T(spark, sf_dir, "documents")
+    train = docs.filter(~F.expr(_DECON_SUB_EVAL))
+    return _apply_spans(train, decontaminate_substring_spans(spark, sf_dir))
+
+
+_TOPDUP_K = 20
+
+_TOPDUP_ORACLE = f"""
+WITH words AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, array_to_string(w[i:i+{_SUBDUP_L}-1], ' ') AS g
+  FROM (SELECT doc_id, w, UNNEST(generate_series(1, len(w) - {_SUBDUP_L} + 1)) AS i
+        FROM words WHERE len(w) >= {_SUBDUP_L})
+),
+counted AS (
+  SELECT md5(g) AS h,
+         CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         CAST(MIN(doc_id) AS BIGINT) AS example_doc_id,
+         MIN(g) AS gram_text
+  FROM grams GROUP BY md5(g) HAVING COUNT(*) >= 2
+)
+SELECT h, n_occurrences, n_docs, example_doc_id, gram_text
+FROM counted
+ORDER BY n_occurrences DESC, h
+LIMIT {_TOPDUP_K}
+"""
+
+
+@query("substring_top_duplicated", _TOPDUP_ORACLE, tags=("dedup", "agg"))
+def substring_top_duplicated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MOST-DUPLICATED-passages report — Lee et al. 2022's Table 1
+    move (they print the most-frequent duplicated substrings to show
+    WHAT the corpus repeats: licenses, boilerplate, templated spam): the
+    top-{_TOPDUP_K} duplicated L-grams by occurrence count, each with
+    its occurrence count, distinct-doc count, a deterministic example
+    doc, and the verbatim gram text.  The eyeball-check a data lead runs
+    before trusting any removal rate, and the artifact a crawl-source
+    audit attaches.
+
+    Determinism at the boundary: ties in n_occurrences are broken by the
+    gram hash (ORDER BY count DESC, h in both engines), so the top-k SET
+    is engine-independent; example_doc_id is MIN(doc_id) and gram_text
+    MIN(g) per hash (all occurrences of a gram share the text — MIN is
+    just the engine-neutral pick), so every output value hash-checks.
+
+    Scale shape — TWO corpus scans, and that is the point: a single-pass
+    groupBy(h) carrying MIN(gram_text) would ship one 20-word string per
+    distinct gram per partition through the exchange (partial aggregates
+    buffer the MIN before the HAVING can drop anything) — the exact
+    string shuffle the whole substring family exists to avoid.  Instead:
+    pass 1 is a pure COUNT groupBy on the 32-hex md5 (map-side
+    combinable, strings never leave the row) + orderBy().limit() =
+    TakeOrderedAndProject for the k winning hashes; pass 2 re-scans the
+    corpus (recomputing the explode — scan-bound, the cheap currency at
+    100 TB), probes the BROADCAST k-hash set map-side, and only the
+    surviving occurrences (k grams x their df) carry text/doc_id into a
+    k-group agg — where n_docs and example_doc_id come exactly, since
+    every occurrence of a winning gram is present.  Corpus-linear, one
+    narrow count shuffle + one broadcast probe."""
+    (docs,) = T(spark, sf_dir, "documents")
+    L = _SUBDUP_L
+    words = docs.select(
+        "doc_id",
+        F.expr("filter(split(lower(text), ' '), x -> x <> '')").alias("w"),
+    ).filter(F.size("w") >= L)
+    grams = words.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(w) - {L} + 1),"
+                f" i -> concat_ws(' ', slice(w, i, {L})))"
+            )
+        ).alias("g"),
+    ).select("doc_id", "g", F.md5("g").alias("h"))
+    topk = (
+        grams.groupBy("h")
+        .agg(F.count("*").alias("n_occurrences"))
+        .filter(F.col("n_occurrences") >= 2)
+        .orderBy(F.desc("n_occurrences"), "h")
+        .limit(_TOPDUP_K)
+    )
+    return (
+        grams.join(F.broadcast(topk), "h")
+        .groupBy("h", "n_occurrences")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("example_doc_id"),
+            F.min("g").alias("gram_text"),
+        )
+        .select("h", "n_occurrences", "n_docs", "example_doc_id", "gram_text")
+    )
+
+
+substring_top_duplicated.__doc__ = substring_top_duplicated.__doc__.replace(
+    "{_TOPDUP_K}", str(_TOPDUP_K)
+)
 
 
 # interpolate docstring constants (round-11 sweep)

@@ -1997,6 +1997,166 @@ def test_exact_substring_l50_subset_of_l20(spark, tmp_path):
     )
 
 
+def test_decon_eval_split_predicates_agree():
+    """decontaminate_substring_spans duplicates the eval-split predicate
+    rather than importing it (module acyclicity); the two constants must
+    stay textually identical so both queries screen against the SAME
+    eval slice."""
+    from map_reduce485_spark.queries.dedup import _DECON_SUB_EVAL
+    from map_reduce485_spark.queries.text_analysis import _DECON_EVAL
+
+    assert _DECON_SUB_EVAL == _DECON_EVAL
+
+
+def test_decontaminate_substring_spans_semantics(spark, tmp_path):
+    """Span-level decontamination on a constructed corpus: an eval doc
+    leaks a 30-token motif into one training doc -> exactly one span
+    covering the motif in the TRAINING doc (never a span on an eval
+    doc); a motif shared only between two TRAINING docs is corpus
+    duplication, not contamination -> no span from this query (but the
+    corpus-dup spans query must find it — the two seed predicates split
+    the work exactly)."""
+    from map_reduce485_spark.queries import REGISTRY, _load_all
+    from map_reduce485_spark.queries.dedup import _DECON_SUB_EVAL
+
+    _load_all()
+    from pyspark.sql import functions as F
+
+    motif = [f"e{i:03d}" for i in range(30)]  # >= L = 20
+    dupm = [f"d{i:03d}" for i in range(25)]
+    filler = lambda tag, n: [f"{tag}{i:03d}" for i in range(n)]
+    mk = lambda ts: " ".join(ts)
+    # pick doc ids on each side of the eval split deterministically
+    probe = spark.range(1, 400).select(
+        "id", F.expr(_DECON_SUB_EVAL.replace("doc_id", "id")).alias("ev")
+    ).collect()
+    eval_ids = [r.id for r in probe if r.ev]
+    train_ids = [r.id for r in probe if not r.ev]
+    e1, t1, t2, t3 = eval_ids[0], train_ids[0], train_ids[1], train_ids[2]
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (e1, mk(motif + filler("a", 10)), "en", "t", 1),
+            (t1, mk(filler("b", 7) + motif + filler("c", 5)), "en", "t", 1),
+            (t2, mk(dupm + filler("x", 20)), "en", "t", 1),
+            (t3, mk(filler("y", 9) + dupm), "en", "t", 1),
+        ],
+    )
+    got = {
+        (r.doc_id, r.span_start, r.span_end, r.span_tokens)
+        for r in REGISTRY["decontaminate_substring_spans"].fn(spark, sf).collect()
+    }
+    assert got == {(t1, 8, 37, 30)}  # motif at positions 8..37, train doc only
+    dup_docs = {
+        r.doc_id
+        for r in REGISTRY["dedup_exact_substring_spans"].fn(spark, sf).collect()
+    }
+    assert {t2, t3} <= dup_docs  # corpus-dup query owns the train-train pair
+
+
+def test_substring_top_duplicated_tie_boundary(spark, tmp_path):
+    """Top-k determinism when EVERY candidate ties (two identical docs:
+    every gram has n_occurrences = 2): the selection must be the k
+    smallest hashes (ORDER BY count DESC, h) on both engines, the exact
+    boundary case the natural corpus may never exercise."""
+    import duckdb
+
+    from map_reduce485_spark.queries import REGISTRY, _load_all
+    from map_reduce485_spark.queries.dedup import _TOPDUP_K, _TOPDUP_ORACLE
+
+    _load_all()
+    text = " ".join(f"w{i:03d}" for i in range(45))  # 26 grams at L=20
+    sf = _write_docs(
+        spark, tmp_path, [(1, text, "en", "t", 1), (2, text, "en", "t", 1)]
+    )
+    got = REGISTRY["substring_top_duplicated"].fn(spark, sf).collect()
+    assert len(got) == _TOPDUP_K
+    assert all(r.n_occurrences == 2 and r.n_docs == 2 and r.example_doc_id == 1
+               for r in got)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM read_parquet("
+        f"'{sf}/documents.parquet/*.parquet')"
+    )
+    want = {
+        (r[0], r[1], r[2], r[3], r[4])
+        for r in con.execute(_TOPDUP_ORACLE).fetchall()
+    }
+    assert {
+        (r.h, r.n_occurrences, r.n_docs, r.example_doc_id, r.gram_text)
+        for r in got
+    } == want
+
+
+def test_decontaminate_leak_report_semantics(spark, tmp_path):
+    """Benchmark-owner rollup on a constructed corpus: an eval doc whose
+    30-token motif leaks into TWO training docs reports n_training_docs
+    = 2 and exactly its duplicated distinct grams as leaked; a clean
+    eval doc emits nothing (n_leaked_grams > 0 filter)."""
+    from pyspark.sql import functions as F
+
+    from map_reduce485_spark.queries import REGISTRY, _load_all
+    from map_reduce485_spark.queries.dedup import _DECON_SUB_EVAL, _SUBDUP_L
+
+    _load_all()
+    probe = spark.range(1, 400).select(
+        "id", F.expr(_DECON_SUB_EVAL.replace("doc_id", "id")).alias("ev")
+    ).collect()
+    eval_ids = [r.id for r in probe if r.ev]
+    train_ids = [r.id for r in probe if not r.ev]
+    e1, e2, t1, t2 = eval_ids[0], eval_ids[1], train_ids[0], train_ids[1]
+    motif = [f"e{i:03d}" for i in range(30)]
+    filler = lambda tag, n: [f"{tag}{i:03d}" for i in range(n)]
+    mk = lambda ts: " ".join(ts)
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (e1, mk(motif + filler("a", 5)), "en", "t", 1),
+            (e2, mk(filler("z", 40)), "en", "t", 1),  # clean eval doc
+            (t1, mk(filler("b", 3) + motif), "en", "t", 1),
+            (t2, mk(motif + filler("c", 8)), "en", "t", 1),
+        ],
+    )
+    rows = {r.doc_id: r for r in
+            REGISTRY["decontaminate_leak_report"].fn(spark, sf).collect()}
+    assert set(rows) == {e1}
+    r = rows[e1]
+    # e1 has 35 tokens -> 16 grams, of which the 11 motif-only grams
+    # (starts 1..30-L+1) occur in the training docs
+    assert r.n_grams == 35 - _SUBDUP_L + 1
+    assert r.n_leaked_grams == 30 - _SUBDUP_L + 1
+    assert r.n_training_docs == 2
+
+
+def test_editdist_verify_semantics(spark, tmp_path):
+    """Edit-space verification on a constructed corpus: a one-character
+    substitution inside the compared prefix must survive (dist 1), a
+    structurally different doc must be excluded even though SNM makes
+    every pair in a tiny corpus a candidate, and the 5*dist <= max_len
+    gate must be exact at the boundary."""
+    from map_reduce485_spark.queries import REGISTRY, _load_all
+
+    _load_all()
+    base = "the quick brown fox jumps over the lazy dog " * 5  # 225 chars
+    nearly = base[:100] + "X" + base[101:]
+    other = "zz " + " ".join(f"q{i}" for i in range(60))
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [(1, base, "en", "t", 1), (2, nearly, "en", "t", 1), (3, other, "en", "t", 1)],
+    )
+    rows = {
+        (r.a_id, r.b_id): r
+        for r in REGISTRY["dedup_editdist_verify"].fn(spark, sf).collect()
+    }
+    assert set(rows) == {(1, 2)}
+    r = rows[(1, 2)]
+    assert r.edit_distance == 1 and r.max_len == len(base)
+    assert abs(r.edit_sim - (1 - 1 / len(base))) < 1e-12
+
+
 def test_winnowing_capped_equals_exact_below_cap(spark):
     """Whenever every fingerprint's df is under the cap, the df-capped
     scale twin must reproduce the exact summary EXACTLY and report zero

@@ -343,6 +343,16 @@ def main() -> int:
         # geometry at the production shape even where the span set is
         # small/empty (the summary row keeps it sentinel-shaped)
         "dedup_exact_substring_spans_l50",
+        # round-13 continuation: span-level eval decontamination (the
+        # broadcast eval-gram probe must stay a map-side filter — zero
+        # training-side wide shuffle at any mult); the most-duplicated-
+        # passages report (two corpus scans by design: count on hashes,
+        # then broadcast-probe the k winners for text); and the edit-
+        # space SNM verify (linear candidates, bounded 256-char DP per
+        # pair, JVM-side levenshtein)
+        "decontaminate_substring_spans",
+        "substring_top_duplicated",
+        "dedup_editdist_verify",
     ]
     # scan-parallelism proof on the multi-file layout
     n_parts = load_table(spark, sf_dir, "lineitem").rdd.getNumPartitions()
@@ -519,13 +529,22 @@ def main() -> int:
                 # first regen with cal_ratio 0.708 turned 24 raw
                 # 1.1-1.4x readings into >1.5x "normalized" flags, the
                 # exact false-flag class the gate exists to kill
+                # ...and by an ABSOLUTE floor (round 13): a ratio flag
+                # must also move > 5 s of wall clock.  Same-session
+                # best-of-N spread on sub-10 s queries reaches 3x with
+                # unchanged code (dedup_simhash_summary_wide at 10x:
+                # [1.95, 5.82] s across five same-HEAD measures — JVM/GC/
+                # shuffle-spill noise, adjudicated in NOTES_r13), so a
+                # 3-second swing carries no signal; the regressions the
+                # gate exists for (e.g. the 100x 72->110 s class) move
+                # tens of seconds and still flag.
                 flagged = {}
                 for name, rec in queries.items():
                     if not prev_q.get(name):
                         continue
                     raw = rec["sec"] / prev_q[name]
                     norm = raw / max(cal_ratio, 1e-9)
-                    if min(raw, norm) > 1.5:
+                    if min(raw, norm) > 1.5 and rec["sec"] - prev_q[name] > 5.0:
                         flagged[name] = {
                             "prev_sec": prev_q[name],
                             "now_sec": rec["sec"],
