@@ -110,6 +110,22 @@ def distributed_rank(
     to the single-partition ``row_number`` regardless of the sampled range
     boundaries, so oracle hashes are unaffected by the swap.
 
+    The tagged frame is MATERIALIZED once (``cache_scoped``) before the
+    two consumers read it — NOT an optimization but a correctness
+    requirement (round-13 find): the offsets aggregate and the final join
+    are separate executions of the same sub-plan, and
+    ``repartitionByRange`` SAMPLES its boundaries nondeterministically
+    per execution, so without the barrier the per-partition offsets of
+    one partitioning get applied to rows partitioned by ANOTHER —
+    measured at the 100x smoke scale as non-dense, run-varying ranks
+    (max rk 485,614 / 492,811 over n = 500,000 on consecutive same-
+    session runs; exchange reuse does hide it at test SF, which is why
+    the dense-total-order canary never fired).  With the barrier the
+    same probe reads max = distinct = n with a bit-identical digest
+    across runs.  The cached state is the caller's rank PROJECTION
+    (order cols + carried cols), not the full table, and is released by
+    the standard scope hooks.
+
     The same shape the reference would need R>1 reducers + an offset pass
     for (its global sort is the single-reducer ``worker/__main__.py`` sort
     with R=1); here the offsets pass is ~num_partitions rows.
@@ -120,10 +136,12 @@ def distributed_rank(
         if num_partitions
         else df.repartitionByRange(*cols)
     )
-    tagged = part.sortWithinPartitions(*cols).select(
-        "*",
-        F.spark_partition_id().alias("_dr_pid"),
-        F.monotonically_increasing_id().alias("_dr_mid"),
+    tagged = cache_scoped(
+        part.sortWithinPartitions(*cols).select(
+            "*",
+            F.spark_partition_id().alias("_dr_pid"),
+            F.monotonically_increasing_id().alias("_dr_mid"),
+        )
     )
     stats = tagged.groupBy("_dr_pid").agg(
         F.count("*").alias("_dr_cnt"), F.min("_dr_mid").alias("_dr_min")
@@ -164,8 +182,12 @@ def distributed_prefix_max(
     answer is ``greatest(local_prefix, partition_prefix)`` — ``greatest``
     skips NULLs, and is NULL only for the global first row.
 
-    Same total-order requirement as :func:`distributed_rank`; with a total
-    order the result is bit-identical to the single-partition window.
+    Same total-order requirement as :func:`distributed_rank`, and the same
+    MATERIALIZATION requirement (round-13 find, see that docstring): the
+    local-window and per-partition-max consumers are separate executions,
+    and ``repartitionByRange`` samples boundaries per execution, so the
+    tagged frame must be a barrier or the broadcast offsets describe a
+    different partitioning than the rows they join.
     """
     cols = _order_cols(order_by)
     part = (
@@ -173,7 +195,9 @@ def distributed_prefix_max(
         if num_partitions
         else df.repartitionByRange(*cols)
     )
-    tagged = part.select("*", F.spark_partition_id().alias("_dp_pid"))
+    tagged = cache_scoped(
+        part.select("*", F.spark_partition_id().alias("_dp_pid"))
+    )
     lw = (
         W.partitionBy("_dp_pid")
         .orderBy(*cols)
@@ -217,7 +241,11 @@ def distributed_prefix_sum(
 
     Same total-order requirement as :func:`distributed_rank`; with a total
     order the result is bit-identical to the single-partition window
-    regardless of where the sampled range boundaries fall.
+    regardless of where the sampled range boundaries fall — PROVIDED the
+    tagged frame is materialized once (round-13 find, see
+    :func:`distributed_rank`): the local-scan and totals consumers are
+    separate executions and each would otherwise sample its own
+    boundaries.
 
     ``value_col``/``alias`` may be parallel LISTS to scan several columns
     in ONE pass (one range shuffle, one offsets broadcast) — the KS
@@ -235,7 +263,12 @@ def distributed_prefix_sum(
         if num_partitions
         else df.repartitionByRange(*cols)
     )
-    tagged = part.select("*", F.spark_partition_id().alias("_ps_pid"))
+    # materialization barrier — correctness, not caching (round-13 find;
+    # see distributed_rank's docstring): the local-window and totals
+    # consumers must read ONE sampled range partitioning
+    tagged = cache_scoped(
+        part.select("*", F.spark_partition_id().alias("_ps_pid"))
+    )
     lw = (
         W.partitionBy("_ps_pid")
         .orderBy(*cols)

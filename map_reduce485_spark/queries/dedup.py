@@ -1732,6 +1732,9 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _EDIT_PREFIX = 256  # chars compared; caps the O(len^2) DP per pair
 _EDIT_SIM_NUM = 5  # keep iff EDIT_SIM_NUM * dist <= max_len, i.e. sim >= 0.8
+# largest distance the gate can admit (5*dist <= max_len <= prefix) — the
+# banded-DP threshold; exactness argument at the call site
+_EDIT_MAX_DIST = _EDIT_PREFIX // _EDIT_SIM_NUM
 
 _EDITDIST_ORACLE = f"""
 WITH keyed AS (SELECT doc_id, substr(text, 1, 24) AS bk FROM documents),
@@ -1791,22 +1794,40 @@ def dedup_editdist_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ta = t.alias("ta")
     tb = t.alias("tb")
+    la, lb = F.length("ta.p").cast("long"), F.length("tb.p").cast("long")
     scored = (
         cand.join(ta, F.col("ta.doc_id") == F.col("a_id"))
         .join(tb, F.col("tb.doc_id") == F.col("b_id"))
+        # EXACT length-bound prune before the DP: levenshtein(a, b) >=
+        # |len(a) - len(b)| always, so a pair failing the threshold on
+        # length difference alone can never pass it on distance — filter
+        # FIRST so the O(prefix^2) DP runs only for length-compatible
+        # pairs (at real scale most window candidates are non-dups with
+        # differing lengths; this corpus's generator makes near-copies
+        # of near-equal length, so the prune is honest but thin here)
+        .filter(
+            F.lit(_EDIT_SIM_NUM) * F.abs(la - lb) <= F.greatest(la, lb)
+        )
+        # BANDED DP (Spark 3.5+ 3-arg levenshtein): any pair the gate can
+        # keep has dist <= prefix/5 = 51, so the threshold
+        # variant runs the O(len x maxdist) band instead of the full
+        # O(len^2) table (~5x fewer cells at the 256-char prefix) and
+        # returns -1 beyond it — EXACT for this query because true
+        # distances are still produced for every pair the threshold can
+        # admit, and -1 rows are pairs the integer gate excludes anyway
+        # (the dist >= 0 guard keeps -1 from satisfying 5*dist <= max_len).
         .select(
             "a_id",
             "b_id",
-            F.levenshtein(F.col("ta.p"), F.col("tb.p"))
+            F.levenshtein(F.col("ta.p"), F.col("tb.p"), _EDIT_MAX_DIST)
             .cast("long")
             .alias("edit_distance"),
-            F.greatest(F.length("ta.p"), F.length("tb.p"))
-            .cast("long")
-            .alias("max_len"),
+            F.greatest(la, lb).alias("max_len"),
         )
     )
     return scored.filter(
-        F.lit(_EDIT_SIM_NUM) * F.col("edit_distance") <= F.col("max_len")
+        (F.col("edit_distance") >= 0)
+        & (F.lit(_EDIT_SIM_NUM) * F.col("edit_distance") <= F.col("max_len"))
     ).select(
         "a_id",
         "b_id",

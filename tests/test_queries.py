@@ -1997,6 +1997,48 @@ def test_exact_substring_l50_subset_of_l20(spark, tmp_path):
     )
 
 
+def test_distributed_scan_helpers_materialize_range_partitioning(spark):
+    """The three distributed-scan helpers MUST read their range-
+    partitioned frame through a materialization barrier (round-13 find):
+    the offsets/totals aggregate and the row-side join are separate
+    executions of the same sub-plan, and repartitionByRange samples its
+    boundaries nondeterministically per execution — at the 100x smoke
+    scale the unbarriered rank helper produced NON-DENSE, RUN-VARYING
+    ranks (max rk 485,614/492,811 over n=500,000 on consecutive runs;
+    exchange reuse masks it at test SF, so this pin is structural: the
+    analyzed-with-cached-data plan must contain an InMemoryRelation).
+    Also re-asserts density end-to-end at test scale."""
+    from pyspark.sql import functions as F
+
+    from map_reduce485_spark.queries._util import (
+        distributed_prefix_max,
+        distributed_prefix_sum,
+        distributed_rank,
+        release_scoped_caches,
+    )
+
+    df = spark.range(5000).select(
+        (F.col("id") % 97).alias("k"), "id", F.lit(1).alias("one")
+    )
+    outs = {
+        "rank": distributed_rank(df, ["k", "id"], alias="rk"),
+        "psum": distributed_prefix_sum(df, ["k", "id"], "one", "ps"),
+        "pmax": distributed_prefix_max(df, ["k", "id"], "id", "pm"),
+    }
+    try:
+        for name, out in outs.items():
+            plan = out._jdf.queryExecution().withCachedData().toString()
+            assert "InMemoryRelation" in plan, f"{name} lost its barrier"
+        r = outs["rank"].agg(
+            F.count("*").alias("n"),
+            F.max("rk").alias("m"),
+            F.count_distinct("rk").alias("d"),
+        ).collect()[0]
+        assert (r.n, r.m, r.d) == (5000, 5000, 5000)
+    finally:
+        release_scoped_caches()
+
+
 def test_decon_eval_split_predicates_agree():
     """decontaminate_substring_spans duplicates the eval-split predicate
     rather than importing it (module acyclicity); the two constants must
