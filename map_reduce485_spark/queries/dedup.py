@@ -4010,6 +4010,118 @@ FROM train t LEFT JOIN sarr s USING (doc_id)
 """
 
 
+_DECON_MH_ORACLE = f"""
+WITH {_ORACLE_SHINGLES},
+sig AS (SELECT doc_id, {_MINHASH_SIG_COLS_SQL} FROM sh GROUP BY doc_id),
+bands AS ({_MINHASH_BANDS_SQL}),
+ev AS (SELECT doc_id FROM documents
+       WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= '0c'),
+cand AS (
+  SELECT DISTINCT t.doc_id AS doc_id, e.doc_id AS eval_doc_id
+  FROM bands t JOIN bands e ON t.band = e.band AND t.band_id = e.band_id
+  WHERE t.doc_id NOT IN (SELECT doc_id FROM ev)
+    AND e.doc_id IN (SELECT doc_id FROM ev)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+verified AS (
+  SELECT c.doc_id, c.eval_doc_id, COUNT(*) AS i
+  FROM cand c JOIN sh x ON x.doc_id = c.doc_id
+  JOIN sh y ON y.doc_id = c.eval_doc_id AND y.shingle = x.shingle
+  GROUP BY c.doc_id, c.eval_doc_id
+)
+SELECT v.doc_id, v.eval_doc_id,
+       CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+FROM verified v
+JOIN sizes sa ON sa.doc_id = v.doc_id
+JOIN sizes sb ON sb.doc_id = v.eval_doc_id
+WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {_NGRAM_THRESHOLD}
+"""
+
+
+@query(
+    "decontaminate_minhash_lsh",
+    _DECON_MH_ORACLE,
+    tags=("dedup", "text", "etl"),
+)
+def decontaminate_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUZZY benchmark decontamination — the MinHash-LSH near-dup
+    machinery pointed at the eval set, completing the decontamination
+    family's third space: `decontaminate_eval_overlap` catches exact
+    8-gram leaks, `decontaminate_substring_spans` exact >= L-token
+    passages, and this catches PARAPHRASED / lightly-edited eval
+    contamination that exact matching misses (the near-dup screening
+    production corpora run against benchmarks — token-level edits break
+    every exact gram but leave Jaccard high).  Output: each (training
+    doc, eval doc) pair banded together and VERIFIED at exact Jaccard
+    >= {_NGRAM_THRESHOLD} — the removal list plus its evidence.
+
+    Plan: signatures are the standard one-groupBy MinHash pass over the
+    WHOLE corpus (the cost a dedup pipeline already pays; a production
+    system reuses the same signature table for both jobs).  From there
+    the eval side — benchmark-sized — BROADCASTS (band digests + sorted
+    xxhash64 shingle arrays + sizes), and the training side probes it
+    MAP-SIDE per band with first-match banding (band b kept only when
+    every earlier band digest differs — no distinct shuffle), verifying
+    exact Jaccard in-row via `size(array_intersect(...))` against the
+    broadcast eval array (the record-carrying verification move from
+    `dedup_minhash_lsh`).  ZERO training-side self-join and zero
+    verify shuffle: candidates never leave their map task.  Same
+    xxhash64-collision caveat as the parent (oracle verifies on string
+    shingles; ~1e-8 at 1e9 shingles).  Recall is the LSH band curve
+    (~0.94 at s = 0.8, eval'd by `dedup_lsh_recall_eval`)."""
+    (docs,) = T(spark, sf_dir, "documents")
+    sh = _spark_shingles(docs)
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.col("shingle"), F.lit(f"#{j}")))).alias(f"h{j}")
+            for j in range(_N_PERM)
+        ],
+        F.array_sort(F.collect_list(F.xxhash64("shingle"))).alias("sh_arr"),
+        F.count("*").alias("n"),
+    )
+    dig = sig.select(
+        "doc_id",
+        "sh_arr",
+        "n",
+        *[
+            F.md5(F.concat(*[F.col(f"h{j}") for j in band])).alias(f"d{bi}")
+            for bi, band in enumerate(_BANDS)
+        ],
+        F.expr(_DECON_SUB_EVAL).alias("is_eval"),
+    )
+    ev = dig.filter("is_eval").select(
+        F.col("doc_id").alias("eval_doc_id"),
+        F.col("sh_arr").alias("e_arr"),
+        F.col("n").alias("e_n"),
+        *[F.col(f"d{bi}").alias(f"e_d{bi}") for bi in range(len(_BANDS))],
+    )
+    tr = dig.filter(~F.col("is_eval"))
+    matched = None
+    for bi in range(len(_BANDS)):
+        cond = F.col(f"d{bi}") == F.col(f"e_d{bi}")
+        for pj in range(bi):  # first-match banding, map-side
+            cond = cond & (F.col(f"d{pj}") != F.col(f"e_d{pj}"))
+        m = tr.join(F.broadcast(ev), cond)
+        matched = m if matched is None else matched.unionAll(m)
+    withi = matched.withColumn(
+        "i", F.expr("size(array_intersect(sh_arr, e_arr))").cast("long")
+    )
+    return (
+        withi.withColumn(
+            "jaccard",
+            F.col("i").cast("double")
+            / (F.col("n") + F.col("e_n") - F.col("i")),
+        )
+        .filter(F.col("jaccard") >= _NGRAM_THRESHOLD)
+        .select("doc_id", "eval_doc_id", "jaccard")
+    )
+
+
+decontaminate_minhash_lsh.__doc__ = decontaminate_minhash_lsh.__doc__.replace(
+    "{_NGRAM_THRESHOLD}", str(_NGRAM_THRESHOLD)
+)
+
+
 _LEAK_REPORT_ORACLE = f"""
 WITH tok AS (
   SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS w,

@@ -2172,6 +2172,48 @@ def test_decontaminate_leak_report_semantics(spark, tmp_path):
     assert r.n_training_docs == 2
 
 
+def test_decontaminate_minhash_catches_fuzzy_leak(spark, tmp_path):
+    """The fuzzy decon query's reason to exist, constructed exactly: a
+    training doc that paraphrases an eval doc with one token changed
+    every 19 positions has NO shared 20-token run (substring-span decon
+    finds nothing) but shingle Jaccard ~0.73 >= 0.5 — the LSH probe must
+    flag the pair with the exact verified Jaccard, and must not emit
+    train-train or unrelated pairs."""
+    from pyspark.sql import functions as F
+
+    from map_reduce485_spark.queries import REGISTRY, _load_all
+    from map_reduce485_spark.queries.dedup import _DECON_SUB_EVAL
+
+    _load_all()
+    probe = spark.range(1, 400).select(
+        "id", F.expr(_DECON_SUB_EVAL.replace("doc_id", "id")).alias("ev")
+    ).collect()
+    e1 = [r.id for r in probe if r.ev][0]
+    t1, t2 = [r.id for r in probe if not r.ev][:2]
+    base = [f"tok{i:03d}" for i in range(1, 97)]  # 96 tokens
+    edited = list(base)
+    for p in (19, 38, 57, 76, 95):  # 1-indexed spacing-19 edits
+        edited[p - 1] = f"chg{p:03d}"
+    mk = lambda ts: " ".join(ts)
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (e1, mk(base), "en", "t", 1),
+            (t1, mk(edited), "en", "t", 1),
+            (t2, mk([f"zz{i:03d}" for i in range(90)]), "en", "t", 1),
+        ],
+    )
+    got = REGISTRY["decontaminate_minhash_lsh"].fn(spark, sf).collect()
+    assert [(r.doc_id, r.eval_doc_id) for r in got] == [(t1, e1)]
+    # 4 interior edits touch 3 shingles each, the edit at position 95
+    # only 2 (max shingle start is n-2 = 94): 14 affected -> 80/108
+    assert abs(got[0].jaccard - 80 / 108) < 1e-12
+    # ...and the exact-substring decon finds NOTHING here (no >= 20-token
+    # shared run), which is precisely the gap the fuzzy space covers
+    assert REGISTRY["decontaminate_substring_spans"].fn(spark, sf).count() == 0
+
+
 def test_editdist_verify_semantics(spark, tmp_path):
     """Edit-space verification on a constructed corpus: a one-character
     substitution inside the compared prefix must survive (dist 1), a
