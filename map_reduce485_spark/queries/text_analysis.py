@@ -686,19 +686,26 @@ def decontaminate_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcasts back onto the doc table for the zero-filled left join.  At
     real scale the gram strings would be xxhash64'd to 8 bytes before the
     join; strings are kept here so the DuckDB oracle joins on identical
-    values (engine hash functions differ)."""
+    values (engine hash functions differ).
+
+    Round-13 optimization (guide §2.3 — do the cheap filter before the
+    expensive work): the eval/train split is applied on the BASE doc_id
+    column BEFORE tokenization enters the plan.  The previous shape
+    filtered `is_eval` above a shared tokenized frame and Catalyst merged
+    the predicates with the `size(split(...)) >= 8` length gate FIRST, so
+    the eval-side gram scan tokenized 100% of the corpus to keep its ~5%
+    eval slice.  Filtering first pins the md5 predicate below the split on
+    both gram scans (same rows by construction — the filters commute;
+    A/B'd row-identical, wall 0.78x / CPU within noise at sf0.1)."""
     (docs,) = T(spark, sf_dir, "documents")
-    tok = docs.select(
-        "doc_id",
-        "lang",
-        F.expr("filter(split(lower(text), ' '), x -> x <> '')").alias("w"),
-        F.expr(_DECON_EVAL).alias("is_eval"),
-    )
-    grams = (
-        tok.filter(F.size("w") >= _DECON_N)
-        .select(
+
+    def grams_of(side: DataFrame) -> DataFrame:
+        w = side.select(
             "doc_id",
-            "is_eval",
+            F.expr("filter(split(lower(text), ' '), x -> x <> '')").alias("w"),
+        )
+        return w.filter(F.size("w") >= _DECON_N).select(
+            "doc_id",
             F.explode(
                 F.expr(
                     f"transform(sequence(1, size(w) - {_DECON_N - 1}),"
@@ -706,16 +713,17 @@ def decontaminate_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("g"),
         )
-    )
-    eval_grams = grams.filter("is_eval").select("g").distinct()
+
+    is_eval = F.expr(_DECON_EVAL)
+    eval_grams = grams_of(docs.filter(is_eval)).select("g").distinct()
     hits = (
-        grams.filter(~F.col("is_eval"))
+        grams_of(docs.filter(~is_eval))
         .join(F.broadcast(eval_grams), "g")
         .groupBy("doc_id")
         .agg(F.countDistinct("g").alias("n_shared_grams"))
     )
     return (
-        tok.filter(~F.col("is_eval"))
+        docs.filter(~is_eval)
         .select("doc_id", "lang")
         .join(F.broadcast(hits), "doc_id", "left")
         .select(
