@@ -132,7 +132,19 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     as total tiebreak.  Node encoding: customers 2k, suppliers 2k+1
     (key spaces overlap numerically, so parity-tag them)."""
     orders, lineitem = T(spark, sf_dir, "orders", "lineitem")
-    e0 = (
+    # e0 and deg are CACHED alongside edges_deg (round-13 optimization):
+    # uncached, e0's orders⋈lineitem distinct re-derived from parquet
+    # inside BOTH union branches and BOTH deg consumers at every
+    # edges_deg materialization, and — the expensive half — rank0
+    # (= deg.select(...)) re-derived the whole chain from parquet on
+    # EVERY execution of the iteration plan.  Measured at the 100x smoke
+    # scale (interleaved ABBA, best-of-4 per arm): caching e0 alone is
+    # wall 0.26x / JVM-CPU 0.24x vs the uncached shape (49.5 s -> 12.8 s
+    # best; 772 -> 184 CPU-s), and caching the node-scale deg on top is
+    # another wall 0.72x / CPU 0.76x (OPTIMIZATION_r13.md).  e0 is two
+    # longs per edge and deg is node-scale — both far smaller than the
+    # already-cached edges_deg; all three release via the scope hooks.
+    e0 = cache_scoped(
         orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
         .select(
             (F.col("o_custkey") * 2).alias("src"),
@@ -143,7 +155,7 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = e0.unionAll(
         e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
+    deg = cache_scoped(edges.groupBy("src").agg(F.count("*").alias("out_deg")))
     # STATS-BEFORE-STRATEGY (round-9 verdict item 2): bound the node count
     # FIRST (two metadata-only dimension counts, `_node_bound`), then pick
     # the per-round join strategy from it instead of broadcasting
@@ -337,7 +349,11 @@ def sssp_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     style).  Weights pre-aggregate to one edge per (cust, supp) pair
     BEFORE the loop, so repeat purchases don't multiply messages."""
     orders, lineitem = T(spark, sf_dir, "orders", "lineitem")
-    e0 = (
+    # e0 cached (round-13, the pagerank mechanism): the cached-edges
+    # materialization otherwise derives the orders⋈lineitem min-weight
+    # aggregate four ways (both `und` union branches, plus `loops`'
+    # distinct over und)
+    e0 = cache_scoped(
         orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
         .groupBy("o_custkey", "l_suppkey")
         .agg(F.min(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("w"))
@@ -429,7 +445,10 @@ def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     edge, the correlation runs on six scalars.  No new machinery; the
     point is the composition."""
     orders, lineitem = T(spark, sf_dir, "orders", "lineitem")
-    e0 = (
+    # e0 cached (round-13, the pagerank mechanism): uncached, the pairs
+    # stream re-derives the orders⋈lineitem distinct TWICE per execution
+    # (both union branches) on top of the deg build's two derivations
+    e0 = cache_scoped(
         orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
         .select(
             (F.col("o_custkey") * 2).alias("src"),
@@ -750,7 +769,10 @@ def ppr_seed_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     :func:`_node_bound`); the rank frame is SPARSE (only reached nodes),
     so early rounds move strictly less than node-scale state."""
     orders, lineitem, customer = T(spark, sf_dir, "orders", "lineitem", "customer")
-    e0 = (
+    # e0 cached (round-13, the pagerank mechanism): the edges_deg
+    # materialization otherwise derives the orders⋈lineitem distinct four
+    # ways (both union branches x edges/deg consumers)
+    e0 = cache_scoped(
         orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
         .select(
             (F.col("o_custkey") * 2).alias("src"),
@@ -883,7 +905,10 @@ def link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # output remains the minimum-shuffle plan: column pruning already
     # reaches the scan, and the distinct's partial HashAggregate
     # combines map-side before its exchange.
-    e0 = (
+    # e0 cached (round-13, the pagerank mechanism): the cached capped-edge
+    # materialization otherwise derives the (c, s) distinct twice (the cap
+    # join's probe side and cdeg's build)
+    e0 = cache_scoped(
         orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
         .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
         .distinct()

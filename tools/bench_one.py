@@ -31,12 +31,26 @@ def main() -> None:
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--collect", action="store_true")
+    ap.add_argument(
+        "--conf",
+        action="append",
+        default=[],
+        help="k=v session-build conf (repeatable; for process-level confs "
+        "like spark.io.compression.codec that cannot be set at runtime)",
+    )
     args = ap.parse_args()
 
     _load_all()
     names = [n.strip() for n in args.names.split(",") if n.strip()]
-    spark = get_spark("bench_one")
+    extra = dict(kv.split("=", 1) for kv in args.conf)
+    spark = get_spark("bench_one", extra_conf=extra or None)
     spark.range(1000).selectExpr("sum(id)").collect()
+    jpid = int(spark._jvm.ProcessHandle.current().pid())
+    tick = os.sysconf("SC_CLK_TCK")
+
+    def jvm_cpu() -> float:
+        parts = open(f"/proc/{jpid}/stat").read().rsplit(")", 1)[1].split()
+        return (int(parts[11]) + int(parts[12])) / tick
 
     import tempfile
 
@@ -56,14 +70,19 @@ def main() -> None:
         spec = REGISTRY[name]
         spark.sparkContext.setJobDescription(f"bench_one:{name}")
         run_once(spec)  # warm-up, untimed
-        runs = []
+        runs, cpus_ = [], []
         for _ in range(args.runs):
-            t0 = time.perf_counter()
+            c0, t0 = jvm_cpu(), time.perf_counter()
             run_once(spec)
             runs.append(time.perf_counter() - t0)
+            cpus_.append(jvm_cpu() - c0)
         release_scoped_caches()
         spark._jvm.System.gc()
-        print(f"{name}: best {min(runs):.3f}s all {[round(r, 3) for r in runs]}")
+        print(
+            f"{name}: wall best {min(runs):.3f}s all {[round(r, 3) for r in runs]} "
+            f"cpu best {min(cpus_):.2f}s all {[round(c, 2) for c in cpus_]}",
+            flush=True,
+        )
 
 
 if __name__ == "__main__":

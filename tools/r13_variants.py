@@ -100,6 +100,123 @@ def dedup_simhash_summary_wide_v2(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def pagerank_trade_graph_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypothesis (guide §2.4, remove repeated work feeding the one cached
+    layout): `edges_deg`'s materialization recomputes the orders⋈lineitem
+    distinct inside both union branches AND both deg consumers — AQE's
+    exchange reuse recovers two of the four at runtime, but the scan + join
+    + partial agg ahead of the distinct exchange still run twice.  Caching
+    e0 (2 longs per edge) makes the distinct compute once; edges/deg then
+    read memory.  Iteration shape untouched."""
+    from pyspark.sql import functions as F
+
+    from map_reduce485_spark.queries._util import cache_scoped
+    from map_reduce485_spark.queries.graph import (
+        _PR_BASE,
+        _PR_ITERS,
+        _PR_SCALE,
+        _TOP_N,
+        _graph_bcast_max,
+        _maybe_broadcast,
+        _node_bound,
+    )
+
+    orders, lineitem = T(spark, sf_dir, "orders", "lineitem")
+    e0 = cache_scoped(
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = e0.unionAll(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
+    n_nodes = _node_bound(spark, sf_dir)
+    bcast = n_nodes <= _graph_bcast_max()
+    edges_deg = cache_scoped(
+        edges.join(deg, "src").repartition("dst" if bcast else "src")
+    )
+    rank = deg.select(F.col("src").alias("node"), F.lit(_PR_SCALE).alias("pr"))
+    for _ in range(_PR_ITERS):
+        rank = (
+            edges_deg.join(
+                _maybe_broadcast(rank, n_nodes), edges_deg.src == rank.node
+            )
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("pr div out_deg").alias("contrib"),
+            )
+            .groupBy("node")
+            .agg(
+                (F.lit(_PR_BASE) + F.expr("(85 * sum(contrib)) div 100")).alias("pr")
+            )
+        )
+    return (
+        rank.orderBy(F.col("pr").desc(), "node")
+        .limit(_TOP_N)
+        .select("node", F.col("pr").alias("rank_scaled"))
+    )
+
+
+def pagerank_trade_graph_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """v2 + the node-scale `deg` frame also cached, so rank0 reads ~n_nodes
+    rows from memory instead of re-aggregating the 2x-union of e0 per run."""
+    from pyspark.sql import functions as F
+
+    from map_reduce485_spark.queries._util import cache_scoped
+    from map_reduce485_spark.queries.graph import (
+        _PR_BASE,
+        _PR_ITERS,
+        _PR_SCALE,
+        _TOP_N,
+        _graph_bcast_max,
+        _maybe_broadcast,
+        _node_bound,
+    )
+
+    orders, lineitem = T(spark, sf_dir, "orders", "lineitem")
+    e0 = cache_scoped(
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = e0.unionAll(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = cache_scoped(edges.groupBy("src").agg(F.count("*").alias("out_deg")))
+    n_nodes = _node_bound(spark, sf_dir)
+    bcast = n_nodes <= _graph_bcast_max()
+    edges_deg = cache_scoped(
+        edges.join(deg, "src").repartition("dst" if bcast else "src")
+    )
+    rank = deg.select(F.col("src").alias("node"), F.lit(_PR_SCALE).alias("pr"))
+    for _ in range(_PR_ITERS):
+        rank = (
+            edges_deg.join(
+                _maybe_broadcast(rank, n_nodes), edges_deg.src == rank.node
+            )
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("pr div out_deg").alias("contrib"),
+            )
+            .groupBy("node")
+            .agg(
+                (F.lit(_PR_BASE) + F.expr("(85 * sum(contrib)) div 100")).alias("pr")
+            )
+        )
+    return (
+        rank.orderBy(F.col("pr").desc(), "node")
+        .limit(_TOP_N)
+        .select("node", F.col("pr").alias("rank_scaled"))
+    )
+
+
 def decontaminate_eval_overlap_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ADOPTED into queries/text_analysis.py (A/B: rows identical, wall
     0.78x, CPU within noise; oracle PASS at sf0.001/0.01/0.1).
