@@ -217,6 +217,98 @@ def pagerank_trade_graph_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_minhash_lsh_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypothesis (the pagerank e0 mechanism): `digests` is consumed by
+    TWO union branches, and the band self-join's two sides each execute
+    the union — the shingle-explode + 8-permutation signature groupBy (the
+    pipeline's dominant cost) can run up to 4x per execution.  Cache the
+    digests frame (doc-scale: 8 hashes + sorted shingle array + 2 band
+    digests per doc) so it computes once."""
+    from pyspark.sql import functions as F
+
+    from map_reduce485_spark.queries._util import cache_scoped
+    from map_reduce485_spark.queries.dedup import (
+        _BANDS,
+        _N_PERM,
+        _NGRAM_THRESHOLD,
+        _spark_shingles,
+    )
+
+    (docs,) = T(spark, sf_dir, "documents")
+    sh = _spark_shingles(docs)
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.col("shingle"), F.lit(f"#{j}")))).alias(f"h{j}")
+            for j in range(_N_PERM)
+        ],
+        F.array_sort(F.collect_list(F.xxhash64("shingle"))).alias("sh_arr"),
+        F.count("*").alias("n"),
+    )
+    digests = cache_scoped(
+        sig.select(
+            "doc_id",
+            "sh_arr",
+            "n",
+            *[
+                F.md5(F.concat(*[F.col(f"h{j}") for j in band])).alias(f"d{bi}")
+                for bi, band in enumerate(_BANDS)
+            ],
+        )
+    )
+    n_b = len(_BANDS)
+    bands = None
+    for bi in range(n_b):
+        b = digests.select(
+            "doc_id",
+            "sh_arr",
+            "n",
+            F.lit(bi).alias("band_id"),
+            F.col(f"d{bi}").alias("band"),
+            *[
+                (F.col(f"d{k}") if k < bi else F.lit(None).cast("string")).alias(
+                    f"d{k}"
+                )
+                for k in range(n_b - 1)
+            ],
+        )
+        bands = b if bands is None else bands.unionAll(b)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    first_match = F.lit(True)
+    for k in range(1, len(_BANDS)):
+        first_match = first_match & (
+            (F.col("a.band_id") < k) | (F.col(f"a.d{k - 1}") != F.col(f"b.d{k - 1}"))
+        )
+    inter = F.size(F.array_intersect(F.col("a.sh_arr"), F.col("b.sh_arr")))
+    return (
+        a.join(
+            b.hint("shuffle_merge"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(first_match)
+        .select(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+            inter.alias("intersection"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
+        )
+        .select(
+            "a_id",
+            "b_id",
+            (
+                F.col("intersection").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("intersection")).cast(
+                    "double"
+                )
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= _NGRAM_THRESHOLD)
+    )
+
+
 def decontaminate_eval_overlap_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ADOPTED into queries/text_analysis.py (A/B: rows identical, wall
     0.78x, CPU within noise; oracle PASS at sf0.001/0.01/0.1).
