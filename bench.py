@@ -80,6 +80,23 @@ def main() -> None:
     _calibrate()  # warm the calibration query's codegen
     calibration_sec = _calibrate()
 
+    # Hypervisor-steal stamp (round-13 verdict item 3): the loadavg gate
+    # above cannot see steal — the r13 box ran 2.2x slow at loadavg 5.65 with
+    # 3.5+ cores constantly stolen, and the artifact had no direct record.
+    # Sample /proc/stat's steal column at bench start and end; the delta over
+    # total ticks is the fraction of CPU the hypervisor took DURING the run,
+    # stamped next to calibration_sec so a judge can divide machine state out.
+    def _cpu_ticks() -> tuple[int, int] | None:
+        try:
+            with open("/proc/stat") as f:
+                parts = f.readline().split()[1:]
+            vals = [int(x) for x in parts]
+            return vals[7] if len(vals) > 7 else 0, sum(vals)
+        except (OSError, ValueError, IndexError):
+            return None
+
+    _steal0 = _cpu_ticks()
+
     import tempfile
 
     sink = os.path.join(tempfile.gettempdir(), "mr485_bench_sink")
@@ -107,7 +124,18 @@ def main() -> None:
     # instead of masquerading as a regression (the round-2 artifact recorded
     # a 1.4x "regression" that an immediate rerun showed was machine noise).
     # A long-lived 1000-executor cluster runs warm essentially always.
+    # Cold-vs-warm split (round-13 verdict item 2): queries built around
+    # `cache_scoped` intermediates used to have those caches materialized by
+    # the untimed warm-up, so every timed run measured warm-cache iteration
+    # and the materialization cost was invisible.  Now the scoped caches are
+    # RELEASED between the warm-up and the timed runs: the first timed run
+    # pays cache materialization (recorded per query in `queries_cold`), the
+    # remaining three run warm.  `queries`/`value` stay the warm best-of-N —
+    # the same quantity previous rounds reported, so the driver's round-over-
+    # round drift comparison is unaffected; the cold number is new, additive
+    # information in the artifact.
     timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
     bands: dict[str, list[float]] = {}
     contended: list[str] = []
     total = 0.0
@@ -117,7 +145,11 @@ def main() -> None:
         except Exception as exc:
             print(f"# warmup {name} failed: {exc}", file=sys.stderr)
             continue
-        runs, n_rows = [], 0
+        release_scoped_caches()  # first timed run pays cache materialization
+        t0 = time.perf_counter()
+        n_rows = run_once(spec)
+        cold[name] = round(time.perf_counter() - t0, 3)
+        runs = []
         for _ in range(3):
             t0 = time.perf_counter()
             n_rows = run_once(spec)
@@ -146,7 +178,11 @@ def main() -> None:
         if sorted(runs)[1] > 1.5 * min(runs):
             contended.append(name)
         total += dt
-        print(f"# {name}: {dt:.3f}s (worst {max(runs):.3f}s, {n_rows} rows)", file=sys.stderr)
+        print(
+            f"# {name}: {dt:.3f}s (cold {cold[name]:.3f}s, worst {max(runs):.3f}s,"
+            f" {n_rows} rows)",
+            file=sys.stderr,
+        )
         # release this query's scoped caches before the next query's runs;
         # big results' GC debt must not bleed into the next query
         release_scoped_caches()
@@ -163,8 +199,15 @@ def main() -> None:
         import glob
 
         here = os.path.dirname(os.path.abspath(__file__))
+        # exact BENCH_r<k>.json only: suffixed twins (e.g. BENCH_r13_c8.json,
+        # the driver's 8-core run) must not become the drift baseline — an
+        # 8-core artifact compared against a 32-core run reads as pure noise
         arts = sorted(
-            glob.glob(os.path.join(here, "BENCH_r*.json")),
+            (
+                p
+                for p in glob.glob(os.path.join(here, "BENCH_r*.json"))
+                if re.fullmatch(r"BENCH_r\d+\.json", os.path.basename(p))
+            ),
             key=lambda p: int(re.search(r"_r(\d+)", p).group(1)),
         )
         if arts:
@@ -195,6 +238,13 @@ def main() -> None:
     except Exception as exc:  # the gate must never fail the bench itself
         drift = {"error": repr(exc)[:120]}
 
+    _steal1 = _cpu_ticks()
+    steal_pct = None
+    if _steal0 and _steal1 and _steal1[1] > _steal0[1]:
+        steal_pct = round(
+            100.0 * (_steal1[0] - _steal0[0]) / (_steal1[1] - _steal0[1]), 2
+        )
+
     print(
         json.dumps(
             {
@@ -202,10 +252,12 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
+                "queries_cold": cold,
                 "bands": bands,
                 "contended": contended,
                 "box_contended": box_contended,
                 "loadavg_1m": loadavg,
+                "steal_pct": steal_pct,
                 "calibration_sec": calibration_sec,
                 "drift": drift,
                 "sf": sf,

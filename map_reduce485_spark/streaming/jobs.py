@@ -120,8 +120,17 @@ def stream_user_running_totals(events: DataFrame) -> DataFrame:
     state).  State lives partitioned by key in the state store; the Python
     function sees Arrow batches per key — never per-row Python.  The
     reference's closest analog is the reducer's per-key streaming fold
-    (worker/__main__.py:194-202), which only works within one batch job."""
+    (worker/__main__.py:194-202), which only works within one batch job.
+
+    Only (user_id, value) cross the Arrow boundary — the update function
+    reads nothing else, and Spark cannot see inside it, so an explicit
+    select is what keeps the per-batch transfer narrow (guide §4.1: an
+    opaque function over all columns ships all columns; round-14 plan audit
+    found the full 6-column row — `props` included, a string blob — crossing
+    per event)."""
     import pandas as pd  # noqa: F401  (needed on executors)
+
+    events = events.select("user_id", "value")
 
     def update(key, pdf_iter, state):
         import pandas as pd

@@ -68,24 +68,40 @@ def main() -> None:
         fn(spark, args.sf_dir).write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0, jvm_cpu() - c0
 
-    def block(fn, reps: int) -> list[tuple[float, float]]:
+    def block(fn, reps: int) -> tuple[list[tuple[float, float]], tuple[float, float]]:
+        """Returns (timed reps, cold run).  The first run after the scoped-
+        cache release pays cache materialization — recorded separately
+        (round-13 advice: cache-adding variants must show their cold cost,
+        not just warm re-execution)."""
         release_scoped_caches()
-        run_once(fn)
+        first = run_once(fn)
         out = [run_once(fn) for _ in range(reps)]
         release_scoped_caches()
-        return out
+        return out, first
 
     spark._jvm.System.gc()
-    ra, rb = [], []
-    ra += block(base, args.reps)
-    rb += block(variant, args.reps)
-    rb += block(variant, args.reps)
-    ra += block(base, args.reps)
+    ra, rb, colda, coldb = [], [], [], []
+    r, c = block(base, args.reps)
+    ra += r
+    colda.append(c)
+    r, c = block(variant, args.reps)
+    rb += r
+    coldb.append(c)
+    r, c = block(variant, args.reps)
+    rb += r
+    coldb.append(c)
+    r, c = block(base, args.reps)
+    ra += r
+    colda.append(c)
     wa, ca = min(r[0] for r in ra), min(r[1] for r in ra)
     wb, cb = min(r[0] for r in rb), min(r[1] for r in rb)
+    cwa, cca = min(r[0] for r in colda), min(r[1] for r in colda)
+    cwb, ccb = min(r[0] for r in coldb), min(r[1] for r in coldb)
     print(
         f"{args.name}: wall base={wa:.3f} variant={wb:.3f} ({wb / wa:.3f})  "
         f"cpu base={ca:.2f} variant={cb:.2f} ({cb / ca:.3f})\n"
+        f"  COLD: wall base={cwa:.3f} variant={cwb:.3f} ({cwb / cwa:.3f})  "
+        f"cpu base={cca:.2f} variant={ccb:.2f} ({ccb / cca if cca else 0:.3f})\n"
         f"  rawWallBase={[round(r[0], 3) for r in ra]} rawWallVar={[round(r[0], 3) for r in rb]}\n"
         f"  rawCpuBase={[round(r[1], 2) for r in ra]} rawCpuVar={[round(r[1], 2) for r in rb]}"
     )
