@@ -291,29 +291,35 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
     n_b = len(_BANDS)
-    bands = None
-    for bi in range(n_b):
-        b = digests.select(
-            "doc_id",
-            "sh_arr",
-            "n",
-            F.lit(bi).alias("band_id"),
-            F.col(f"d{bi}").alias("band"),
-            # band bi's first-match filter only reads PRIOR digests
-            # d0..d(bi-1) (and the last digest never at all), so later
-            # slots ride as NULLs — one null bit each in the band shuffle
-            # instead of a 32-char hex string.  Band 0 carries none: the
-            # `band_id < k` disjunct short-circuits before the NULL is
-            # read, and Catalyst folds it per union branch (band_id is a
-            # literal), so the band-0 branch's filter disappears entirely.
-            *[
-                (F.col(f"d{k}") if k < bi else F.lit(None).cast("string")).alias(
-                    f"d{k}"
-                )
+    # Round-14 optimization (guide §2.4 — don't re-derive shared subtrees):
+    # band rows come from ONE `inline` over an array of (band_id, band,
+    # prior-digest...) structs instead of a per-band union.  The union shape
+    # re-ran the final signature ObjectHashAggregate once per branch per
+    # join side (4x total; AQE exchange reuse only dedups below the
+    # exchange); with inline each side derives the signature once and the
+    # self-join's two identical exchanges collapse via runtime reuse.
+    # A/B (tools/ab_code.py, sf0.1): CPU 0.69x warm / 0.62x cold, wall
+    # 0.92x/0.93x; the cache_scoped alternative bought wall 0.54x but paid
+    # CPU 2.46x building/reading the array-typed InMemoryRelation —
+    # rejected (tools/r14_variants.py::dedup_minhash_lsh_v2).
+    # Band bi's first-match filter only reads PRIOR digests d0..d(bi-1)
+    # (and the last digest never at all), so later slots ride as NULLs —
+    # one null bit each in the band shuffle instead of a 32-char hex
+    # string; the `band_id < k` disjunct short-circuits before a NULL is
+    # read.
+    structs = ", ".join(
+        "struct({bi} as band_id, d{bi} as band, {prior})".format(
+            bi=bi,
+            prior=", ".join(
+                (f"d{k}" if k < bi else "cast(null as string)") + f" as d{k}"
                 for k in range(n_b - 1)
-            ],
+            ),
         )
-        bands = b if bands is None else bands.unionAll(b)
+        for bi in range(n_b)
+    )
+    bands = digests.select(
+        "doc_id", "sh_arr", "n", F.expr(f"inline(array({structs}))")
+    )
     a = bands.alias("a")
     b = bands.alias("b")
     first_match = F.lit(True)
@@ -413,8 +419,9 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Each distinct token votes ±1 on every bit position (bit values taken
     from its md5 digest nibbles); the fingerprint keeps the majority sign.
-    Integer votes → exact, engine-agnostic.  One narrow groupBy per doc —
-    embarrassingly scalable."""
+    Integer votes → exact, engine-agnostic.  Computed entirely map-side
+    (per-doc distinct + votes are array expressions, see
+    `_spark_simhash_fp`) — zero shuffles, embarrassingly scalable."""
     (docs,) = T(spark, sf_dir, "documents")
     return _spark_simhash_fp(docs, _SIMHASH_BITS)
 
@@ -422,20 +429,58 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _spark_simhash_fp(docs: DataFrame, bits: int) -> DataFrame:
     """(doc_id, simhash) at the given fingerprint width — the Spark twin of
     `_simhash_fp_sql`, shared by the 16-bit oracle queries and the 64-bit
-    production-shape queries."""
+    production-shape queries.
+
+    Round-14 rework (guide §2.4 — remove shuffles outright): fingerprints
+    are computed ENTIRELY MAP-SIDE.  Token sets are per-document by
+    definition, so the corpus-wide (doc_id, word) `distinct` exchange is
+    `array_distinct` in the projection; each distinct token is hashed ONCE
+    to the leading-`bits` bit pattern of its md5 (nibbles packed with
+    shiftleft/bitwise-or — overflow-free for the 64-bit width, where the
+    top nibble would overflow additive packing under ANSI); the per-bit
+    ±1 vote sums are array `aggregate`s over that small int array
+    (arithmetic `shiftright(t) & 1` reads bit b, matching
+    `_simhash_bit_sql`'s hex layout: bit b = nibble b//4, bit 3-b%4 —
+    i.e. bit position bits-1-b of the packed value; for b=63 the
+    arithmetic shift's sign extension still yields the correct bit).
+    ZERO exchanges: the old shape paid a corpus-wide distinct shuffle
+    plus a vote groupBy shuffle per fingerprint build.  A/B at sf0.1
+    (via dedup_simhash_summary): JVM CPU 0.24x warm / 0.24x cold, wall
+    1.07x warm (noise) / 0.87x cold.  Value-identical by construction:
+    same token sets, same md5 bits, same majority rule — pinned by the
+    family's oracle hash checks.
+
+    Docs with NO tokens (empty/whitespace text) produce no vote row in
+    the old groupBy shape, so the map-side form filters empty token
+    arrays explicitly to keep the output row set identical."""
     _, fp_expr = _simhash_fp_sql("instr", bits)
-    tokens = (
-        docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
-        .filter(F.col("word") != "")
-        .distinct()
+    assert bits % 4 == 0 and bits <= 64, "hex-nibble packing needs 4 | bits <= 64"
+    n_nib = bits // 4
+    nib = "(instr('0123456789abcdef', substring(m, {p}, 1)) - 1)"
+    packed = " | ".join(
+        f"shiftleft(cast({nib.format(p=i + 1)} as bigint), {4 * (n_nib - 1 - i)})"
+        for i in range(n_nib)
     )
-    votes = tokens.groupBy("doc_id").agg(
-        *[
-            F.expr(f"SUM(2 * ({_simhash_bit_sql(b, 'instr')}) - 1)").alias(f"s{b}")
-            for b in range(bits)
-        ]
+    votes = [
+        f"aggregate(tv, 0L, (acc, t) -> acc + 2 * (shiftright(t, {bits - 1 - b}) & 1) - 1)"
+        for b in range(bits)
+    ]
+    return (
+        docs.select(
+            "doc_id",
+            F.expr(
+                "transform(transform(array_distinct("
+                "filter(split(text, ' '), x -> x <> '')), x -> md5(x)),"
+                f" m -> {packed})"
+            ).alias("tv"),
+        )
+        .filter(F.size("tv") > 0)
+        .select(
+            "doc_id",
+            *[F.expr(v).alias(f"s{b}") for b, v in enumerate(votes)],
+        )
+        .select("doc_id", F.expr(fp_expr).cast("bigint").alias("simhash"))
     )
-    return votes.select("doc_id", F.expr(fp_expr).cast("bigint").alias("simhash"))
 
 
 _SIMHASH_PAIRS_ORACLE = f"""

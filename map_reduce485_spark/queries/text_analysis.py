@@ -683,10 +683,21 @@ def decontaminate_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc-count shuffle.  No training-side pre-distinct — the broadcast
     join filters first, `countDistinct` dedups after, so the big side never
     shuffles whole.  The contaminated-doc list is again small and
-    broadcasts back onto the doc table for the zero-filled left join.  At
-    real scale the gram strings would be xxhash64'd to 8 bytes before the
-    join; strings are kept here so the DuckDB oracle joins on identical
-    values (engine hash functions differ).
+    broadcasts back onto the doc table for the zero-filled left join.
+
+    Round-14 optimization (guide §2.3 shuffle/broadcast keys, not
+    payloads — the SCALING.md "grams would be xxhash64'd at real scale"
+    note, now done): the join only needs gram IDENTITY, so each gram is
+    hashed DIRECTLY from its 8 token slots with the multi-argument
+    xxhash64 — the ~50-byte 8-token gram string is never concatenated or
+    materialized, the broadcast set holds 8-byte longs, and the
+    countDistinct dedups longs.  The output counts are unchanged unless
+    two distinct grams of one comparison collide in 64 bits (~1e-8 at
+    1e9 grams — the same accepted caveat as `dedup_ngram_jaccard`'s
+    hashed shingles); the DuckDB oracle keeps joining on gram STRINGS,
+    and the hash check passing at 3 SFs is the witness that counts are
+    identical.  A/B (tools/ab_code.py, sf0.1): wall 0.88x warm / 0.82x
+    cold, CPU 1.00x warm / 0.81x cold.
 
     Round-13 optimization (guide §2.3 — do the cheap filter before the
     expensive work): the eval/train split is applied on the BASE doc_id
@@ -699,6 +710,10 @@ def decontaminate_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     A/B'd row-identical, wall 0.78x / CPU within noise at sf0.1)."""
     (docs,) = T(spark, sf_dir, "documents")
 
+    gram_args = ", ".join(
+        f"w[i{'+' + str(k) if k else ''}-1]" for k in range(_DECON_N)
+    )
+
     def grams_of(side: DataFrame) -> DataFrame:
         w = side.select(
             "doc_id",
@@ -709,7 +724,7 @@ def decontaminate_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(
                 F.expr(
                     f"transform(sequence(1, size(w) - {_DECON_N - 1}),"
-                    f" i -> concat_ws(' ', slice(w, i, {_DECON_N})))"
+                    f" i -> xxhash64({gram_args}))"
                 )
             ).alias("g"),
         )

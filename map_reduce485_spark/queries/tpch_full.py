@@ -437,10 +437,26 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 shape: suppliers solely responsible for a finished
     multi-supplier order shipping late.  The classic EXISTS / NOT-EXISTS
     pair is rewritten as one per-order aggregate (distinct suppliers vs
-    distinct late suppliers) joined back — one shuffle on orderkey instead
-    of two correlated scans, the scalable form at 100 TB."""
+    distinct late suppliers), the scalable form at 100 TB.
+
+    Round-14 rework (guide §2.3 aggregate-before-shuffle): the lineitem⋈
+    orders row stream is pre-aggregated per (l_orderkey, l_suppkey) FIRST
+    — map-side partial aggregation reduces lineitem-scale rows to
+    order-supplier pairs before the only lineitem-scale exchange — and the
+    per-order stats become plain count/sum over that group table computed
+    by a WINDOW over l_orderkey (partition sizes = suppliers per order,
+    bounded).  The previous shape derived the joined stream TWICE (stats
+    aggregate + row stream joined back), paid an Expand (x2 row
+    multiplication) for the two countDistincts, and shuffled lineitem-scale
+    rows three times.  Equivalence: n_supp = COUNT(*) of (order, supplier)
+    groups = COUNT(DISTINCT l_suppkey); n_late_supp = SUM(MAX(is_late)) =
+    COUNT(DISTINCT late supplier); the late-row count rides as
+    SUM(is_late) per group.  A/B (tools/ab_code.py, sf0.1): wall 0.89x,
+    JVM CPU 0.66x, oracle-identical rows."""
+    from pyspark.sql import Window as W
+
     li, orders, supp = T(spark, sf_dir, "lineitem", "orders", "supplier")
-    lf = (
+    g = (
         li.join(
             orders.filter(F.col("o_orderstatus") == "F").select("o_orderkey", "o_orderdate"),
             F.col("o_orderkey") == F.col("l_orderkey"),
@@ -454,15 +470,26 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(0)
             .alias("is_late"),
         )
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max("is_late").alias("late"), F.sum("is_late").alias("n_late_rows"))
     )
-    stats = lf.groupBy(F.col("l_orderkey").alias("ok")).agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(F.when(F.col("is_late") == 1, F.col("l_suppkey"))).alias("n_late_supp"),
+    w = W.partitionBy("l_orderkey")
+    stats = g.select(
+        "l_suppkey",
+        "late",
+        "n_late_rows",
+        F.count("*").over(w).alias("n_supp"),
+        F.sum("late").over(w).alias("n_late_supp"),
     )
     return (
-        lf.join(stats, F.col("ok") == F.col("l_orderkey"))
-        .filter((F.col("is_late") == 1) & (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+        stats.filter(
+            (F.col("late") == 1) & (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)
+        )
         .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
         .groupBy("s_name")
-        .agg(F.count("*").alias("numwait"))
+        # coalesce(…, 0) pins the non-nullable LongType the previous
+        # count(*) carried (groups are non-empty; schema-identity only)
+        .agg(
+            F.coalesce(F.sum("n_late_rows"), F.lit(0).cast("long")).alias("numwait")
+        )
     )

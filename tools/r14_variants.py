@@ -464,3 +464,91 @@ def q3_shipping_priority_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), "l_orderkey")
         .limit(10)
     )
+
+
+def dedup_minhash_lsh_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """v3: NO cache — the band rows are generated with one inline_outer
+    over an array of (band_id, band) structs instead of a 2-branch union,
+    so each join side derives the signature aggregate ONCE (the union shape
+    ran the final ObjectHashAggregate once per branch), and the self-join's
+    two identical exchanges collapse to one at runtime via AQE exchange
+    reuse.  v2 (cache_scoped digests) bought wall 0.54x but paid CPU 2.46x
+    for building/reading the array-typed InMemoryRelation — this variant
+    targets the same re-derivation without the cache tax."""
+    from map_reduce485_spark.queries.dedup import (
+        _BANDS,
+        _N_PERM,
+        _NGRAM_THRESHOLD,
+        _spark_shingles,
+    )
+
+    (docs,) = T(spark, sf_dir, "documents")
+    sh = _spark_shingles(docs)
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.col("shingle"), F.lit(f"#{j}")))).alias(f"h{j}")
+            for j in range(_N_PERM)
+        ],
+        F.array_sort(F.collect_list(F.xxhash64("shingle"))).alias("sh_arr"),
+        F.count("*").alias("n"),
+    )
+    n_b = len(_BANDS)
+    digests = sig.select(
+        "doc_id",
+        "sh_arr",
+        "n",
+        *[
+            F.md5(F.concat(*[F.col(f"h{j}") for j in band])).alias(f"d{bi}")
+            for bi, band in enumerate(_BANDS)
+        ],
+    )
+    # one struct per band: (band_id, band digest, d0..d{n_b-2} prior-digest
+    # slots with the same NULL layout as the union shape)
+    structs = ", ".join(
+        "struct(%dL as band_id, d%d as band, %s)"
+        % (
+            bi,
+            bi,
+            ", ".join(
+                (f"d{k}" if k < bi else "cast(null as string)") + f" as d{k}"
+                for k in range(n_b - 1)
+            ),
+        )
+        for bi in range(n_b)
+    )
+    bands = digests.select(
+        "doc_id", "sh_arr", "n", F.expr(f"inline(array({structs}))")
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    first_match = F.lit(True)
+    for k in range(1, n_b):
+        first_match = first_match & (
+            (F.col("a.band_id") < k) | (F.col(f"a.d{k - 1}") != F.col(f"b.d{k - 1}"))
+        )
+    inter = F.size(F.array_intersect(F.col("a.sh_arr"), F.col("b.sh_arr")))
+    return (
+        a.join(
+            b.hint("shuffle_merge"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(first_match)
+        .select(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+            inter.alias("intersection"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
+        )
+        .select(
+            "a_id",
+            "b_id",
+            (
+                F.col("intersection").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("intersection")).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= _NGRAM_THRESHOLD)
+    )
