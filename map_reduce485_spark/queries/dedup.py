@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from map_reduce485_spark.queries import query
-from map_reduce485_spark.queries._util import T, cache_scoped
+from map_reduce485_spark.queries._util import T, cache_scoped, checkpoint_scoped
 
 # ---------------------------------------------------------------------------
 # shared shingle fragments
@@ -776,7 +776,11 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("label"),
             )
         )
-        step = cache_scoped(step)
+        # checkpoint, not cache (round 14, the kcore planning-cost find):
+        # each round's step references the previous labels twice, so the
+        # logical plan grew per round even with caches; truncating it keeps
+        # every round planning at round-1 cost (warm 3.6 s -> 2.9 s sf0.1).
+        step = checkpoint_scoped(step)
         changed = step.filter(F.col("label") != F.col("old_label")).limit(1).count()
         labels = step.select("id", "label")
         if changed == 0:

@@ -38,7 +38,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from map_reduce485_spark.queries import query
-from map_reduce485_spark.queries._util import T, cache_scoped
+from map_reduce485_spark.queries._util import T, cache_scoped, checkpoint_scoped
 
 
 def _graph_bcast_max() -> int:
@@ -278,7 +278,12 @@ def bfs_hops_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         # twice (anti-join, union), so an uncut plan re-derives level 1's
         # subtree ~2^levels times — measured 29.6 s → 6.8 s at the 10x
         # smoke from caching these two NODE-SCALE frames per level
-        nxt = cache_scoped(
+        # checkpoint, not cache (round 14, the kcore planning-cost find):
+        # nxt and visited are each referenced twice per level, so the
+        # LOGICAL plan grew ~2^levels even though the caches cut execution
+        # lineage — analysis cost dominated the later levels.  localCheckpoint
+        # truncates the plan per level: warm 5.6 s -> 3.1 s at sf0.1.
+        nxt = checkpoint_scoped(
             edges.join(
                 _maybe_broadcast(frontier, n_nodes), edges.src == frontier.node
             )
@@ -286,7 +291,7 @@ def bfs_hops_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
             .join(_maybe_broadcast(visited.select("node"), n_nodes), "node", "left_anti")
         )
-        visited = cache_scoped(
+        visited = checkpoint_scoped(
             visited.unionAll(nxt.select("node", F.lit(d).alias("dist")))
         )
         frontier = nxt
@@ -552,6 +557,8 @@ def kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
     semi-joins, all shuffling on node keys bounded by the live edge list
     — the standard distributed peeling step; each round's survivors are
     cached so lineage stays flat (the `sssp`/`pagerank` discipline)."""
+    from map_reduce485_spark.queries._util import checkpoint_scoped, release_checkpoint
+
     orders, lineitem = T(spark, sf_dir, "orders", "lineitem")
     e0 = (
         orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
@@ -561,9 +568,6 @@ def kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    edges = cache_scoped(
-        e0.unionAll(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    )
     # Each round MUST be materialized before the next references it: the
     # round's plan references the previous round's frame three ways (the
     # degree agg and both semi-joins), so a fully lazy build has branch
@@ -571,31 +575,41 @@ def kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
     # edge build dozens of times (348 s at sf0.01 before this; the
     # `star_components` lineage-cut discipline, applied here).  The stats
     # are taken EAGERLY per round (two distributed counts — 16 longs of
-    # driver state total) and the PREVIOUS generation's cache is released
-    # as soon as the next one is materialized: the earlier lazy-union form
-    # kept every round's 117M-row localCheckpoint alive until the final
-    # collect, and the accumulated storage pressure made rounds 3-4 spill
-    # — checkpoint wall time 4.7 s → 43 s at the 100x smoke (measured; the
-    # two-generation working set keeps every round at round-1 cost).
+    # driver state total) and the PREVIOUS generation's storage is released
+    # as soon as the next one is materialized (two-generation working set;
+    # the earlier lazy-union form kept every round's 117M-row checkpoint
+    # alive until the final collect and rounds 3-4 spilled — 4.7 s → 43 s
+    # at the 100x smoke).
+    #
+    # Round-14: the per-round barrier is `checkpoint_scoped`, NOT a cache
+    # — caching cut execution lineage but each DataFrame still carried the
+    # full LOGICAL plan, so analysis/optimization cost grew ~3^round and
+    # round 4 spent 7-9 s in pure driver-side planning (rounds 1-3: <1.3 s)
+    # — 21 s → 2.6 s warm at sf0.01 for the whole query.  localCheckpoint
+    # truncates the plan to the materialized RDD, so every round PLANS at
+    # round-1 cost too.
+    edges = checkpoint_scoped(
+        e0.unionAll(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    )
     stats_rows: list[tuple[int, int, int]] = []
     for r in range(1, _KCORE_ROUNDS + 1):
         deg = edges.groupBy("src").agg(F.count("*").alias("c"))
         keep = cache_scoped(
             deg.filter(F.col("c") >= _KCORE_K).select(F.col("src").alias("node"))
         )
-        nxt = cache_scoped(
+        nxt = checkpoint_scoped(
             edges.join(keep.select(F.col("node").alias("src")), "src", "left_semi")
             .join(keep.select(F.col("node").alias("dst")), "dst", "left_semi")
             .select("src", "dst")
         )
-        n_edges = nxt.count()  # materializes this round (the lineage cut)
+        n_edges = nxt.count()
         n_nodes = keep.count()
         stats_rows.append((r, n_nodes, n_edges))
         # round r-1's frames are fully consumed — free their storage now
-        edges.unpersist()
+        release_checkpoint(edges)
         keep.unpersist()
         edges = nxt
-    edges.unpersist()
+    release_checkpoint(edges)
     return spark.createDataFrame(
         stats_rows, "round int, n_nodes long, n_edges long"
     )
@@ -699,7 +713,10 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
             .filter(F.col("rn") == 1)
             .select("node", "label")
         )
-        labels = cache_scoped(labels)
+        # checkpoint, not cache (round 14): labels is referenced twice per
+        # round (message join + self-vote union), so the logical plan grew
+        # 2^rounds; truncating it per round is warm 6.8 s -> 5.2 s at sf0.1.
+        labels = checkpoint_scoped(labels)
     return labels.select("node", F.col("label").alias("community"))
 
 

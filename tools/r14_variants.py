@@ -552,3 +552,46 @@ def dedup_minhash_lsh_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("jaccard") >= _NGRAM_THRESHOLD)
     )
+
+
+def label_propagation_communities_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-round argmax via max(struct(wsum, -label)) groupBy instead of a
+    row_number window: the groupBy gets map-side partial aggregation and
+    drops the window's per-partition Sort; max of the struct = highest
+    wsum, ties to SMALLEST label (negated second field) — exactly the
+    window's (wsum DESC, label ASC) rn=1 row."""
+    from pyspark.sql import Window as W  # noqa: F401
+
+    from map_reduce485_spark.queries._util import checkpoint_scoped
+    from map_reduce485_spark.queries.graph import _LPA_ITERS
+
+    orders, lineitem = T(spark, sf_dir, "orders", "lineitem")
+    e0 = (
+        orders.join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .agg(F.count("*").alias("w"))
+    )
+    edges = cache_scoped(
+        e0.unionAll(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w"))
+    )
+    labels = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(_LPA_ITERS):
+        votes = (
+            edges.join(labels, F.col("src") == F.col("node"))
+            .select(F.col("dst").alias("node"), "label", "w")
+            .unionAll(labels.select("node", "label", F.lit(1).cast("long").alias("w")))
+        )
+        labels = (
+            votes.groupBy("node", "label")
+            .agg(F.sum("w").alias("wsum"))
+            .groupBy("node")
+            .agg(F.max(F.struct(F.col("wsum"), (-F.col("label")).alias("nl"))).alias("s"))
+            .select("node", (-F.col("s.nl")).alias("label"))
+        )
+        labels = checkpoint_scoped(labels)
+    return labels.select("node", F.col("label").alias("community"))
