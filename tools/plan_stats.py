@@ -46,7 +46,10 @@ def main() -> None:
         try:
             df = spec.fn(spark, args.sf_dir)
             txt = explain_str(df, "formatted")
-            n_ex = len(re.findall(r"\bExchange hashpartitioning|\bExchange rangepartitioning|\bExchange RoundRobin|\bExchange SinglePartition", txt))
+            # formatted plans put partitioning in a detail line ("Arguments:
+            # hashpartitioning(...)"), so count numbered Exchange headers —
+            # the r13-era inline regex matched nothing and reported ex=0
+            n_ex = len(re.findall(r"^\(\d+\) (?:Exchange|BroadcastExchange)", txt, re.MULTILINE))
             joins = sorted({j for j in _JOINS if f"{j} " in txt or f"{j}(" in txt})
             py = sorted({p for p in _PY if p in txt})
             single = "SinglePartition" in txt

@@ -595,3 +595,57 @@ def label_propagation_communities_v2(spark: SparkSession, sf_dir: str) -> DataFr
         )
         labels = checkpoint_scoped(labels)
     return labels.select("node", F.col("label").alias("community"))
+
+
+def dedup_ngram_jaccard_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """v3: cache ONLY the tiny per-doc sizes table — the before-plan
+    computes the `sizes` aggregate twice (once per join side, operators
+    18-26/27-35); the doc-count-sized cache removes one full aggregation
+    pass over the cached shingle stream without v2's expensive
+    re-projection of the shingle cache itself."""
+    (docs,) = T(spark, sf_dir, "documents")
+    sh = (
+        docs.select(
+            "doc_id", F.expr("filter(split(text, ' '), x -> x <> '')").alias("w")
+        )
+        .filter(F.size("w") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        "transform(sequence(1, size(w) - 2),"
+                        " i -> xxhash64(w[i-1], w[i], w[i+1]))"
+                    )
+                )
+            ).alias("shingle"),
+        )
+    )
+    sh = cache_scoped(sh)
+    sizes = cache_scoped(sh.groupBy("doc_id").agg(F.count("*").alias("n")))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .agg(F.count("*").alias("intersection"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        pairs.join(sa, F.col("a_id") == F.col("sa.doc_id"))
+        .join(sb, F.col("b_id") == F.col("sb.doc_id"))
+        .select(
+            "a_id",
+            "b_id",
+            (
+                F.col("intersection").cast("double")
+                / (F.col("sa.n") + F.col("sb.n") - F.col("intersection"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+    )
