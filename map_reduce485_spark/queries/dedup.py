@@ -1455,14 +1455,20 @@ def dedup_incremental_arrivals(spark: SparkSession, sf_dir: str) -> DataFrame:
             for j in range(_N_PERM)
         ]
     )
-    bands = None
-    for bi, band in enumerate(_BANDS):
-        b = sig.select(
-            "doc_id",
-            F.lit(bi).alias("band_id"),
-            F.md5(F.concat(*[F.col(f"h{j}") for j in band])).alias("band"),
+    # Round-14: band rows via one inline(array(structs)) instead of a
+    # per-band union (the dedup_minhash_lsh move) — the union ran the
+    # signature final aggregate once per branch per side of the
+    # new/corpus split, whose differing filters defeat exchange reuse.
+    # A/B: JVM CPU 0.79x warm / 0.55x cold.  (cache_scoped(sig) also
+    # measured: wall 0.81x but CPU 1.52x — cache tax again; rejected,
+    # tools/r14_variants.py::dedup_incremental_arrivals_v2.)
+    structs = ", ".join(
+        "struct({bi} as band_id, md5(concat({cols})) as band)".format(
+            bi=bi, cols=", ".join(f"h{j}" for j in band)
         )
-        bands = b if bands is None else bands.unionAll(b)
+        for bi, band in enumerate(_BANDS)
+    )
+    bands = sig.select("doc_id", F.expr(f"inline(array({structs}))"))
     flagged = bands.join(flags, "doc_id")
     new_side = flagged.filter(F.col("is_new")).select(
         F.col("doc_id").alias("new_id"), "band_id", "band"

@@ -3211,23 +3211,37 @@ def gopher_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("filter(split(lower(text), ' '), x -> x <> '')").alias("w"),
         )
         .select("doc_id", F.explode(F.expr(f"concat({tagged_arrays})")).alias("t"))
-        .select("doc_id", "t.n", "t.gram")
+        .select(
+            "doc_id",
+            "t.n",
+            # Round-14 (guide §2.3 — shuffle keys, not payloads): every
+            # output value depends only on (count, gram LENGTH) — even a
+            # most-frequent tie-break switch cannot change top.cnt*top.glen
+            # when (cnt, glen) tie — so the count groupBy shuffles
+            # xxhash64(gram) + length(gram) instead of the gram string
+            # (built map-side, dropped before the exchange).  Identical
+            # output unless two distinct grams of one (doc, n) collide in
+            # 64 bits (the dedup_ngram_jaccard caveat).  A/B: wall 0.84x,
+            # JVM CPU 0.75x at sf0.1.
+            F.xxhash64("t.gram").alias("ghash"),
+            F.length("t.gram").alias("glen"),
+        )
     )
     lvl = (
-        grams.groupBy("doc_id", "n", "gram")
-        .agg(F.count("*").alias("cnt"))
+        grams.groupBy("doc_id", "n", "ghash")
+        .agg(F.count("*").alias("cnt"), F.max("glen").alias("glen"))
         .groupBy("doc_id", "n")
         .agg(
-            F.sum(F.col("cnt") * F.length("gram")).alias("tot"),
+            F.sum(F.col("cnt") * F.col("glen")).alias("tot"),
             F.max(
                 F.struct(
                     F.col("cnt"),
-                    F.length("gram").alias("glen"),
-                    F.col("gram"),
+                    F.col("glen"),
+                    F.col("ghash"),
                 )
             ).alias("top"),
             F.sum(
-                F.when(F.col("cnt") > 1, F.col("cnt") * F.length("gram")).otherwise(
+                F.when(F.col("cnt") > 1, F.col("cnt") * F.col("glen")).otherwise(
                     F.lit(0)
                 )
             ).alias("dup"),

@@ -649,3 +649,256 @@ def dedup_ngram_jaccard_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("jaccard") >= 0.5)
     )
+
+
+def gopher_repetition_filters_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypothesis (guide §2.3 — shuffle keys, not payloads): the per-(doc,
+    n, gram) count groupBy shuffles the gram STRINGS; every output value
+    depends only on (count, gram length) — even the most-frequent tie-break
+    can switch winners without changing top.cnt*top.glen when (cnt, glen)
+    tie — so shuffle xxhash64(gram) + length(gram) instead.  The string is
+    still built map-side (same generation CPU) but never crosses the
+    exchange."""
+    from map_reduce485_spark.queries.text_analysis import (
+        _GOPHER_DUP_N,
+        _GOPHER_DUP_THRESHOLD,
+        _GOPHER_THRESHOLDS,
+        _GOPHER_TOP_NS,
+    )
+
+    (docs,) = T(spark, sf_dir, "documents")
+    ns = (*_GOPHER_TOP_NS, _GOPHER_DUP_N)
+    tagged_arrays = ", ".join(
+        f"if(size(w) >= {n},"
+        f" transform(sequence(1, size(w) - {n} + 1),"
+        f" i -> struct({n} AS n, array_join(slice(w, i, {n}), ' ') AS gram)),"
+        f" array())"
+        for n in ns
+    )
+    grams = (
+        docs.select(
+            "doc_id",
+            F.expr("filter(split(lower(text), ' '), x -> x <> '')").alias("w"),
+        )
+        .select("doc_id", F.explode(F.expr(f"concat({tagged_arrays})")).alias("t"))
+        .select(
+            "doc_id",
+            "t.n",
+            F.xxhash64("t.gram").alias("ghash"),
+            F.length("t.gram").alias("glen"),
+        )
+    )
+    lvl = (
+        grams.groupBy("doc_id", "n", "ghash")
+        .agg(F.count("*").alias("cnt"), F.max("glen").alias("glen"))
+        .groupBy("doc_id", "n")
+        .agg(
+            F.sum(F.col("cnt") * F.col("glen")).alias("tot"),
+            F.max(F.struct(F.col("cnt"), F.col("glen"), F.col("ghash"))).alias("top"),
+            F.sum(
+                F.when(F.col("cnt") > 1, F.col("cnt") * F.col("glen")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("dup"),
+        )
+        .select(
+            "doc_id",
+            "n",
+            (
+                (F.col("top.cnt") * F.col("top.glen")).cast("double") / F.col("tot")
+            ).alias("top_frac"),
+            (F.col("dup").cast("double") / F.col("tot")).alias("dup_frac"),
+        )
+    )
+    lvl = lvl.unionByName(
+        docs.select(
+            "doc_id",
+            F.lit(0).alias("n"),
+            F.lit(0.0).alias("top_frac"),
+            F.lit(0.0).alias("dup_frac"),
+        )
+    )
+
+    def _top(n: int):
+        return F.coalesce(
+            F.max(F.when(F.col("n") == n, F.col("top_frac"))), F.lit(0.0)
+        )
+
+    dup5 = F.coalesce(
+        F.max(F.when(F.col("n") == _GOPHER_DUP_N, F.col("dup_frac"))), F.lit(0.0)
+    )
+    all_pass = None
+    for n in _GOPHER_TOP_NS:
+        cond = _top(n) <= _GOPHER_THRESHOLDS[n]
+        all_pass = cond if all_pass is None else (all_pass & cond)
+    all_pass = all_pass & (dup5 <= _GOPHER_DUP_THRESHOLD)
+    return lvl.groupBy("doc_id").agg(
+        *[_top(n).alias(f"frac_top_{n}gram") for n in _GOPHER_TOP_NS],
+        dup5.alias(f"frac_dup_{_GOPHER_DUP_N}gram"),
+        *[
+            (_top(n) <= _GOPHER_THRESHOLDS[n])
+            .cast("int")
+            .alias(f"pass_top_{n}gram")
+            for n in _GOPHER_TOP_NS
+        ],
+        (dup5 <= _GOPHER_DUP_THRESHOLD)
+        .cast("int")
+        .alias(f"pass_dup_{_GOPHER_DUP_N}gram"),
+        all_pass.cast("int").alias("gopher_pass"),
+    )
+
+
+def dedup_incremental_arrivals_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same inline-band move as dedup_minhash_lsh, plus cache_scoped(sig):
+    the registered shape derives the signature final aggregate up to 4x
+    (2-band union x the new/corpus split, whose differing filters defeat
+    exchange reuse).  This sig carries NO shingle arrays — 9 narrow string
+    columns — so the cache tax that rejected minhash's v2 does not apply."""
+    from map_reduce485_spark.queries.dedup import (
+        _BANDS,
+        _N_PERM,
+        _NGRAM_THRESHOLD,
+        _spark_shingles,
+    )
+
+    (docs,) = T(spark, sf_dir, "documents")
+    flags = docs.select(
+        "doc_id",
+        (F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) == "f").alias(
+            "is_new"
+        ),
+    )
+    sh = cache_scoped(_spark_shingles(docs))
+    sig = cache_scoped(
+        sh.groupBy("doc_id").agg(
+            *[
+                F.min(F.md5(F.concat(F.col("shingle"), F.lit(f"#{j}")))).alias(f"h{j}")
+                for j in range(_N_PERM)
+            ]
+        )
+    )
+    structs = ", ".join(
+        "struct({bi} as band_id, md5(concat({cols})) as band)".format(
+            bi=bi, cols=", ".join(f"h{j}" for j in band)
+        )
+        for bi, band in enumerate(_BANDS)
+    )
+    bands = sig.select("doc_id", F.expr(f"inline(array({structs}))"))
+    flagged = bands.join(flags, "doc_id")
+    new_side = flagged.filter(F.col("is_new")).select(
+        F.col("doc_id").alias("new_id"), "band_id", "band"
+    )
+    corpus_side = flagged.filter(~F.col("is_new")).select(
+        F.col("doc_id").alias("dup_of"), "band_id", "band"
+    )
+    cand = (
+        new_side.join(corpus_side, ["band_id", "band"])
+        .filter(F.col("new_id") != F.col("dup_of"))
+        .select("new_id", "dup_of")
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    x = sh.alias("x")
+    y = sh.alias("y")
+    verified = (
+        cand.join(x, F.col("x.doc_id") == F.col("new_id"))
+        .join(
+            y,
+            (F.col("y.doc_id") == F.col("dup_of"))
+            & (F.col("y.shingle") == F.col("x.shingle")),
+        )
+        .groupBy("new_id", "dup_of")
+        .agg(F.count("*").alias("intersection"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        verified.join(sa, F.col("new_id") == F.col("sa.doc_id"))
+        .join(sb, F.col("dup_of") == F.col("sb.doc_id"))
+        .select(
+            "new_id",
+            "dup_of",
+            (
+                F.col("intersection").cast("double")
+                / (F.col("sa.n") + F.col("sb.n") - F.col("intersection"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= _NGRAM_THRESHOLD)
+    )
+
+
+def dedup_incremental_arrivals_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same inline-band move as dedup_minhash_lsh, plus cache_scoped(sig):
+    the registered shape derives the signature final aggregate up to 4x
+    (2-band union x the new/corpus split, whose differing filters defeat
+    exchange reuse).  This sig carries NO shingle arrays — 9 narrow string
+    columns — so the cache tax that rejected minhash's v2 does not apply."""
+    from map_reduce485_spark.queries.dedup import (
+        _BANDS,
+        _N_PERM,
+        _NGRAM_THRESHOLD,
+        _spark_shingles,
+    )
+
+    (docs,) = T(spark, sf_dir, "documents")
+    flags = docs.select(
+        "doc_id",
+        (F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) == "f").alias(
+            "is_new"
+        ),
+    )
+    sh = cache_scoped(_spark_shingles(docs))
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.col("shingle"), F.lit(f"#{j}")))).alias(f"h{j}")
+            for j in range(_N_PERM)
+        ]
+    )
+    structs = ", ".join(
+        "struct({bi} as band_id, md5(concat({cols})) as band)".format(
+            bi=bi, cols=", ".join(f"h{j}" for j in band)
+        )
+        for bi, band in enumerate(_BANDS)
+    )
+    bands = sig.select("doc_id", F.expr(f"inline(array({structs}))"))
+    flagged = bands.join(flags, "doc_id")
+    new_side = flagged.filter(F.col("is_new")).select(
+        F.col("doc_id").alias("new_id"), "band_id", "band"
+    )
+    corpus_side = flagged.filter(~F.col("is_new")).select(
+        F.col("doc_id").alias("dup_of"), "band_id", "band"
+    )
+    cand = (
+        new_side.join(corpus_side, ["band_id", "band"])
+        .filter(F.col("new_id") != F.col("dup_of"))
+        .select("new_id", "dup_of")
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    x = sh.alias("x")
+    y = sh.alias("y")
+    verified = (
+        cand.join(x, F.col("x.doc_id") == F.col("new_id"))
+        .join(
+            y,
+            (F.col("y.doc_id") == F.col("dup_of"))
+            & (F.col("y.shingle") == F.col("x.shingle")),
+        )
+        .groupBy("new_id", "dup_of")
+        .agg(F.count("*").alias("intersection"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        verified.join(sa, F.col("new_id") == F.col("sa.doc_id"))
+        .join(sb, F.col("dup_of") == F.col("sb.doc_id"))
+        .select(
+            "new_id",
+            "dup_of",
+            (
+                F.col("intersection").cast("double")
+                / (F.col("sa.n") + F.col("sb.n") - F.col("intersection"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= _NGRAM_THRESHOLD)
+    )
