@@ -53,9 +53,24 @@ def bpe_train(
 
     Returns [(step, pair, merged, freq)] — the learned merge rules in
     order.  `words.freq` must be integral.
+
+    Caching discipline (round 14): only the INITIAL symbol table is
+    cached; each iteration's symbols are a lazy chain of vocab-scale
+    `replace` projections over it.  Per-iteration caching (the previous
+    shape) paid one materialization job + a storage write per merge and
+    was measured wall 1.29x / JVM-CPU 1.27x worse at the bench's 3 merges
+    (tools/ab_code.py vs tools/r14_variants.py::bpe_train_merges_v2).
+    Recomputing the chain costs O(k²/2) replace passes across k merges —
+    fine for small k; every `_LINEAGE_STRIDE` merges the chain is cut with
+    a cached barrier so large-k training stays O(k·stride) work with a
+    bounded plan (branch factor is 1, so the kcore-style exponential
+    planning growth does not apply — the stride only bounds recompute and
+    plan LENGTH).
     """
-    sym = words.select(F.expr(_SYM_INIT).alias("s"), "freq").cache()
-    prev: DataFrame | None = None
+    _LINEAGE_STRIDE = 8
+    base = words.select(F.expr(_SYM_INIT).alias("s"), "freq").cache()
+    sym = base
+    barrier: DataFrame | None = None  # the extra cached generation, if any
     out: list[tuple[int, str, str, int]] = []
     for step in range(1, n_merges + 1):
         pairs = sym.select(
@@ -68,27 +83,27 @@ def bpe_train(
             .limit(1)
             .collect()
         )
-        # The collect above materialized `sym`'s cache; only now is it safe
-        # to drop the previous iteration's cache — unpersisting before the
-        # child is materialized would force each iteration to recompute the
-        # whole replace chain from the source wordcount.
-        if prev is not None:
-            prev.unpersist()
-            prev = None
         if not best:
             break
         pair, freq = best[0].pair, int(best[0].f)
         x, y = pair.split(" ")
         out.append((step, pair, x + y, freq))
-        new_sym = sym.select(
+        sym = sym.select(
             F.replace(
                 F.col("s"), F.lit(f" {x}  {y} "), F.lit(f" {x}{y} ")
             ).alias("s"),
             "freq",
-        ).cache()
-        prev = sym
-        sym = new_sym
-    sym.unpersist()
-    if prev is not None:
-        prev.unpersist()
+        )
+        if step % _LINEAGE_STRIDE == 0:
+            new_barrier = sym.cache()
+            # materialize the new barrier BEFORE dropping the old one, or
+            # the next collect would recompute the whole chain from base
+            new_barrier.count()
+            if barrier is not None:
+                barrier.unpersist()
+            barrier = new_barrier
+            sym = new_barrier
+    base.unpersist()
+    if barrier is not None:
+        barrier.unpersist()
     return out

@@ -902,3 +902,47 @@ def dedup_incremental_arrivals_v3(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .filter(F.col("jaccard") >= _NGRAM_THRESHOLD)
     )
+
+
+def bpe_train_merges_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypothesis: per-iteration sym caches cost one materialization job +
+    storage write each, but the replace chain is vocab-scale string work
+    with branch factor 1 — recomputing k chained replaces from the ONE
+    cached initial symbol table is cheaper than materializing every
+    generation (3 merges deep)."""
+    from pyspark.sql import functions as F2
+
+    from map_reduce485_spark.operators.bpe import _PAIRS, _SYM_INIT
+    from map_reduce485_spark.queries.text_analysis import _BPE_MERGES
+
+    (docs,) = T(spark, sf_dir, "documents")
+    words = (
+        docs.select(
+            F2.explode(F2.expr("filter(split(text, ' '), x -> x <> '')")).alias("word")
+        )
+        .groupBy("word")
+        .agg(F2.count("*").alias("freq"))
+    )
+    sym = cache_scoped(words.select(F2.expr(_SYM_INIT).alias("s"), "freq"))
+    out = []
+    for step in range(1, _BPE_MERGES + 1):
+        pairs = sym.select(
+            F2.expr("filter(split(trim(s), '  '), x -> x <> '')").alias("a"), "freq"
+        ).select(F2.explode(F2.expr(_PAIRS)).alias("pair"), "freq")
+        best = (
+            pairs.groupBy("pair")
+            .agg(F2.sum("freq").alias("f"))
+            .orderBy(F2.col("f").desc(), "pair")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        pair, freq = best[0].pair, int(best[0].f)
+        x, y = pair.split(" ")
+        out.append((step, pair, x + y, freq))
+        sym = sym.select(
+            F2.replace(F2.col("s"), F2.lit(f" {x}  {y} "), F2.lit(f" {x}{y} ")).alias("s"),
+            "freq",
+        )
+    return spark.createDataFrame(out, "step int, pair string, merged string, freq bigint")
